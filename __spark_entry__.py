@@ -32,6 +32,13 @@ from lightlane_spark.loaders.text_sinks import (  # noqa: E402
     write_hive_text,
 )
 from lightlane_spark.operators.dedup import dedup_keep_first  # noqa: E402
+from lightlane_spark.operators.transform import (  # noqa: E402
+    drop_falsy,
+    fan_out,
+    flatten_json_array,
+    map_rows,
+    quarantine,
+)
 from lightlane_spark.operators.extract import (  # noqa: E402
     range_partitioned_read,
 )
@@ -247,6 +254,90 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_with_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically corrupt every 10th event's JSON payload —
+    the OP-17 quarantine fixture (reference silently skips bad rows,
+    handler/base.py:43-44; we route them)."""
+    return read_table(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(F.col("event_id") % 10 == 0, F.lit("garbage")).otherwise(F.col("props")),
+    )
+
+
+def q_quarantine_good(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-17: parseable side of the quarantine split."""
+    ev = _events_with_corruption(spark, sf_dir)
+    good, _bad = quarantine(ev, F.get_json_object("props", "$.k").isNotNull())
+    return good.select("event_id", "event_type", "props")
+
+
+def q_quarantine_bad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-17: quarantined (malformed-JSON) side — auditable, not dropped."""
+    ev = _events_with_corruption(spark, sf_dir)
+    _good, bad = quarantine(ev, F.get_json_object("props", "$.k").isNotNull())
+    return bad.select("event_id", "event_type", "props")
+
+
+def q_flatten_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-13 (documented intent, full form): JSON array → parse →
+    explode; empty arrays drop their row (falsy-drop semantics)."""
+    orders = read_table(spark, sf_dir, "orders")
+    items_json = F.when(F.col("o_orderkey") % 7 == 0, F.lit("[]")).otherwise(
+        F.concat(
+            F.lit('[{"sku":"s'),
+            F.col("o_orderkey"),
+            F.lit('","qty":'),
+            (F.col("o_orderkey") % 5).cast("int"),
+            F.lit('},{"sku":"t'),
+            F.col("o_orderkey"),
+            F.lit('","qty":1}]'),
+        )
+    )
+    df = orders.select("o_orderkey", items_json.alias("items"))
+    flat = flatten_json_array(df, "items", "array<struct<sku:string,qty:int>>")
+    return flat.select(
+        "o_orderkey", F.col("item.sku").alias("sku"), F.col("item.qty").alias("qty")
+    )
+
+
+def q_map_rows_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-13 (general hook): vectorized pandas batch transform
+    (mapInPandas) — per-doc token count; SQL-checkable output."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_tokens(pdf):
+        out = pdf[["doc_id"]].copy()
+        out["n_tokens"] = pdf["text"].str.split(" ").str.len().astype("int64")
+        return out
+
+    return map_rows(docs, count_tokens, "doc_id bigint, n_tokens bigint")
+
+
+def q_drop_falsy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-13 filter semantics: falsy transform result drops the row
+    (reference handler/base.py:35-37) — NULL and '0' both drop."""
+    ev = _events_with_corruption(spark, sf_dir)
+    ev = ev.withColumn("k", F.get_json_object("props", "$.k"))
+    return drop_falsy(ev, "k").select("event_id", "k")
+
+
+def q_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-20: one scan fanned out to parquet + CSV sinks (persist once,
+    write twice); returns the parquet read-back."""
+    base = os.path.join(tempfile.mkdtemp(prefix="llspark_fan_"))
+    df = read_table(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    fan_out(
+        df,
+        [
+            lambda d: d.write.mode("overwrite").parquet(os.path.join(base, "p")),
+            lambda d: write_csv(d, os.path.join(base, "c")),
+        ],
+    )
+    return spark.read.parquet(os.path.join(base, "p"))
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -276,6 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hive_text_roundtrip": q_hive_text_roundtrip,
         "json_extract": q_json_extract,
         "explode": q_explode,
+        "quarantine_good": q_quarantine_good,
+        "quarantine_bad": q_quarantine_bad,
+        "flatten_json_array": q_flatten_json_array,
+        "map_rows_tokens": q_map_rows_tokens,
+        "drop_falsy": q_drop_falsy,
+        "multi_sink_fanout": q_multi_sink_fanout,
     }
 
 
@@ -366,6 +463,49 @@ _ORACLE: dict[str, str] = {
     "explode": """
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     """,
+    "quarantine_good": """
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 10 = 0 THEN 'garbage' ELSE props END AS props
+            FROM events
+        )
+        SELECT event_id, event_type, props FROM ev
+        WHERE json_extract_string(try_cast(props AS JSON), '$.k') IS NOT NULL
+    """,
+    "quarantine_bad": """
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 10 = 0 THEN 'garbage' ELSE props END AS props
+            FROM events
+        )
+        SELECT event_id, event_type, props FROM ev
+        WHERE json_extract_string(try_cast(props AS JSON), '$.k') IS NULL
+    """,
+    "flatten_json_array": """
+        WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0)
+        SELECT o_orderkey, 's' || o_orderkey AS sku,
+               CAST(o_orderkey % 5 AS INTEGER) AS qty FROM base
+        UNION ALL
+        SELECT o_orderkey, 't' || o_orderkey AS sku, 1 AS qty FROM base
+    """,
+    "map_rows_tokens": """
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "drop_falsy": """
+        WITH ev AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 10 = 0 THEN 'garbage' ELSE props END AS props
+            FROM events
+        ), ex AS (
+            SELECT event_id,
+                   json_extract_string(try_cast(props AS JSON), '$.k') AS k
+            FROM ev
+        )
+        SELECT event_id, k FROM ex
+        WHERE k IS NOT NULL AND k <> '' AND k <> '0' AND k NOT IN ('false', 'False')
+    """,
+    "multi_sink_fanout": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
 }
 
 

@@ -1,0 +1,131 @@
+"""Transform operators — OP-13..OP-17.
+
+The reference's whole transform surface is one per-row hook
+(``transformer.py:11-16``, invoked ``handler/base.py:23-41``) with
+three behaviors: scalar map (row→row), filter (falsy→drop,
+``base.py:35-37``), and flat-map (row→list of rows, emitted one line
+each, ``csv_handler.py:80-90``). Its *documented* intent
+(``README.md:26-27``) is JSON extraction + row flattening.
+
+Spark-first re-expression:
+  - The documented case is pure Catalyst: ``json_extract`` →
+    ``F.get_json_object`` / ``F.from_json``; ``flatten_json_array`` →
+    ``from_json`` + ``explode`` — JVM-side, codegen'd, no Python.
+  - The general hook is ``map_rows`` over ``mapInPandas``: the user
+    function sees pandas DataFrames (Arrow batches, 10-100× faster
+    than row-at-a-time UDFs) and may return fewer rows (filter), more
+    rows (flat-map), or transformed rows — the exact semantics of the
+    reference hook, vectorized.
+  - OP-17 error-row handling: the reference silently logs-and-skips
+    failed rows (``handler/base.py:43-44``). ``quarantine`` replaces
+    that with an auditable split: (good, bad) DataFrames by predicate,
+    e.g. malformed JSON → bad side (SURVEY §7.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def json_extract(
+    df: DataFrame, source_col: str, fields: dict[str, str], drop_source: bool = False
+) -> DataFrame:
+    """OP-13 (documented intent): extract JSON paths into columns.
+
+    ``fields`` maps output column name → JSONPath (``$.a.b``). Uses
+    ``get_json_object`` (JVM, codegen) — no schema needed, NULL on
+    malformed input rather than failure (PERMISSIVE, OP-17-friendly).
+    """
+    out = df
+    for name, path in fields.items():
+        out = out.withColumn(name, F.get_json_object(F.col(source_col), path))
+    if drop_source:
+        out = out.drop(source_col)
+    return out
+
+
+def flatten_json_array(
+    df: DataFrame,
+    source_col: str,
+    array_path_schema: str,
+    out_col: str = "item",
+    keep_nulls: bool = False,
+) -> DataFrame:
+    """OP-13 (flatten): parse a JSON array column and explode it —
+    one row → many. ``array_path_schema`` is the Spark DDL schema of
+    the array, e.g. ``array<struct<sku:string,qty:int>>``.
+
+    ``keep_nulls=True`` uses ``explode_outer`` so rows whose array is
+    NULL/empty survive with a NULL item (the reference drops them —
+    falsy transform result, ``handler/base.py:35-37``).
+    """
+    parsed = F.from_json(F.col(source_col), array_path_schema)
+    exploder = F.explode_outer if keep_nulls else F.explode
+    return df.withColumn(out_col, exploder(parsed)).drop(source_col)
+
+
+def map_rows(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """OP-13 (general hook): vectorized replacement for the reference's
+    per-row ``Transformer.transform``.
+
+    ``fn`` receives pandas batches (Arrow transfer) and may filter,
+    expand, or reshape them — covering the hook's map / filter /
+    flat-map behaviors at batch granularity. Runs on executors;
+    nothing is collected to the driver.
+    """
+
+    def apply_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = fn(pdf)
+            if out is not None and len(out):
+                yield out
+
+    return df.mapInPandas(apply_batches, schema=schema)
+
+
+def drop_falsy(df: DataFrame, col: str) -> DataFrame:
+    """OP-13 filter semantics: the reference drops a row when the
+    transform returns a falsy value (``handler/base.py:35-37``) —
+    declaratively: drop rows where ``col`` is NULL/''/0/false."""
+    c = F.col(col)
+    falsy = c.isNull() | (c.cast("string") == "") | (c.cast("string") == "0") | (
+        c.cast("string").isin("false", "False")
+    )
+    return df.filter(~falsy)
+
+
+def quarantine(
+    df: DataFrame, good_predicate: Column | str
+) -> tuple[DataFrame, DataFrame]:
+    """OP-17: split rows into (good, bad) by predicate instead of the
+    reference's silent log-and-skip (``handler/base.py:43-44``).
+
+    Both sides derive from one scan; callers typically persist ``df``
+    before writing both (OP-20 fan-out pattern).
+    """
+    pred = F.expr(good_predicate) if isinstance(good_predicate, str) else good_predicate
+    good = df.filter(pred)
+    bad = df.filter(~pred | pred.isNull())
+    return good, bad
+
+
+def fan_out(df: DataFrame, sinks: list[Callable[[DataFrame], Any]]) -> None:
+    """OP-20: one scan, many outputs (reference ``call_handlers``,
+    ``dumper/worker.py:19-23``). Persist once, write N times."""
+    cached = df.persist()
+    try:
+        for sink in sinks:
+            sink(cached)
+    finally:
+        cached.unpersist()

@@ -1,0 +1,77 @@
+"""OP-13..OP-17, OP-20 — transform hook surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lightlane_spark.operators.transform import (
+    drop_falsy,
+    fan_out,
+    flatten_json_array,
+    json_extract,
+    map_rows,
+    quarantine,
+)
+
+
+def test_json_extract_with_malformed(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 7}, "t": "x"}'), (2, "not json"), (3, None)],
+        "id: bigint, payload: string",
+    )
+    out = json_extract(df, "payload", {"b": "$.a.b", "t": "$.t"}).orderBy("id").collect()
+    assert (out[0].b, out[0].t) == ("7", "x")
+    assert out[1].b is None and out[2].b is None  # malformed/null → NULL, no failure
+
+
+def test_flatten_json_array(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '[{"sku": "a", "qty": 2}, {"sku": "b", "qty": 1}]'),
+            (2, "[]"),
+            (3, None),
+            (4, "garbage"),
+        ],
+        "id: bigint, items: string",
+    )
+    schema = "array<struct<sku:string,qty:int>>"
+    out = flatten_json_array(df, "items", schema).collect()
+    assert {(r.id, r.item.sku, r.item.qty) for r in out} == {(1, "a", 2), (1, "b", 1)}
+    outer = flatten_json_array(df, "items", schema, keep_nulls=True)
+    assert outer.count() == 5  # ids 2,3,4 survive with NULL item
+
+
+def test_map_rows_filter_and_expand(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 0)], "id: bigint, n: int")
+
+    def fn(pdf):
+        pdf = pdf[pdf["n"] > 0]
+        return pdf.loc[pdf.index.repeat(pdf["n"])][["id"]]  # flat-map: n copies
+
+    out = map_rows(df, fn, "id bigint").groupBy("id").count().orderBy("id").collect()
+    assert [(r.id, r["count"]) for r in out] == [(1, 2), (2, 3)]
+
+
+def test_drop_falsy(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, ""), (3, None), (4, "0"), (5, "ok")], "id: bigint, v: string"
+    )
+    assert {r.id for r in drop_falsy(df, "v").collect()} == {1, 5}
+
+
+def test_quarantine_splits_all_rows(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 1}'), (2, "oops"), (3, None)], "id: bigint, payload: string"
+    )
+    good, bad = quarantine(df, F.get_json_object("payload", "$.k").isNotNull())
+    assert {r.id for r in good.collect()} == {1}
+    assert {r.id for r in bad.collect()} == {2, 3}
+    assert good.count() + bad.count() == df.count()
+
+
+def test_fan_out(spark, tmp_path):
+    df = spark.createDataFrame([(1,), (2,)], "id: bigint")
+    paths = [str(tmp_path / "a"), str(tmp_path / "b")]
+    fan_out(df, [lambda d, p=p: d.write.mode("overwrite").parquet(p) for p in paths])
+    for p in paths:
+        assert spark.read.parquet(p).count() == 2
