@@ -43,6 +43,7 @@ from lightlane_spark.operators.extract import (  # noqa: E402
     range_partitioned_read,
 )
 from lightlane_spark.sources.parquet import read_table  # noqa: E402
+from lightlane_spark import queries_m5 as m5_queries  # noqa: E402
 
 
 def _dec_sum(col, alias: str, scale: int = 2):
@@ -373,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_rows_tokens": q_map_rows_tokens,
         "drop_falsy": q_drop_falsy,
         "multi_sink_fanout": q_multi_sink_fanout,
+        **m5_queries.QUERIES,
     }
 
 
@@ -510,4 +512,6 @@ _ORACLE: dict[str, str] = {
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    out = dict(_ORACLE)
+    out.update(m5_queries.ORACLE)
+    return out

@@ -1,0 +1,335 @@
+"""Deduplication operators for LLM data pipelines (north-star M5):
+exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Every sketch is built on the portable ``h32`` (functions/hashing.py),
+so each stage has an exact DuckDB-SQL oracle — the signatures, bands,
+candidate pairs, and verified pairs are all deterministic and
+engine-independent.
+
+Scale design (the point of these operators is 100 TB):
+  - Exact dedup: hash-groupBy on a 128-bit fingerprint — one shuffle,
+    map-side partial dedup, no text comparison after the hash.
+  - MinHash+LSH: shingle→signature is a linear scan + one shuffle by
+    doc (signature agg). Banding re-keys signatures to (band,
+    band_sig) buckets; only same-bucket docs pair up, so the
+    all-pairs O(n²) collapses to Σ|bucket|². Hot buckets (boilerplate
+    docs) are the skew risk: ``max_bucket_size`` caps them (dropped
+    buckets logged via count), and AQE skew-join handles the rest.
+    Verification joins candidate pairs back to shingle sets —
+    pairs-only, never all-pairs.
+  - SimHash: 32-bit signature via per-bit majority vote — integer
+    arithmetic only (ties resolve to 0 deterministically). Near-dup
+    candidates via byte-banding (4 bands of 8 bits): Hamming-≤k pairs
+    share ≥1 exact band for k ≤ 3 by pigeonhole.
+  - n-gram Jaccard: exact pairwise Jaccard driven off a shingle
+    self-join — correct but Σcnt² in the worst case; use it to VERIFY
+    candidates from MinHash/SimHash at scale, standalone only on
+    small/blocked domains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lightlane_spark.functions.hashing import h32
+from lightlane_spark.operators.text import fingerprint_md5, tokenize
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative per exact (normalized) text.
+
+    One shuffle on the md5 fingerprint; the winner is min(id) so the
+    result is deterministic. Scale: fingerprint first (128-bit), so
+    the shuffle keys are fixed-width regardless of document size.
+    """
+    fp = fingerprint_md5(F.col(text_col))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def shingle(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-gram shingles per document → (id, sh).
+
+    DuckDB oracle shape: unnest over ``range(len(tokens)-k+1)`` with
+    ``array_to_string(tokens[i:i+k], ' ')``.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),  # empty when n < k → row drops on explode
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return (
+        df.filter(n >= k)
+        .select(F.col(id_col), F.explode(grams).alias("sh"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """(id, seed, minh): MinHash signature rows.
+
+    One explode (×num_hashes) + one groupBy(id, seed) — linear, single
+    shuffle. Row-form (not array-form) keeps the banding step a plain
+    group-by and mirrors the SQL oracle exactly.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    exploded = shingles.select(F.col(id_col), F.col("sh"), seeds)
+    hashed = exploded.withColumn(
+        "h",
+        # seed-prefixed h32, identical to hashing.h32(col, seed) but with
+        # a column seed: ('0x'||substr(md5(seed||':'||sh),1,8))::BIGINT
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
+
+
+def lsh_band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, band_sig): concatenate each band's minhashes in seed
+    order — deterministic band bucket keys."""
+    with_band = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return (
+        with_band.groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                    lambda s: s["minh"].cast("string"),
+                ),
+            ).alias("band_sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    band_keys: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing ≥1 band bucket.
+
+    Self-join per bucket — Σ|bucket|² work. ``max_bucket_size`` drops
+    degenerate buckets (boilerplate text at corpus scale can put 10⁶
+    docs in one bucket = 10¹² pairs); dropped buckets are the
+    recall/robustness tradeoff, and the cap should exceed any real
+    duplicate-cluster size.
+    """
+    if max_bucket_size is not None:
+        sizes = band_keys.groupBy("band", "band_sig").agg(F.count("*").alias("__n"))
+        band_keys = (
+            band_keys.join(
+                sizes.filter(F.col("__n") <= max_bucket_size),
+                on=["band", "band_sig"],
+            )
+            .drop("__n")
+        )
+    a = band_keys.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_a"))
+    b = band_keys.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.7
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only → (id_a, id_b, jaccard).
+
+    Intersection via shingle equi-join restricted to the pairs;
+    |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts. All integer
+    counts; the final division is one deterministic double op.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        pairs.join(sh_a, on="id_a")
+        .join(sh_b, on=["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs, Jaccard-verified.
+
+    b=4, r=4 → LSH s-curve threshold (1/b)^(1/r) ≈ 0.71, matched to
+    the default verify threshold.
+    """
+    sh = shingle(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    keys = lsh_band_keys(sig, id_col, bands, num_hashes // bands)
+    cand = lsh_candidate_pairs(keys, id_col)
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """(id, simhash): per-bit majority vote over distinct-token h32s.
+
+    Pure integer arithmetic (vote sum > 0 → bit set; ties → 0), so the
+    signature is engine-exact. Plan: explode tokens ×bits → two
+    groupBys — linear in corpus size, shuffles keyed by doc id.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"))
+        .withColumn("h", h32(F.col("tok")))
+    )
+    votes = (
+        toks.select(
+            id_col,
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        )
+        .withColumn(
+            # portable bit probe: (h DIV 2^b) % 2 — pow(2,b) exact in
+            # double for b<53, same arithmetic as the DuckDB oracle
+            "vote",
+            F.when(F.expr("(h DIV CAST(pow(2, b) AS BIGINT)) % 2 = 1"), 1).otherwise(-1),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(pow(2, b) AS BIGINT)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming): pairs within ``max_hamming`` bits.
+
+    Byte-banding: a 32-bit signature splits into 4 bytes; two
+    signatures within Hamming distance 3 agree on ≥1 whole byte
+    (pigeonhole), so candidates = pairs sharing any (band, byte).
+    """
+    bands = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "byte", F.expr("(simhash DIV CAST(pow(2, band * 8) AS BIGINT)) % 256")
+    )
+    a = bands.select(F.col("band"), F.col("byte"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = bands.select(F.col("band"), F.col("byte"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    cand = (
+        a.join(b, on=["band", "byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (standalone)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with k-gram Jaccard ≥ threshold, via shingle self-join.
+
+    Work is Σ_sh cnt(sh)² — use only on blocked/small domains or as a
+    verifier; MinHash-LSH is the scale path.
+    """
+    sh = shingle(df, text_col, id_col, k)
+    pairs = (
+        sh.select(F.col(id_col).alias("id_a"), "sh")
+        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    return (
+        pairs.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), on="id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,110 @@
+"""Multimodal columns (north-star M5): image/audio/video as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+pandas stages over ``mapInPandas``.
+
+The Spark-side plumbing — schema contract, batch shape, partitioning —
+is real and tested; the actual media decode is STUBBED because decode
+libraries (PIL/ffmpeg/torchaudio) are not in this container:
+
+  - ``decode_image_meta(..., use_real_decoder=True)`` raises
+    ``NotImplementedError`` at the point a real decoder would be
+    invoked (clearly marked, slot-in ready).
+  - The default path runs a DETERMINISTIC FAKE decoder that derives
+    pseudo-metadata purely from the byte content, so pipelines and
+    tests exercise the full distributed path end-to-end.
+
+Scale notes: binary payloads ride in the same parquet row group as
+their metadata (pointer-to-blob via ``blob_path`` column is the
+variant for >100 MB objects); ``mapInPandas`` streams Arrow batches so
+executor memory is bounded by batch size, not partition size; frame
+sampling/resize are per-row ops — linear, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Metadata contract every decoder must fill.
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, format string, width int, height int, checksum string"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test fixture: derive an opaque binary column from text (the
+    testdata ships no real media; the engine treats bytes as bytes)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic stand-in for a real image decoder: metadata derived
+    from byte content only (so any engine can recompute it)."""
+    n = len(payload)
+    fmt = ["png", "jpeg", "webp"][n % 3]
+    width = 64 + (n % 640)
+    height = 64 + ((n * 7) % 480)
+    return fmt, width, height
+
+
+def decode_image_meta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Extract image metadata from binary payloads via mapInPandas.
+
+    Arrow-batched: the pandas fn sees a batch of (id, payload) and
+    emits one metadata row per input — the exact plumbing a real
+    decoder uses; only the per-row byte interpretation is stubbed.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if use_real_decoder:
+                # STUB: slot a real decoder (PIL.Image.open etc.) here.
+                raise NotImplementedError(
+                    "real image decoding requires PIL/libvips — not in this container"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                fmt, width, height = _fake_decode(payload)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes": len(payload),
+                        "format": fmt,
+                        "width": width,
+                        "height": height,
+                        "checksum": hashlib.md5(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches, schema=IMAGE_META_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 1024,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled offset
+    (stand-in for video frame extraction — same explode shape).
+    JVM-side: no Python needed for the sampling skeleton itself."""
+    n = F.length(F.col(payload_col))
+    offsets = F.sequence(F.lit(0), n - 1, F.lit(every_n_bytes))
+    return df.select(
+        id_col, n.alias("n_bytes"), F.explode(offsets).alias("frame_offset")
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (north-star M5):
+brute-force cosine top-k (baseline) and LSH-bucketed ANN (scale path),
+plus embedding-cosine near-duplicate detection.
+
+Embeddings are ``array<float>`` columns; all vector math runs JVM-side
+via ``F.zip_with`` + ``F.aggregate`` (no Python, no UDF). Dots are
+accumulated in DOUBLE sequentially, so results are deterministic and
+engine-comparable (DuckDB oracle: ``list_dot_product`` /
+``list_cosine_similarity`` over ``embedding::DOUBLE[]``).
+
+Scale design:
+  - Brute force is O(Q·N): fine when the query side is small enough
+    to broadcast (the common "probe set vs corpus" shape) — N stays
+    partitioned, no shuffle of the corpus at all.
+  - ``ann_topk_lsh`` buckets the corpus by random-hyperplane sign
+    bits (h32-derived plane weights → deterministic, oracle-able) and
+    probes only matching buckets: work drops from Q·N to Q·N/2^bits
+    per probe with multi-probe recall control.
+  - Near-dup uses block keys (here: an attribute; generally coarse
+    LSH buckets) so the pair space is Σ|block|², never N².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vec_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (JVM, deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k: broadcast the query set, scan the corpus once.
+
+    Returns (query_id, vec_id, rank, sim). Ties broken by corpus id —
+    deterministic. The corpus is never shuffled; the only wide op is
+    the per-query top-k, a window over Q·N rows partitioned by query
+    (Q small ⇒ each partition is a corpus-sized scan; for huge Q use
+    ``ann_topk_lsh``).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _vec_double(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
+    scored = F.broadcast(q).crossJoin(c).withColumn(
+        "sim", cosine(F.col("__qv"), F.col("__cv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "sim")
+    )
+
+
+def hyperplane_bits(
+    vec: Column, dims: int, num_bits: int = 8, salt: str = "hp"
+) -> Column:
+    """Random-hyperplane LSH bucket id from h32-derived plane weights.
+
+    Plane p's weight for dimension d is ``h32('{salt}:{p}:{d}')``
+    centered to [-0.5, 0.5) — deterministic, so any engine rebuilds
+    the same planes. Bucket = Σ 2^p · [dot(plane_p, v) > 0].
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(num_bits):
+        # per-dimension weights as a literal array (tiny: dims values)
+        from lightlane_spark.functions.hashing import H32_SPACE
+        import hashlib
+
+        weights = []
+        for d in range(dims):
+            hx = hashlib.md5(f"{salt}:{p}:{d}".encode()).hexdigest()[:8]
+            weights.append(int(hx, 16) / H32_SPACE - 0.5)
+        warr = F.array(*[F.lit(w) for w in weights])
+        proj = F.aggregate(
+            F.zip_with(warr, vec, lambda w, x: w * x), F.lit(0.0), lambda a, v: a + v
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    num_bits: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's hyperplane
+    bucket(s). ``multiprobe=1`` also probes every 1-bit-flip neighbor
+    bucket (num_bits+1 probes) — near-boundary vectors land in a
+    neighbor bucket, so multi-probe is what buys recall without
+    shrinking ``num_bits`` (probe count scales the query side only;
+    the corpus is hashed once). Returns (query_id, vec_id, rank, sim)."""
+    c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv")).withColumn(
+        "bucket", hyperplane_bits(F.col("__cv"), dims, num_bits)
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _vec_double(vec_col).alias("__qv")
+    ).withColumn("bucket", hyperplane_bits(F.col("__qv"), dims, num_bits))
+    if multiprobe >= 1:
+        probe_sets = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_bits)],
+        )
+        q = q.withColumn("bucket", F.explode(F.array_distinct(probe_sets)))
+    scored = F.broadcast(q).join(c, on="bucket").withColumn(
+        "sim", cosine(F.col("__qv"), F.col("__cv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "sim")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs within blocks: (id_a, id_b, sim).
+
+    Block-local self-join keeps pair count at Σ|block|²; at corpus
+    scale the block key is a coarse LSH bucket rather than a label.
+    """
+    v = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col),
+        _vec_double(vec_col).alias("__v"),
+    )
+    a = v.select(F.col("__blk"), F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
+    b = v.select(F.col("__blk"), F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+    return (
+        a.join(b, on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

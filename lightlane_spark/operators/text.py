@@ -1,0 +1,130 @@
+"""Text-analysis operators for LLM data pipelines (north-star M5):
+tokenization, token counting, language ID, quality scoring, document
+fingerprinting.
+
+All pure ``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd,
+no Python in the hot path. Each produces per-document columns, so the
+plan is scan → project → (optional shuffle by consumer): linear at
+100 TB with zero driver involvement.
+
+Design notes per operator:
+  - ``tokenize``: whitespace split (the corpus norm); a BPE-ish regex
+    variant is provided for subword-rate estimation.
+  - ``language_id``: stopword-ratio n-gram heuristic over a small
+    built-in lexicon per language — the classic fast-path langid
+    (fasttext-style models slot in behind the same column contract
+    via mapInPandas when available).
+  - ``quality_score``: interpretable linear blend of length,
+    alpha-ratio, stopword-ratio, and mean-word-length signals —
+    the common "Gopher rules"-style heuristic family.
+  - ``fingerprint``: md5 of normalized text (exact-dup key), plus a
+    h32 rolling-window fingerprint usable for containment checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lightlane_spark.functions.hashing import h32
+
+# Tiny built-in stopword lexicons (top function words). Good enough to
+# separate the languages the corpus declares; swap for a real lexicon
+# in production.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "en"],
+}
+
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokenize(text: Column | str, pattern: str = " ") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, pattern)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (portable: size(split(text,' ')))."""
+    return F.size(tokenize(text)).cast("bigint")
+
+
+def subword_count(text: Column | str) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punct singles.
+    Estimates LLM token cost ~×(4/3) better than whitespace count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), 0)).cast("bigint")
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokenize(text)
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.size(toks)
+
+
+def language_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword ratio;
+    'und' (undetermined) when no lexicon fires."""
+    ratios = [(lang, stopword_ratio(text, lang)) for lang in STOPWORDS]
+    best_score = F.greatest(*[r for _, r in ratios])
+    out = F.lit("und")
+    # fold in reverse so earlier languages win exact ties (deterministic)
+    for lang, r in reversed(ratios):
+        out = F.when((r == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text: Column | str) -> Column:
+    """Interpretable [0,1] quality blend (Gopher-rules style):
+    0.25·len_ok + 0.25·alpha_ratio + 0.25·stopword_signal + 0.25·word_len_ok.
+
+    Integer-count based so it is engine-portable and deterministic.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_toks = F.size(tokenize(c))
+    n_alpha = n_chars - F.length(F.regexp_replace(c, r"[A-Za-z ]", ""))
+    len_ok = F.when((n_toks >= 10) & (n_toks <= 100000), 1.0).otherwise(0.0)
+    alpha_ratio = n_alpha / n_chars
+    sw = stopword_ratio(c, "en")
+    sw_ok = F.when(sw > 0.01, 1.0).otherwise(0.0)
+    mean_wlen = n_chars / n_toks
+    wlen_ok = F.when((mean_wlen >= 2) & (mean_wlen <= 12), 1.0).otherwise(0.0)
+    return 0.25 * len_ok + 0.25 * alpha_ratio + 0.25 * sw_ok + 0.25 * wlen_ok
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Exact-duplicate key: md5 of whitespace-normalized lowercase text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def fingerprint_rolling(text: Column | str, window: int = 3) -> Column:
+    """Rolling-hash fingerprint: min h32 over word ``window``-grams — a
+    1-element MinHash, cheap containment/near-dup prefilter."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)),
+    )
+    return F.array_min(F.transform(grams, lambda g: h32(g)))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bundle: attach all text-analysis columns in one projection."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_subwords": subword_count(c),
+            "lang_guess": language_id(c),
+            "quality": quality_score(c),
+            "fp_md5": fingerprint_md5(c),
+            "fp_rolling": fingerprint_rolling(c),
+        }
+    )

@@ -1,0 +1,452 @@
+"""M5 (LLM-data-pipeline) queries + DuckDB oracles for the driver
+correctness gate. Merged into ``__spark_entry__.queries()``.
+
+Every sketch here is built on the portable md5-based ``h32``
+(functions/hashing.py), so even MinHash-LSH banding and SimHash have
+EXACT SQL oracles — both engines compute identical signatures,
+buckets, and verified pairs.
+
+Float policy (same as the main entry): integer-derived values compared
+exactly; the only cross-engine-risky floats (cosine similarities) are
+rounded to 6dp, far coarser than the ≤1e-15 engine divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lightlane_spark.operators.fuzzy_dedup import (
+    dedup_exact,
+    dedup_minhash,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from lightlane_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_meta,
+    sample_frames,
+)
+from lightlane_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_neardup_pairs,
+    topk_bruteforce,
+)
+from lightlane_spark.operators.text import (
+    fingerprint_md5,
+    language_id,
+    quality_score,
+    subword_count,
+    token_count,
+)
+from lightlane_spark.sources.parquet import read_table
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup fixture: every 5th doc duplicated verbatim
+    under id+1e6; every 7th re-added under id+2e6 with its first word
+    dropped (a near-duplicate)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# The same fixture as a DuckDB CTE (string_split/array ops mirror the
+# Spark expressions exactly).
+_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, substring(text, instr(text, ' ') + 1)
+    FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+# Shared shingle/signature CTE chain over `corpus` (3-gram shingles,
+# 16 seeded h32 minhashes, 4 bands × 4 rows).
+_MINHASH_CTES = (
+    _CORPUS_CTE
+    + """,
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
+    WHERE len(t) >= 3
+),
+sig AS (
+    SELECT doc_id, seed,
+           min(('0x' || substr(md5(seed || ':' || sh), 1, 8))::BIGINT) AS minh
+    FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
+    GROUP BY doc_id, seed
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        subword_count("text").alias("n_subwords"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_guess"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fp_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_docs_with_dups(spark, sf_dir)).select("doc_id")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_signatures(shingle(docs))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    verified = dedup_minhash(_docs_with_dups(spark, sf_dir), threshold=0.7)
+    return verified.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(_docs_with_dups(spark, sf_dir))
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = simhash_signatures(_docs_with_dups(spark, sf_dir))
+    return simhash_near_pairs(sigs, max_hamming=3)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir).filter(
+        "doc_id % 7 = 0 OR doc_id >= 2000000"
+    )
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = topk_bruteforce(emb, emb.filter("vec_id < 10"), k=5)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round(F.col("sim"), 6).alias("sim")
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant — no SQL oracle (bucket recall is the tested
+    contract, tests/test_similarity_multimodal.py); driver records the
+    rows-only check."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ann_topk_lsh(emb, emb.filter("vec_id < 10"), dims=64, k=5, num_bits=4)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    dups = emb.filter("vec_id < 5").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    out = cosine_neardup_pairs(
+        emb.unionByName(dups), block_col="label", threshold=0.999
+    )
+    return out.select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_image_meta(attach_binary_payload(docs))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return sample_frames(docs, every_n_bytes=64)
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_signatures": q_simhash_signatures,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_decode": q_multimodal_decode,
+    "frame_sample": q_frame_sample,
+}
+
+_SW = "('the','a','of','and','to','in','is','it')"
+_SW_DE = "('der','die','das','und','ist','ein','zu','von')"
+_SW_ES = "('el','la','de','que','y','en','un','es')"
+_SW_FR = "('le','la','de','et','un','est','que','en')"
+
+ORACLE = {
+    "text_stats": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords,
+               CAST(length(text) AS BIGINT) AS n_chars_calc
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS DOUBLE) AS n_alpha,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN {_SW})) AS DOUBLE) AS n_sw
+            FROM documents
+        )
+        SELECT doc_id,
+               0.25 * (CASE WHEN n_toks >= 10 AND n_toks <= 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (n_alpha / n_chars)
+             + 0.25 * (CASE WHEN (n_sw / n_toks) > 0.01 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (CASE WHEN (n_chars / n_toks) >= 2 AND (n_chars / n_toks) <= 12 THEN 1.0 ELSE 0.0 END)
+               AS quality
+        FROM m
+    """,
+    "text_langid": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text,' ')) AS DOUBLE) AS n,
+                   len(list_filter(string_split(text,' '), x -> x IN {_SW})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_en,
+                   len(list_filter(string_split(text,' '), x -> x IN {_SW_DE})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_de,
+                   len(list_filter(string_split(text,' '), x -> x IN {_SW_ES})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_es,
+                   len(list_filter(string_split(text,' '), x -> x IN {_SW_FR})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_fr
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(r_en,r_de,r_es,r_fr) = 0 THEN 'und'
+                    WHEN r_en = greatest(r_en,r_de,r_es,r_fr) THEN 'en'
+                    WHEN r_de = greatest(r_en,r_de,r_es,r_fr) THEN 'de'
+                    WHEN r_es = greatest(r_en,r_de,r_es,r_fr) THEN 'es'
+                    WHEN r_fr = greatest(r_en,r_de,r_es,r_fr) THEN 'fr'
+                    ELSE 'und' END AS lang_guess
+        FROM m
+    """,
+    "text_fingerprint": """
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
+        FROM documents
+    """,
+    "dedup_exact": f"""
+        WITH {_CORPUS_CTE},
+        keyed AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM corpus
+        )
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) rn
+            FROM keyed
+        ) WHERE rn = 1
+    """,
+    "minhash_signatures": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
+            WHERE len(t) >= 3
+        )
+        SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+               min(('0x' || substr(md5(seed || ':' || sh), 1, 8))::BIGINT) AS minh
+        FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
+        GROUP BY doc_id, seed
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH {_MINHASH_CTES},
+        bands AS (
+            SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+                   string_agg(minh, ',' ORDER BY seed) AS band_sig
+            FROM sig GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.7
+    """,
+    "simhash_signatures": f"""
+        WITH {_CORPUS_CTE},
+        toks AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+        ),
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+        ),
+        votes AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed, LATERAL (SELECT unnest(range(0, 32)) AS b) bits
+            GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "simhash_near_pairs": f"""
+        WITH {_CORPUS_CTE},
+        toks AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+        ),
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+        ),
+        votes AS (
+            SELECT doc_id, b,
+                   sum(CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed, LATERAL (SELECT unnest(range(0, 32)) AS b) bits
+            GROUP BY doc_id, b
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, simhash, band,
+                   (simhash // CAST(pow(2, band * 8) AS BIGINT)) % 256 AS byte
+            FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS band) bd
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    "ngram_jaccard": f"""
+        WITH {_CORPUS_CTE},
+        sub AS (SELECT * FROM corpus WHERE doc_id % 7 = 0 OR doc_id >= 2000000),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sub),
+        sh AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
+            WHERE len(t) >= 3
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+        SELECT p.id_a, p.id_b,
+               round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+        FROM pairs p
+        JOIN sizes za ON za.doc_id = p.id_a
+        JOIN sizes zb ON zb.doc_id = p.id_b
+        WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+    """,
+    "ann_topk_bruteforce": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+            FROM e q, e c WHERE q.vec_id < 10
+        )
+        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, round(sim, 6) AS sim
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+            FROM s
+        ) WHERE rank <= 5
+    """,
+    "embedding_neardup": """
+        WITH base AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000, embedding, label FROM embeddings WHERE vec_id < 5
+        ),
+        e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM base)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+    """,
+    "multimodal_decode": """
+        WITH m AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents)
+        SELECT doc_id, n AS n_bytes,
+               CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+               CAST(64 + (n % 640) AS INTEGER) AS width,
+               CAST(64 + ((n * 7) % 480) AS INTEGER) AS height,
+               md5(text) AS checksum
+        FROM m
+    """,
+    "frame_sample": """
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(unnest(range(0, length(text), 64)) AS INTEGER) AS frame_offset
+        FROM documents
+    """,
+}

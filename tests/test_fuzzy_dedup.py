@@ -1,0 +1,110 @@
+"""M5 dedup: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lightlane_spark.operators.fuzzy_dedup import (
+    dedup_exact,
+    dedup_minhash,
+    lsh_band_keys,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from lightlane_spark.sources.parquet import read_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    """Documents plus deterministic near-duplicates: every 5th doc
+    reappears with a new id — identical text (exact+near dup), and
+    every 7th with its first word dropped (near dup only)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near_dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.unionByName(exact_dups).unionByName(near_dups)
+
+
+def test_dedup_exact(spark, corpus):
+    base = corpus.filter("doc_id < 1000000").count()
+    exact_dup_count = corpus.filter("doc_id >= 1000000 AND doc_id < 2000000").count()
+    out = dedup_exact(corpus)
+    # every exact dup collapses onto its original (min doc_id wins)
+    assert out.count() == corpus.count() - exact_dup_count
+    assert out.filter("doc_id >= 1000000 AND doc_id < 2000000").count() == 0
+    assert out.filter("doc_id < 1000000").count() == base
+
+
+def test_shingles_drop_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")], "doc_id: bigint, text: string"
+    )
+    out = shingle(df, k=3)
+    assert {r.doc_id for r in out.collect()} == {2}
+    assert {r.sh for r in out.collect()} == {"a b c", "b c d"}
+
+
+def test_minhash_lsh_finds_exact_dups(spark, corpus):
+    """Identical text ⇒ identical signature ⇒ shared buckets ⇒
+    candidate pair ⇒ jaccard = 1.0."""
+    verified = dedup_minhash(corpus, threshold=0.7)
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    exact_ids = [
+        r.doc_id
+        for r in corpus.filter("doc_id >= 1000000 AND doc_id < 2000000").collect()
+    ]
+    for dup_id in exact_ids:
+        orig = dup_id - 1_000_000
+        assert (orig, dup_id) in pairs, f"missing exact-dup pair {orig}/{dup_id}"
+        assert pairs[(orig, dup_id)] == 1.0
+
+
+def test_minhash_signature_determinism(spark, corpus):
+    sig1 = minhash_signatures(shingle(corpus.limit(30)))
+    sig2 = minhash_signatures(shingle(corpus.limit(30)))
+    assert sorted(map(tuple, sig1.collect())) == sorted(map(tuple, sig2.collect()))
+
+
+def test_lsh_bucket_cap(spark):
+    """A degenerate bucket (all docs identical) is dropped by the cap."""
+    df = spark.createDataFrame(
+        [(i, "same same same same") for i in range(20)], "doc_id: bigint, text: string"
+    )
+    keys = lsh_band_keys(minhash_signatures(shingle(df)))
+    assert lsh_candidate_pairs(keys, max_bucket_size=10).count() == 0
+    assert lsh_candidate_pairs(keys, max_bucket_size=None).count() == 20 * 19 // 2
+
+
+def test_simhash_exact_dups_and_portability(spark, corpus):
+    sigs = simhash_signatures(corpus)
+    by_id = {r.doc_id: r.simhash for r in sigs.collect()}
+    for dup_id in [i for i in by_id if 1_000_000 <= i < 2_000_000]:
+        assert by_id[dup_id] == by_id[dup_id - 1_000_000]
+    assert all(0 <= v < (1 << 32) for v in by_id.values())
+    pairs = simhash_near_pairs(sigs, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for dup_id in [i for i in by_id if 1_000_000 <= i < 2_000_000]:
+        assert (dup_id - 1_000_000, dup_id) in got
+
+
+def test_ngram_jaccard_near_dups(spark, corpus):
+    small = corpus.filter("doc_id % 7 = 0 OR doc_id >= 2000000")
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(small, threshold=0.5).collect()}
+    near_ids = [
+        r.doc_id for r in corpus.filter("doc_id >= 2000000").collect()
+    ]
+    found = sum(1 for d in near_ids if (d - 2_000_000, d) in pairs)
+    # dropping one word from an m-token doc keeps jaccard ≈ (m-3)/m ≥ 0.5
+    # for all but the shortest docs
+    assert found >= len(near_ids) * 0.8

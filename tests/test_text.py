@@ -1,0 +1,91 @@
+"""M5 text analysis + portable hashing."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from lightlane_spark.functions.hashing import h32
+from lightlane_spark.operators.text import (
+    analyze_documents,
+    fingerprint_md5,
+    language_id,
+    quality_score,
+    subword_count,
+    token_count,
+)
+from lightlane_spark.sources.parquet import read_table, table_path
+
+
+def test_h32_matches_duckdb(spark):
+    vals = ["abc", "", "the fast key", "ünïcode"]
+    df = spark.createDataFrame([(v,) for v in vals], "s: string").withColumn(
+        "h", h32("s")
+    ).withColumn("h7", h32("s", seed=7))
+    got = {(r.s): (r.h, r.h7) for r in df.collect()}
+    for v in vals:
+        d = duckdb.sql(
+            "SELECT ('0x'||substr(md5(?),1,8))::BIGINT, "
+            "('0x'||substr(md5('7:' || ?),1,8))::BIGINT",
+            params=[v, v],
+        ).fetchone()
+        assert got[v] == d, v
+
+
+def test_token_count_and_subwords(spark):
+    df = spark.createDataFrame([("a bb ccc", "don't stop-me now!")], "t1: string, t2: string")
+    r = df.select(
+        token_count("t1").alias("n1"), subword_count("t2").alias("n2")
+    ).first()
+    assert r.n1 == 3
+    # don ' t stop - me now ! → 8
+    assert r.n2 == 8
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is fine",),
+            ("der hund ist ein tier und das ist gut",),
+            ("el perro es un animal y la casa es grande",),
+            ("zzz qqq xxx",),
+        ],
+        "text: string",
+    )
+    out = [r.l for r in df.select(language_id("text").alias("l")).collect()]
+    assert out[0] == "en" and out[1] == "de" and out[2] == "es" and out[3] == "und"
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.select(quality_score("text").alias("q")).agg(
+        F.min("q"), F.max("q")
+    ).first()
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_fingerprint_md5_normalizes(spark):
+    df = spark.createDataFrame(
+        [("  Hello   World ",), ("hello world",)], "text: string"
+    )
+    fps = [r.fp for r in df.select(fingerprint_md5("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_analyze_documents_bundle(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    out = analyze_documents(docs)
+    assert {"n_tokens", "n_subwords", "lang_guess", "quality", "fp_md5", "fp_rolling"} <= set(
+        out.columns
+    )
+    assert out.count() == 50
+    # n_tokens must agree with duckdb's split length on the same rows
+    exp = dict(
+        duckdb.sql(
+            f"SELECT doc_id, len(string_split(text,' ')) FROM '{table_path(sf_dir, 'documents')}' "
+            "ORDER BY doc_id LIMIT 50"
+        ).fetchall()
+    )
+    got = {r.doc_id: r.n_tokens for r in out.select("doc_id", "n_tokens").collect()}
+    assert got == exp
