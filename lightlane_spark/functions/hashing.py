@@ -36,9 +36,32 @@ def h32(col: Column | str, seed: int | None = None) -> Column:
 
 def h32_seeded_all(col: Column | str, num_seeds: int) -> Column:
     """Array of ``num_seeds`` independent h32 values for one string —
-    one expression, no per-seed re-explode."""
+    one expression, no per-seed re-explode. Costs ``num_seeds`` md5
+    evaluations; prefer ``hash_family`` for MinHash-sized families."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array(*[h32(c, seed=i) for i in range(num_seeds)])
+
+
+def hash_family(col: Column | str, k: int) -> Column:
+    """``k`` 32-bit hashes from ONE md5: double hashing
+    ``h_i = (m1 + i·m2) mod 2^32`` with m1/m2 the md5's first two
+    32-bit words — the standard Carter-Wegman family used for MinHash
+    (k× cheaper than k independent md5s; independence is sufficient
+    for min-sketch estimates).
+
+    DuckDB equivalent::
+
+        m1 = ('0x' || substr(md5(s), 1, 8))::BIGINT
+        m2 = ('0x' || substr(md5(s), 9, 8))::BIGINT
+        h_i = (m1 + i * m2) % 4294967296
+
+    All intermediates < 2^61, no BIGINT overflow in either engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    d = F.md5(c)
+    m1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    m2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    return F.array(*[((m1 + F.lit(i) * m2) % F.lit(H32_SPACE)) for i in range(k)])
 
 
 def bit_of(col: Column, bit: int) -> Column:

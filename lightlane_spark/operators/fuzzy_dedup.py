@@ -90,43 +90,84 @@ def shingle(
 # ---------------------------------------------------------------------------
 
 
+def minhash_signature_arrays(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig: array<long>): MinHash signatures in array form.
+
+    The scale-shaped plan: ONE md5 per shingle expanded to
+    ``num_hashes`` values by double hashing (functions/hashing.py
+    ``hash_family``), no ×num_hashes row explosion, and the signature
+    is ``num_hashes`` parallel MIN aggregates in a single groupBy(id)
+    — exactly one shuffle of the shingle rows, aggregate state is
+    num_hashes longs per doc.
+    """
+    from lightlane_spark.functions.hashing import hash_family
+
+    hashed = shingles.select(
+        F.col(id_col), hash_family(F.col("sh"), num_hashes).alias("__h")
+    )
+    mins = [
+        F.min(F.element_at(F.col("__h"), i + 1)).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
 ) -> DataFrame:
-    """(id, seed, minh): MinHash signature rows.
-
-    One explode (×num_hashes) + one groupBy(id, seed) — linear, single
-    shuffle. Row-form (not array-form) keeps the banding step a plain
-    group-by and mirrors the SQL oracle exactly.
-    """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    exploded = shingles.select(F.col(id_col), F.col("sh"), seeds)
-    hashed = exploded.withColumn(
-        "h",
-        # seed-prefixed h32, identical to hashing.h32(col, seed) but with
-        # a column seed: ('0x'||substr(md5(seed||':'||sh),1,8))::BIGINT
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
+    """(id, seed, minh): row-form MinHash signatures (the SQL-oracle
+    shape) — posexplode of the array form, same values."""
+    arr = minhash_signature_arrays(shingles, id_col, num_hashes)
+    return arr.select(
+        F.col(id_col), F.posexplode(F.col("sig")).alias("seed", "minh")
     )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minh"))
 
 
 def lsh_band_keys(
-    signatures: DataFrame,
+    signatures_or_arrays: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """(id, band, band_sig): concatenate each band's minhashes in seed
-    order — deterministic band bucket keys."""
-    with_band = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    """(id, band, band_sig): per-band concatenation of the signature in
+    seed order — deterministic bucket keys.
+
+    Accepts the array form (``sig`` column) and derives bands with NO
+    shuffle (pure projection + explode); falls back to grouping the
+    row form when given (id, seed, minh).
+    """
+    df = signatures_or_arrays
+    if "sig" in df.columns:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("band_sig"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col), F.explode(band_structs).alias("__b")
+        ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_sig").alias("band_sig"))
+    with_band = df.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
     return (
         with_band.groupBy(id_col, "band")
         .agg(
@@ -148,27 +189,34 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing ≥1 band bucket.
 
-    Self-join per bucket — Σ|bucket|² work. ``max_bucket_size`` drops
-    degenerate buckets (boilerplate text at corpus scale can put 10⁶
-    docs in one bucket = 10¹² pairs); dropped buckets are the
-    recall/robustness tradeoff, and the cap should exceed any real
-    duplicate-cluster size.
+    Σ|bucket|² work, generated bucket-locally: one groupBy collects
+    each bucket's (sorted) member ids, pairs expand in-array — no
+    self-join, no second shuffle before the final distinct.
+    ``max_bucket_size`` drops degenerate buckets (boilerplate text at
+    corpus scale can put 10⁶ docs in one bucket = 10¹² pairs); dropped
+    buckets are the recall/robustness tradeoff, and the cap should
+    exceed any real duplicate-cluster size.
     """
+    buckets = band_keys.groupBy("band", "band_sig").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    buckets = buckets.filter(F.size("ids") >= 2)
     if max_bucket_size is not None:
-        sizes = band_keys.groupBy("band", "band_sig").agg(F.count("*").alias("__n"))
-        band_keys = (
-            band_keys.join(
-                sizes.filter(F.col("__n") <= max_bucket_size),
-                on=["band", "band_sig"],
-            )
-            .drop("__n")
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # all (i < j) pairs, bucket-locally: ids is ascending, so pairing
+    # each element with its suffix preserves id_a < id_b
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-    a = band_keys.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_a"))
-    b = band_keys.select(F.col("band"), F.col("band_sig"), F.col(id_col).alias("id_b"))
+    )
     return (
-        a.join(b, on=["band", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -216,9 +264,16 @@ def dedup_minhash(
 
     b=4, r=4 → LSH s-curve threshold (1/b)^(1/r) ≈ 0.71, matched to
     the default verify threshold.
+
+    The shingle set feeds both the signature path and the Jaccard
+    verifier — persisted so the tokenize+distinct shuffle runs once.
     """
-    sh = shingle(df, text_col, id_col, k)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    # persisted, NOT unpersisted here: the returned plan is lazy, so an
+    # eager unpersist would empty the cache before the caller's action
+    # runs. Spark drops the blocks via LRU / ContextCleaner once the
+    # plan is garbage-collected.
+    sh = shingle(df, text_col, id_col, k).persist()
+    sig = minhash_signature_arrays(sh, id_col, num_hashes)
     keys = lsh_band_keys(sig, id_col, bands, num_hashes // bands)
     cand = lsh_candidate_pairs(keys, id_col)
     return jaccard_verify(cand, sh, id_col, threshold)

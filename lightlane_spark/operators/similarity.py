@@ -62,12 +62,16 @@ def topk_bruteforce(
     (Q small ⇒ each partition is a corpus-sized scan; for huge Q use
     ``ann_topk_lsh``).
     """
+    # norms computed once per vector — inside the pair loop they would
+    # triple the flop count (Q·N pairs × 3 vector passes)
     q = queries.select(
         F.col(id_col).alias(query_id_col), _vec_double(vec_col).alias("__qv")
+    ).withColumn("__qn", norm(F.col("__qv")))
+    c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv")).withColumn(
+        "__cn", norm(F.col("__cv"))
     )
-    c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
     scored = F.broadcast(q).crossJoin(c).withColumn(
-        "sim", cosine(F.col("__qv"), F.col("__cv"))
+        "sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col)
@@ -135,8 +139,10 @@ def ann_topk_lsh(
             *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_bits)],
         )
         q = q.withColumn("bucket", F.explode(F.array_distinct(probe_sets)))
+    q = q.withColumn("__qn", norm(F.col("__qv")))
+    c = c.withColumn("__cn", norm(F.col("__cv")))
     scored = F.broadcast(q).join(c, on="bucket").withColumn(
-        "sim", cosine(F.col("__qv"), F.col("__cv"))
+        "sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -162,13 +168,13 @@ def cosine_neardup_pairs(
         F.col(block_col).alias("__blk"),
         F.col(id_col),
         _vec_double(vec_col).alias("__v"),
-    )
-    a = v.select(F.col("__blk"), F.col(id_col).alias("id_a"), F.col("__v").alias("va"))
-    b = v.select(F.col("__blk"), F.col(id_col).alias("id_b"), F.col("__v").alias("vb"))
+    ).withColumn("__n", norm(F.col("__v")))
+    a = v.select(F.col("__blk"), F.col(id_col).alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    b = v.select(F.col("__blk"), F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
     return (
         a.join(b, on="__blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -84,10 +84,15 @@ sh AS (
     FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
     WHERE len(t) >= 3
 ),
+shh AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(sh), 1, 8))::BIGINT AS m1,
+           ('0x' || substr(md5(sh), 9, 8))::BIGINT AS m2
+    FROM sh
+),
 sig AS (
-    SELECT doc_id, seed,
-           min(('0x' || substr(md5(seed || ':' || sh), 1, 8))::BIGINT) AS minh
-    FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
+    SELECT doc_id, seed, min((m1 + seed * m2) % 4294967296) AS minh
+    FROM shh, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
     GROUP BY doc_id, seed
 )
 """
@@ -210,7 +215,47 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs, every_n_bytes=64)
 
 
+# ---------------------------------------------------------------------------
+# Streaming (extension — reference has none; SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts computed THROUGH the streaming
+    engine (file source → watermark → window agg → availableNow), then
+    returned as the materialized result. Matches the batch SQL oracle
+    exactly — streaming and batch agree on completed windows."""
+    import tempfile
+    import uuid
+
+    from lightlane_spark.streaming.incremental import (
+        run_to_completion,
+        stream_from_directory,
+        windowed_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="llspark_stream_")
+    land = f"{base}/landing"
+    ev = read_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(land)
+    stream = stream_from_directory(spark, land, ev.schema)
+    agg = windowed_counts(
+        stream, ts_col="ts", window="1 day", watermark="2 days", group_cols=["event_type"]
+    )
+    name = "llsq_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    return spark.table(name).select("window_start", "event_type", "n")
+
+
 QUERIES = {
+    "streaming_window_counts": q_streaming_window_counts,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -234,6 +279,11 @@ _SW_ES = "('el','la','de','que','y','en','un','es')"
 _SW_FR = "('le','la','de','et','un','est','que','en')"
 
 ORACLE = {
+    "streaming_window_counts": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
     "text_stats": """
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -299,10 +349,16 @@ ORACLE = {
             SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
             FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
             WHERE len(t) >= 3
+        ),
+        shh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(sh), 1, 8))::BIGINT AS m1,
+                   ('0x' || substr(md5(sh), 9, 8))::BIGINT AS m2
+            FROM sh
         )
         SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-               min(('0x' || substr(md5(seed || ':' || sh), 1, 8))::BIGINT) AS minh
-        FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
+               min((m1 + seed * m2) % 4294967296) AS minh
+        FROM shh, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
         GROUP BY doc_id, seed
     """,
     "minhash_lsh_pairs": f"""

@@ -22,6 +22,12 @@ _DEFAULT_CONF = {
     # static stats are stale or missing.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Actually coalesce small shuffles (default parallelismFirst=true
+    # keeps 1 task per core even for KB-sized partitions — pure
+    # scheduling overhead on short stages; at cluster scale the
+    # min-size floor below keeps partitions right-sized instead).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1MB",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow batches for every pandas_udf / mapInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -1,0 +1,106 @@
+"""Streaming / incremental pipelines — an EXTENSION beyond reference
+parity (the reference has no streaming at all, SURVEY §2.5; its only
+incremental mechanism is batch MERGE mode, OP-27).
+
+Three composable pieces:
+  - ``stream_from_directory``: file-source stream (new files = new
+    data), the natural continuous form of the reference's
+    dump-then-load loop.
+  - ``windowed_counts``: event-time tumbling windows with a watermark
+    bounding state for late data.
+  - ``streaming_merge``: ``foreachBatch`` → the SAME ``Loader`` MERGE
+    used in batch, turning the reference's periodic full reloads into
+    continuous upserts. Each micro-batch is deduped on the PKs before
+    merging (within-batch duplicates would make the upsert ambiguous).
+
+Tests drive these with ``trigger(availableNow=True)`` so they run to
+completion on static testdata — the identical code ships as a
+long-running query against a landing directory at scale. State
+(watermarks, offsets) lives in the checkpoint dir; size executor
+state via watermark delay × event rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql import functions as F
+
+from lightlane_spark.loaders.loader import Loader
+from lightlane_spark.operators.dedup import dedup_keep_first
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream: picks up new files dropped into ``path``.
+    ``max_files_per_trigger`` bounds micro-batch size (backpressure)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data watermark.
+
+    The watermark lets Spark drop window state once events older than
+    ``watermark`` can no longer arrive — bounded memory forever."""
+    grouped = df.withWatermark(ts_col, watermark).groupBy(
+        F.window(F.col(ts_col), window).alias("win"),
+        *[F.col(c) for c in (group_cols or [])],
+    )
+    return grouped.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *[F.col(c) for c in (group_cols or [])],
+        "n",
+    )
+
+
+def streaming_merge(
+    stream_df: DataFrame,
+    table_path: str,
+    primary_keys: list[str],
+    checkpoint_dir: str,
+    orderby: list[str] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Continuous upsert: every micro-batch MERGEs into the target via
+    the batch Loader (anti-join + union + atomic swap, OP-27).
+
+    ``orderby`` picks the winner among same-PK rows WITHIN a batch
+    (defaults to the PKs — deterministic either way via dedup's
+    tie-break). Returns the started StreamingQuery.
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        deduped = dedup_keep_first(batch_df, primary_keys, orderby)
+        Loader(spark, table_path, "merge", primary_keys=primary_keys).execute(deduped)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_to_completion(query, timeout_sec: int = 120) -> None:
+    """Await an availableNow query; raises on streaming failure."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(f"streaming query did not finish in {timeout_sec}s")

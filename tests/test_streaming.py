@@ -1,0 +1,78 @@
+"""Streaming extension: file-source windows + foreachBatch MERGE."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lightlane_spark.sources.parquet import read_table
+from lightlane_spark.streaming.incremental import (
+    run_to_completion,
+    stream_from_directory,
+    streaming_merge,
+    windowed_counts,
+)
+
+
+def _stage_event_files(spark, sf_dir, out_dir, parts=3):
+    """Split events into N parquet files to simulate arriving batches."""
+    ev = read_table(spark, sf_dir, "events")
+    ev.withColumn("__p", F.col("event_id") % parts).repartition("__p").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return ev.schema, ev
+
+
+def test_windowed_counts_matches_batch(spark, sf_dir, tmp_path):
+    land = str(tmp_path / "landing")
+    schema, ev = _stage_event_files(spark, sf_dir, land)
+    stream = stream_from_directory(spark, land, schema)
+    assert stream.isStreaming
+    agg = windowed_counts(stream, ts_col="ts", window="1 day", watermark="2 days",
+                          group_cols=["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.table("win_counts").collect()
+    }
+    exp = {
+        (r.ws, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_streaming_merge_upserts(spark, tmp_path):
+    target = str(tmp_path / "target")
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+    base = spark.createDataFrame(
+        [(1, "old", 1), (2, "old", 1)], "pk: bigint, val: string, ver: int"
+    )
+    base.write.parquet(target)
+    # one batch containing an update, an insert, and a within-batch dup
+    batch = spark.createDataFrame(
+        [(2, "new", 2), (3, "ins", 2), (3, "dup-late", 3)],
+        "pk: bigint, val: string, ver: int",
+    )
+    batch.write.mode("append").parquet(land)
+    stream = stream_from_directory(spark, land, "pk bigint, val string, ver int")
+    q = streaming_merge(
+        stream, target, ["pk"], ckpt, orderby=[F.col("ver").desc()]
+    )
+    run_to_completion(q)
+    rows = {r.pk: (r.val, r.ver) for r in spark.read.parquet(target).collect()}
+    assert rows == {1: ("old", 1), 2: ("new", 2), 3: ("dup-late", 3)}
