@@ -44,6 +44,7 @@ from lightlane_spark.operators.extract import (  # noqa: E402
 )
 from lightlane_spark.sources.parquet import read_table  # noqa: E402
 from lightlane_spark import queries_m5 as m5_queries  # noqa: E402
+from lightlane_spark import queries_relational as rel_queries  # noqa: E402
 
 
 def _dec_sum(col, alias: str, scale: int = 2):
@@ -375,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_falsy": q_drop_falsy,
         "multi_sink_fanout": q_multi_sink_fanout,
         **m5_queries.QUERIES,
+        **rel_queries.QUERIES,
     }
 
 
@@ -514,4 +516,5 @@ _ORACLE: dict[str, str] = {
 def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLE)
     out.update(m5_queries.ORACLE)
+    out.update(rel_queries.ORACLE)
     return out

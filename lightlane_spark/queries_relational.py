@@ -1,0 +1,286 @@
+"""Extended relational surface — beyond the reference's narrow SQL
+footprint (anti-join, min/max, row_number, union-all only; SURVEY
+§2.5), a complete engine needs the full relational toolkit. Each
+query here is oracle-checked and plan-reviewed (broadcast where a side
+is dimension-sized, partial aggregation before every shuffle).
+
+Float policy: SUMs go through exact DECIMAL at expression scale
+(see ``__spark_entry__._dec_sum``); AVG = decimal-sum ÷ count in
+double (deterministic in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from lightlane_spark.sources.parquet import read_table
+
+
+def _dec_sum(col, alias: str, scale: int = 2):
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double").alias(alias)
+
+
+def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region with dim-side broadcasts: revenue by
+    region name (TPC-H-Q5 flavor, no date filter)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    o = read_table(spark, sf_dir, "orders")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("region_name")
+    )
+
+
+def q_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having at least one high-value order."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two disjoint-ish order slices, with NULL-side
+    coalescing — the shape reconciliation pipelines use."""
+    o = read_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_a")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price_b")
+    )
+    return a.join(b, on="o_orderkey", how="full_outer").select(
+        "o_orderkey",
+        F.coalesce("price_a", F.lit(-1.0)).alias("price_a"),
+        F.coalesce("price_b", F.lit(-1.0)).alias("price_b"),
+    )
+
+
+def q_groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): subtotals + grand total — the
+    grouping-sets family."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions beyond row_number: rank within customer by
+    price, lag of previous order date (gap analysis)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wt = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.lag("o_orderdate", 1).over(wt).alias("prev_orderdate"),
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer in order-date order (frame spec:
+    unbounded preceding → current row); decimal accumulation so the
+    running values are engine-exact."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the general top-k the reference's
+    ORDER-BY-LIMIT-1 probe (OP-11) is a special case of."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + conditional aggregation in one pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+
+
+def q_case_expr_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar CASE bucketing + group-agg (histogram shape)."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.groupBy(bucket.alias("price_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("price_bucket")
+    )
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-EXISTS shape via spark.sql (parser + semi-join plan)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM v_orders o
+        WHERE EXISTS (
+            SELECT 1 FROM v_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+        """
+    )
+
+
+def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round-trip (sibling of the CSV/Hive-text
+    sinks, OP-18/19 family)."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_json_"), "orders_json")
+    df = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    df.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(path)
+
+
+QUERIES = {
+    "join_3way": q_join_3way,
+    "join_left_semi": q_join_left_semi,
+    "join_full_outer": q_join_full_outer,
+    "groupby_rollup": q_groupby_rollup,
+    "window_rank_lag": q_window_rank_lag,
+    "window_running_sum": q_window_running_sum,
+    "topk_per_group": q_topk_per_group,
+    "distinct_agg": q_distinct_agg,
+    "case_expr_bucketing": q_case_expr_bucketing,
+    "exists_subquery": q_exists_subquery,
+    "json_sink_roundtrip": q_json_sink_roundtrip,
+}
+
+ORACLE = {
+    "join_3way": """
+        SELECT r_name AS region_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """,
+    "join_left_semi": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    """,
+    "join_full_outer": """
+        WITH a AS (SELECT o_orderkey, o_totalprice AS price_a FROM orders WHERE o_orderkey % 2 = 0),
+             b AS (SELECT o_orderkey, o_totalprice AS price_b FROM orders WHERE o_orderkey % 3 = 0)
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(price_a, -1.0) AS price_a,
+               COALESCE(price_b, -1.0) AS price_b
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+    "groupby_rollup": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "window_rank_lag": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+               LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderdate
+        FROM orders
+    """,
+    "window_running_sum": """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total
+        FROM orders
+    """,
+    "topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+    "distinct_agg": """
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+        FROM lineitem
+    """,
+    "case_expr_bucketing": """
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'high' END AS price_bucket,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "exists_subquery": """
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+    """,
+    "json_sink_roundtrip": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+}

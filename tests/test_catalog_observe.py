@@ -1,0 +1,62 @@
+"""OP-10/28/29/32 catalog utilities + OP-37 observability."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lightlane_spark.catalog import (
+    analyze_table,
+    create_table_if_missing,
+    row_count_stat,
+    schema_only,
+    table_exists,
+)
+from lightlane_spark.observe import PipelineMetrics, timed
+from lightlane_spark.sources.parquet import read_table
+
+
+def test_table_exists_and_create_if_missing(spark):
+    spark.sql("DROP TABLE IF EXISTS t_cat_demo")
+    assert not table_exists(spark, "t_cat_demo")
+    created = create_table_if_missing(
+        spark, "t_cat_demo", "CREATE TABLE t_cat_demo (id BIGINT, v STRING) USING PARQUET"
+    )
+    assert created and table_exists(spark, "t_cat_demo")
+    # second call: present → no-op
+    assert create_table_if_missing(spark, "t_cat_demo", "SELECT broken") is False
+    with pytest.raises(ValueError):
+        create_table_if_missing(spark, "t_missing_no_ddl")
+    spark.sql("DROP TABLE t_cat_demo")
+
+
+def test_schema_only_clone(spark, sf_dir):
+    df = read_table(spark, sf_dir, "orders")
+    clone = schema_only(df)
+    assert clone.schema == df.schema and clone.count() == 0
+
+
+def test_analyze_table_feeds_cbo(spark):
+    spark.sql("DROP TABLE IF EXISTS t_stats_demo")
+    spark.range(123).write.saveAsTable("t_stats_demo")
+    analyze_table(spark, "t_stats_demo")
+    assert row_count_stat(spark, "t_stats_demo") == 123
+    spark.sql("DROP TABLE t_stats_demo")
+
+
+def test_observe_counts_without_extra_pass(spark, sf_dir):
+    m = PipelineMetrics()
+    df = read_table(spark, sf_dir, "lineitem")
+    df = m.observe_count(df, "scanned")
+    df = m.observe_count(df.filter(F.col("l_quantity") > 30), "filtered")
+    out = df.count()  # single action drives both observations
+    res = m.results()
+    assert res["scanned"]["rows"] == 6000 or res["scanned"]["rows"] > out
+    assert res["filtered"]["rows"] == out
+    assert res["__elapsed_sec"] >= 0
+
+
+def test_timed_wrapper():
+    (out, sec) = timed(sum, [1, 2, 3])
+    assert out == 6 and sec >= 0
