@@ -1,0 +1,64 @@
+"""Property-based invariants (hypothesis) for pure-Python planning
+logic — no Spark session needed, so these run fast and wide."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lightlane_spark.operators.extract import split_ranges
+from lightlane_spark.sources.jdbc import split_options
+
+
+@given(
+    start=st.integers(min_value=-(10**12), max_value=10**12),
+    span=st.integers(min_value=0, max_value=10**12),
+    splits=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=300)
+def test_split_ranges_cover_domain_exactly(start, span, splits):
+    """Ranges tile [start, end] with no gaps/overlaps: consecutive
+    bounds chain, first=start, last=end (closed upper on last)."""
+    end = start + span
+    rs = split_ranges(start, end, splits)
+    assert rs[0][0] == start and rs[-1][1] == end
+    for (_, hi), (lo, _) in zip(rs, rs[1:]):
+        assert hi == lo  # chained: k < hi on one side, k >= lo on next
+    assert all(lo <= hi for lo, hi in rs)
+
+
+@given(
+    start=st.dates(min_value=dt.date(1990, 1, 1), max_value=dt.date(2050, 1, 1)),
+    days=st.integers(min_value=0, max_value=20000),
+    splits=st.integers(min_value=1, max_value=32),
+)
+@settings(max_examples=200)
+def test_split_ranges_dates_chain(start, days, splits):
+    end = start + dt.timedelta(days=days)
+    rs = split_ranges(start, end, splits)
+    assert rs[0][0] == start and rs[-1][1] == end
+    for (_, hi), (lo, _) in zip(rs, rs[1:]):
+        assert hi == lo
+
+
+@given(
+    lower=st.one_of(st.none(), st.integers(-(10**9), 10**9)),
+    upper=st.one_of(st.none(), st.integers(-(10**9), 10**9)),
+    splits=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200)
+def test_split_options_never_emit_partial_config(lower, upper, splits):
+    """Either the full partitionColumn option quad is present, or none
+    of it (a partial config makes Spark's JDBC reader error)."""
+    try:
+        opts = split_options("k", splits, lower, upper)
+    except ValueError:
+        assert lower is not None and upper is not None and lower > upper
+        return
+    quad = {"partitionColumn", "lowerBound", "upperBound", "numPartitions"}
+    present = quad & set(opts)
+    assert present == quad or present == set()
+    if present:
+        assert lower is not None and upper is not None and splits > 1
