@@ -152,6 +152,71 @@ def ann_topk_lsh(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-partition the corpus, probe
+    only the ``n_probe`` nearest centroids per query.
+
+    The scale path when hyperplane buckets are too coarse: centroids
+    adapt to the data distribution, and the corpus is scanned
+    ~n_probe/n_centroids of the time per query. Centroids come from
+    ``pyspark.ml`` KMeans (seeded, deterministic given partitioning);
+    at 100 TB you fit on a sample and broadcast the centers — exactly
+    what this does. Returns (query_id, vec_id, rank, sim).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
+    feat = c.withColumn("__feat", array_to_vector(F.col("__cv")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat", predictionCol="__cluster")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, "__cv", "__cluster")
+
+    centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    centers_df = queries.sparkSession.createDataFrame(
+        [(i, centers[i]) for i in range(len(centers))],
+        f"__cluster int, __center array<double>",
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _vec_double(vec_col).alias("__qv")
+    )
+    # rank centroids per query by cosine, keep n_probe nearest
+    qc = q.crossJoin(F.broadcast(centers_df)).withColumn(
+        "__csim",
+        dot(F.col("__qv"), F.col("__center"))
+        / (norm(F.col("__qv")) * norm(F.col("__center"))),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("__csim").desc(), F.col("__cluster"))
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, "__qv", "__cluster")
+    )
+    scored = (
+        F.broadcast(probes.withColumn("__qn", norm(F.col("__qv"))))
+        .join(assigned.withColumn("__cn", norm(F.col("__cv"))), on="__cluster")
+        .withColumn(
+            "sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "sim")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     block_col: str,

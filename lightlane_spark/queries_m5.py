@@ -189,6 +189,16 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant — no SQL oracle (k-means model dependent); the
+    recall-vs-bruteforce contract lives in tests/test_ivf.py."""
+    from lightlane_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=3)
+    return out.select("query_id", "vec_id", "rank")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     dups = emb.filter("vec_id < 5").select(
@@ -254,8 +264,18 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("window_start", "event_type", "n")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): per-user sessions with
+    a 60-minute gap over the events table."""
+    from lightlane_spark.operators.sessions import session_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=60)
+
+
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
+    "sessionize": q_sessionize,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -268,6 +288,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
@@ -279,6 +300,25 @@ _SW_ES = "('el','la','de','que','y','en','un','es')"
 _SW_FR = "('le','la','de','et','un','est','que','en')"
 
 ORACLE = {
+    "sessionize": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 3600
+                        THEN 1 ELSE 0 END AS opens
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts,
+                   SUM(opens) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM e
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY 1, 2
+    """,
     "streaming_window_counts": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                event_type, count(*) AS n

@@ -104,3 +104,33 @@ def run_to_completion(query, timeout_sec: int = 120) -> None:
     if not query.awaitTermination(timeout_sec):
         query.stop()
         raise TimeoutError(f"streaming query did not finish in {timeout_sec}s")
+
+
+def drain_until(query, condition, timeout_sec: int = 120, poll_sec: float = 1.0) -> None:
+    """Run a streaming query until ``condition()`` is truthy, then stop
+    it gracefully.
+
+    For queries that never self-terminate by design — continuous
+    triggers, and stateful operators with processing-time timeouts
+    (an availableNow drain keeps scheduling state-cleanup batches
+    even after state empties, observed on Spark 4.1). Raises on query
+    failure; TimeoutError if the condition never holds.
+    """
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_sec
+    try:
+        while _time.monotonic() < deadline:
+            if condition():
+                return
+            if not query.isActive:
+                if query.exception():
+                    raise query.exception()
+                if condition():
+                    return
+                raise RuntimeError("query terminated before condition held")
+            _time.sleep(poll_sec)
+        raise TimeoutError(f"condition not reached in {timeout_sec}s")
+    finally:
+        if query.isActive:
+            query.stop()
