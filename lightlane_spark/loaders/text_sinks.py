@@ -75,10 +75,20 @@ def read_csv(
     header: bool = True,
     delimiter: str = ",",
     null_token: str = "",
+    multi_line: bool = True,
 ) -> DataFrame:
+    """``multi_line=True`` parses quoted embedded newlines/CRs
+    correctly but makes files non-splittable (one task per file) —
+    disable it for scale when values are known newline-free."""
     return (
         spark.read.schema(schema)
-        .options(header=header, sep=delimiter, nullValue=null_token, escape='"')
+        .options(
+            header=header,
+            sep=delimiter,
+            nullValue=null_token,
+            escape='"',
+            multiLine=multi_line,
+        )
         .csv(path)
     )
 

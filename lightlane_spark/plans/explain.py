@@ -53,8 +53,11 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         text=text,
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
         read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", text),
-        broadcast_joins=len(re.findall(r"BroadcastHashJoin", text)),
-        sortmerge_joins=len(re.findall(r"SortMergeJoin", text)),
-        exchanges=len(re.findall(r"\bExchange\b", text)),
+        # count node headers "(N) Op" so tree+detail listings aren't
+        # double-counted; fall back to raw mentions for simple-mode text
+        broadcast_joins=len(re.findall(r"\(\d+\) BroadcastHashJoin", text))
+        or len(re.findall(r"BroadcastHashJoin", text)),
+        sortmerge_joins=len(re.findall(r"\(\d+\) SortMergeJoin", text)),
+        exchanges=len(re.findall(r"\(\d+\) Exchange", text)),
         codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text))),
     )

@@ -1,0 +1,59 @@
+"""Plan-quality contracts: the physical plans the operators must keep
+(the 100 TB guarantees — a regression here is a scale bug even when
+results stay correct)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lightlane_spark.loaders.loader import merge_upsert
+from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
+from lightlane_spark.plans.explain import plan_summary
+from lightlane_spark.sources.parquet import read_table
+
+
+def test_merge_broadcasts_small_staging(spark, sf_dir):
+    """An incremental MERGE batch must anti-join by broadcasting the
+    small staging side — never shuffling the (huge) target."""
+    target = read_table(spark, sf_dir, "orders")
+    staging = target.filter("o_orderkey % 50 = 0")
+    merged = merge_upsert(target, staging, ["o_orderkey"], broadcast_staging=True)
+    ps = plan_summary(merged)
+    assert "BroadcastHashJoin" in ps.text and "LeftAnti" in ps.text
+    assert ps.sortmerge_joins == 0
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    """Group-agg must map-side combine: two HashAggregate levels with
+    exactly one data Exchange between them."""
+    import __spark_entry__ as m
+
+    df = m.q_pricing_summary(spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("HashAggregate") >= 2
+    # one shuffle for the agg + one for the final orderBy
+    assert ps.exchanges <= 2, ps.text[:800]
+
+
+def test_minhash_pipeline_no_cartesian(spark, sf_dir):
+    """LSH candidates must come from bucket-local expansion — any
+    CartesianProduct/BroadcastNestedLoop in the plan means the O(n²)
+    guard failed."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_minhash(docs)
+    ps = plan_summary(out)
+    assert "CartesianProduct" not in ps.text
+    assert "BroadcastNestedLoopJoin" not in ps.text
+
+
+def test_filter_pushdown_survives_pipeline(spark, sf_dir):
+    """A filter declared after projection still reaches the scan."""
+    df = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_quantity")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey")
+    )
+    ps = plan_summary(df)
+    assert any("l_quantity" in f for f in ps.pushed_filters)
+    assert ps.scan_reads_only({"l_orderkey", "l_quantity"}), ps.read_schemas
