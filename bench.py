@@ -32,6 +32,10 @@ HEADLINE = [
     "anti_join_merge",
     "explode",
     "json_extract",
+    # relational breadth
+    "join_3way",
+    "topk_per_group",
+    "sessionize",
     # M5 LLM-pipeline operators
     "minhash_lsh_pairs",
     "simhash_signatures",

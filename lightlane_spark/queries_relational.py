@@ -196,7 +196,23 @@ def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(path)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip (SURVEY §1.4 storage formats: the
+    reference enumerates TEXTFILE/PARQUET/ORC/...; Spark writes ORC
+    natively)."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_orc_"), "orders_orc")
+    df = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    df.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
 QUERIES = {
+    "orc_roundtrip": q_orc_roundtrip,
     "join_3way": q_join_3way,
     "join_left_semi": q_join_left_semi,
     "join_full_outer": q_join_full_outer,
@@ -211,6 +227,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orc_roundtrip": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "join_3way": """
         SELECT r_name AS region_name,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
