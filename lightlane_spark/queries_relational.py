@@ -211,7 +211,54 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` and
+    DuckDB `quantile_cont` share linear-interpolation semantics —
+    verified bit-identical)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: orders vs a deterministically mutated copy —
+    every row classified insert/update/delete/unchanged."""
+    from lightlane_spark.operators.cdc import snapshot_diff
+
+    old = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        old.filter("o_orderkey % 11 != 0")  # deletes
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )  # updates
+        .unionByName(
+            old.filter("o_orderkey % 13 = 0").select(
+                (F.col("o_orderkey") + 9_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )  # inserts
+    )
+    return snapshot_diff(old, new, ["o_orderkey"]).withColumnRenamed(
+        "__change", "change"
+    )
+
+
 QUERIES = {
+    "quantile_summary": q_quantile_summary,
+    "snapshot_diff": q_snapshot_diff,
     "orc_roundtrip": q_orc_roundtrip,
     "join_3way": q_join_3way,
     "join_left_semi": q_join_left_semi,
@@ -227,6 +274,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "quantile_summary": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.9) AS p90,
+               quantile_cont(l_extendedprice, 0.99) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "snapshot_diff": """
+        WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        new AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                        ELSE o_totalprice END AS o_totalprice
+            FROM old WHERE o_orderkey % 11 <> 0
+            UNION ALL
+            SELECT o_orderkey + 9000000, o_orderstatus, o_totalprice
+            FROM old WHERE o_orderkey % 13 = 0
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+               COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                         OR n.o_totalprice IS DISTINCT FROM o.o_totalprice THEN 'update'
+                    ELSE 'unchanged' END AS change
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
     "orc_roundtrip": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "join_3way": """
         SELECT r_name AS region_name,
