@@ -256,7 +256,35 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: plant deterministic defects in orders, route
+    the violating rows with their failed rule names (OP-17 pattern
+    generalized to declarative expectations)."""
+    from lightlane_spark.operators.quality import in_range, not_null, violations
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dirty = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit(None)).otherwise(F.col("o_custkey")),
+    ).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 23 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    out = violations(dirty, [not_null("o_custkey"), in_range("o_totalprice", 0, 10**9)])
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.array_join("failed_rules", ",").alias("failed"),
+    )
+
+
 QUERIES = {
+    "dq_violations": q_dq_violations,
     "quantile_summary": q_quantile_summary,
     "snapshot_diff": q_snapshot_diff,
     "orc_roundtrip": q_orc_roundtrip,
@@ -274,6 +302,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dq_violations": """
+        WITH dirty AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+                   CASE WHEN o_orderkey % 23 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+            FROM orders
+        ), flagged AS (
+            SELECT *,
+                   array_to_string(
+                       list_filter([
+                           CASE WHEN o_custkey IS NULL THEN 'not_null_o_custkey' END,
+                           CASE WHEN NOT (o_totalprice BETWEEN 0 AND 1000000000)
+                                     OR o_totalprice IS NULL THEN 'range_o_totalprice' END
+                       ], x -> x IS NOT NULL), ',') AS failed
+            FROM dirty
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice, failed
+        FROM flagged WHERE failed <> ''
+    """,
     "quantile_summary": """
         SELECT l_returnflag,
                quantile_cont(l_extendedprice, 0.5) AS p50,

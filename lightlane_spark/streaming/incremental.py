@@ -68,6 +68,19 @@ def windowed_counts(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop key-duplicates arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — state per
+    live key, evicted as the watermark advances. The streaming face of
+    OP-30/dedup_exact for at-least-once sources."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_merge(
     stream_df: DataFrame,
     table_path: str,

@@ -1,0 +1,63 @@
+"""Data-quality rules: one-pass checks, violation routing, uniqueness,
+referential containment."""
+
+from __future__ import annotations
+
+from lightlane_spark.operators.quality import (
+    assert_contained,
+    assert_unique,
+    check,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    violations,
+)
+from lightlane_spark.sources.parquet import read_table
+
+
+def test_one_pass_checks(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, -5.0), (3, "c", 200.0), (None, "x", 50.0)],
+        "id: bigint, name: string, v: double",
+    )
+    rules = [not_null("id"), not_null("name"), in_range("v", 0, 100)]
+    counts = check(df, rules)
+    assert counts == {"not_null_id": 1, "not_null_name": 1, "range_v": 2}
+
+
+def test_violation_rows_annotated(spark):
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, None), (None, None)], "id: bigint, name: string"
+    )
+    v = violations(df, [not_null("id"), not_null("name")]).collect()
+    by_id = {r.id: set(r.failed_rules) for r in v}
+    assert by_id == {2: {"not_null_name"}, None: {"not_null_id", "not_null_name"}}
+
+
+def test_set_and_regex_rules(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    counts = check(
+        orders,
+        [
+            in_set("o_orderstatus", ["O", "F", "P"]),
+            matches("o_orderpriority", r"^\d-"),
+        ],
+    )
+    assert counts["set_o_orderstatus"] == 0  # clean synthetic data
+
+
+def test_uniqueness_and_containment(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    customer = read_table(spark, sf_dir, "customer")
+    assert assert_unique(orders, ["o_orderkey"]).count() == 0
+    assert assert_unique(lineitem, ["l_orderkey"]).count() > 0  # multi-line orders
+    # every order's customer exists
+    assert (
+        assert_contained(orders, customer, ["o_custkey"], ["c_custkey"]).count() == 0
+    )
+    # planted orphan is caught
+    orphan = spark.createDataFrame([(999999,)], "o_custkey: bigint")
+    bad = orders.select("o_custkey").unionByName(orphan)
+    assert assert_contained(bad, customer, ["o_custkey"], ["c_custkey"]).count() == 1
