@@ -64,6 +64,13 @@ def decode_image_meta(
     decoder uses; only the per-row byte interpretation is stubbed.
     """
 
+    # The closure references module-level _fake_decode, which
+    # cloudpickle serializes BY REFERENCE — executors must be able to
+    # import lightlane_spark, so ship the package first (shipping.py).
+    from lightlane_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 

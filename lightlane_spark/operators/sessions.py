@@ -85,6 +85,9 @@ def sessionize_stream(
     pending timeout fires, so a bounded drain wants a short flush even
     when the session gap is long.
     """
+    from lightlane_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(events.sparkSession)
     gap_sec = gap_minutes * 60
     timeout_ms = 1000 * (timeout_seconds if timeout_seconds is not None else gap_sec)
 

@@ -83,7 +83,14 @@ def map_rows(
     expand, or reshape them — covering the hook's map / filter /
     flat-map behaviors at batch granularity. Runs on executors;
     nothing is collected to the driver.
+
+    The package is shipped to executors first: ``fn`` may reference
+    importable functions of this repo, which cloudpickle serializes by
+    reference (see shipping.py).
     """
+    from lightlane_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
 
     def apply_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
