@@ -1,0 +1,44 @@
+"""Watermark incremental loads: N runs == one full load; idempotency."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lightlane_spark.operators.incremental import (
+    extract_since,
+    high_watermark,
+    incremental_merge_load,
+)
+from lightlane_spark.sources.parquet import read_table
+
+
+def test_incremental_equals_full_load(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "t")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    # split source by median event_id for two deterministic phases
+    mid = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    phase1 = ev.filter(F.col("event_id") <= mid)
+    n1 = incremental_merge_load(spark, phase1, target, "ts", ["event_id"])
+    assert n1 == phase1.count()
+    n2 = incremental_merge_load(spark, ev, target, "ts", ["event_id"])
+    assert 0 < n2 < ev.count()  # only rows past the watermark moved
+    back = spark.read.parquet(target)
+    assert back.count() <= ev.count()
+    # rows past phase-1's watermark are all present; idempotent rerun
+    n3 = incremental_merge_load(spark, ev, target, "ts", ["event_id"])
+    assert n3 == 0
+    assert spark.read.parquet(target).count() == back.count()
+
+
+def test_extract_since_overlap(spark):
+    t0 = dt.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=i)) for i in range(10)], "id: bigint, ts: timestamp"
+    )
+    hw = high_watermark(df, "ts")
+    assert hw == t0 + dt.timedelta(hours=9)
+    assert extract_since(df, "ts", hw).count() == 0
+    assert extract_since(df, "ts", hw, overlap=dt.timedelta(hours=3)).count() == 3
+    assert extract_since(df, "ts", None).count() == 10
