@@ -196,6 +196,39 @@ def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(path)
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per customer-segment × order-status matrix
+    (explicit pivot values keep the plan single-pass, no value probe)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/stack: wide metric columns → long (metric, value) rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, "
+            "'discount', l_discount) AS (metric, value)"
+        ),
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink/source round-trip (SURVEY §1.4 storage formats: the
     reference enumerates TEXTFILE/PARQUET/ORC/...; Spark writes ORC
@@ -285,6 +318,8 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dq_violations": q_dq_violations,
+    "pivot": q_pivot,
+    "unpivot": q_unpivot,
     "quantile_summary": q_quantile_summary,
     "snapshot_diff": q_snapshot_diff,
     "orc_roundtrip": q_orc_roundtrip,
@@ -320,6 +355,21 @@ ORACLE = {
         )
         SELECT o_orderkey, o_custkey, o_totalprice, failed
         FROM flagged WHERE failed <> ''
+    """,
+    "pivot": """
+        SELECT c_mktsegment,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "unpivot": """
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
     """,
     "quantile_summary": """
         SELECT l_returnflag,
