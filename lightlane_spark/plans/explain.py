@@ -59,5 +59,8 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         or len(re.findall(r"BroadcastHashJoin", text)),
         sortmerge_joins=len(re.findall(r"\(\d+\) SortMergeJoin", text)),
         exchanges=len(re.findall(r"\(\d+\) Exchange", text)),
+        # NOTE: with AQE the pre-execution formatted plan carries no
+        # WholeStageCodegen markers — this is only populated for plans
+        # explained after execution or with AQE off.
         codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text))),
     )
