@@ -65,9 +65,18 @@ def dedup_exact(
 
 
 def shingle(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word k-gram shingles per document → (id, sh).
+    """Word k-gram shingles per document → (id, sh).
+
+    ``distinct=True`` gives set semantics (needed for Jaccard) at the
+    cost of a full shuffle; ``distinct=False`` is map-only — enough
+    for MinHash signatures, where min over the multiset equals min
+    over the set.
 
     DuckDB oracle shape: unnest over ``range(len(tokens)-k+1)`` with
     ``array_to_string(tokens[i:i+k], ' ')``.
@@ -78,11 +87,8 @@ def shingle(
         F.sequence(F.lit(0), n - k),  # empty when n < k → row drops on explode
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )
-    return (
-        df.filter(n >= k)
-        .select(F.col(id_col), F.explode(grams).alias("sh"))
-        .distinct()
-    )
+    out = df.filter(n >= k).select(F.col(id_col), F.explode(grams).alias("sh"))
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -222,14 +228,32 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.7
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingles_distinct: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only → (id_a, id_b, jaccard).
 
     Intersection via shingle equi-join restricted to the pairs;
     |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts. All integer
     counts; the final division is one deterministic double op.
+
+    ``shingles_distinct=False`` accepts the map-only multiset shingles
+    and set-ifies them HERE, but only for documents that appear in a
+    candidate pair — at corpus scale that distinct covers a tiny
+    fraction of the data instead of the full corpus.
     """
+    if not shingles_distinct:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingles = shingles.join(
+            F.broadcast(cand_ids), on=id_col, how="left_semi"
+        ).distinct()
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = shingles.select(F.col(id_col).alias("id_a"), F.col("sh"))
     sh_b = shingles.select(F.col(id_col).alias("id_b"), F.col("sh"))
@@ -268,15 +292,17 @@ def dedup_minhash(
     The shingle set feeds both the signature path and the Jaccard
     verifier — persisted so the tokenize+distinct shuffle runs once.
     """
-    # persisted, NOT unpersisted here: the returned plan is lazy, so an
-    # eager unpersist would empty the cache before the caller's action
-    # runs. Spark drops the blocks via LRU / ContextCleaner once the
-    # plan is garbage-collected.
-    sh = shingle(df, text_col, id_col, k).persist()
+    # Map-only (multiset) shingles: min over a multiset equals min over
+    # the set, so signatures skip the full-corpus distinct shuffle; the
+    # verifier set-ifies only candidate-pair documents. Persisted (NOT
+    # unpersisted here — the returned plan is lazy and an eager
+    # unpersist would empty the cache before the caller's action runs;
+    # LRU/ContextCleaner reclaim it).
+    sh = shingle(df, text_col, id_col, k, distinct=False).persist()
     sig = minhash_signature_arrays(sh, id_col, num_hashes)
     keys = lsh_band_keys(sig, id_col, bands, num_hashes // bands)
     cand = lsh_candidate_pairs(keys, id_col)
-    return jaccard_verify(cand, sh, id_col, threshold)
+    return jaccard_verify(cand, sh, id_col, threshold, shingles_distinct=False)
 
 
 # ---------------------------------------------------------------------------
