@@ -236,39 +236,43 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only → (id_a, id_b, jaccard).
 
-    Intersection via shingle equi-join restricted to the pairs;
-    |A∪B| = |A|+|B|−|A∩B| from per-doc shingle counts. All integer
-    counts; the final division is one deterministic double op.
+    Per-doc shingle SETS are gathered once (``collect_set`` — one
+    shuffle keyed by doc id, restricted to docs that appear in a
+    candidate pair), then each pair joins its two sets and intersects
+    them in-row with ``array_intersect``: |A∩B| per pair is O(|A|+|B|)
+    with no (id, shingle)-grained join. |A∪B| = |A|+|B|−|A∩B|. All
+    integer counts; the final division is one deterministic double op.
 
-    ``shingles_distinct=False`` accepts the map-only multiset shingles
-    and set-ifies them HERE, but only for documents that appear in a
-    candidate pair — at corpus scale that distinct covers a tiny
-    fraction of the data instead of the full corpus.
+    Scale shape: the candidate-doc semi-join keeps the collect_set
+    shuffle proportional to the candidate set, not the corpus; set
+    arrays are bounded by document length. The multiset→set collapse
+    happens inside collect_set, so map-only (``shingles_distinct=
+    False``) input costs nothing extra.
     """
-    if not shingles_distinct:
-        cand_ids = (
-            pairs.select(F.col("id_a").alias(id_col))
-            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        shingles = shingles.join(
-            F.broadcast(cand_ids), on=id_col, how="left_semi"
-        ).distinct()
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sh_a = shingles.select(F.col(id_col).alias("id_a"), F.col("sh"))
-    sh_b = shingles.select(F.col(id_col).alias("id_b"), F.col("sh"))
-    inter = (
-        pairs.join(sh_a, on="id_a")
-        .join(sh_b, on=["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    doc_sets = (
+        shingles.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("__shs"))
     )
     return (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), on="id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), on="id_b")
+        pairs.join(
+            doc_sets.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__a")),
+            on="id_a",
+        )
+        .join(
+            doc_sets.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__b")),
+            on="id_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("__a", "__b")))
         .withColumn(
             "jaccard",
-            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            F.col("n_inter")
+            / (F.size("__a") + F.size("__b") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -301,7 +305,9 @@ def dedup_minhash(
     sh = shingle(df, text_col, id_col, k, distinct=False).persist()
     sig = minhash_signature_arrays(sh, id_col, num_hashes)
     keys = lsh_band_keys(sig, id_col, bands, num_hashes // bands)
-    cand = lsh_candidate_pairs(keys, id_col)
+    # Candidate pairs feed the verifier twice (candidate-doc semi-join
+    # + the pair join) — persist so banding/bucketing runs once.
+    cand = lsh_candidate_pairs(keys, id_col).persist()
     return jaccard_verify(cand, sh, id_col, threshold, shingles_distinct=False)
 
 
