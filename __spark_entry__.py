@@ -45,6 +45,7 @@ from lightlane_spark.operators.extract import (  # noqa: E402
 from lightlane_spark.sources.parquet import read_table  # noqa: E402
 from lightlane_spark import queries_m5 as m5_queries  # noqa: E402
 from lightlane_spark import queries_relational as rel_queries  # noqa: E402
+from lightlane_spark import queries_temporal as temporal_queries  # noqa: E402
 
 
 def _dec_sum(col, alias: str, scale: int = 2):
@@ -377,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_sink_fanout": q_multi_sink_fanout,
         **m5_queries.QUERIES,
         **rel_queries.QUERIES,
+        **temporal_queries.QUERIES,
     }
 
 
@@ -517,4 +519,5 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_ORACLE)
     out.update(m5_queries.ORACLE)
     out.update(rel_queries.ORACLE)
+    out.update(temporal_queries.ORACLE)
     return out

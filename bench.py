@@ -36,6 +36,10 @@ HEADLINE = [
     "join_3way",
     "topk_per_group",
     "sessionize",
+    # temporal operators
+    "asof_join",
+    "range_join",
+    "time_rollup",
     # M5 LLM-pipeline operators
     "minhash_lsh_pairs",
     "simhash_signatures",

@@ -1,0 +1,159 @@
+"""Temporal operators Spark lacks natively: as-of join, range
+(interval) join, and hypertable-style multi-granularity time rollup.
+
+These are the classic "custom operator" cases from the build brief —
+each is expressed as a composition of DataFrame ops (no Python UDFs),
+so Catalyst/AQE still plan them and they keep their exact SQL oracles.
+
+Scale design:
+  - as-of join: the naive formulation is a non-equi join (one range
+    predicate per row) which Spark can only execute as a broadcast
+    nested loop. The union+window formulation here is ONE shuffle of
+    left+right keyed by the `by` columns, then a running `last(...,
+    ignorenulls=True)` — linear work, no join operator at all, skew
+    bounded by the hottest `by` key exactly like any window.
+  - range join: big×big interval joins degrade to nested loops; the
+    binned form discretizes intervals to `bin_width` buckets and
+    equi-joins on the bucket id, so the shuffle is hash-partitioned
+    and each pair is examined once (a right interval spans multiple
+    bins but a left point lives in exactly one, so no dedup pass).
+    Pick `bin_width` near the median interval width: wider bins add
+    false candidates, narrower bins replicate right rows.
+  - time rollup: all granularities in ONE shuffle — each row explodes
+    to (grain, bucket) pairs first, then a single groupBy aggregates
+    every grain at once (vs one shuffle per grain for a UNION of
+    date_truncs). Partial aggregation still applies map-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: Sequence[str],
+    value_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the nearest right row's ``value_cols``.
+
+    ``backward``: latest right row with ``right.ts <= left.ts`` (the
+    pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` default); ``forward``:
+    earliest right row with ``right.ts >= left.ts``. Unmatched left
+    rows keep NULL values (left-outer semantics). Matched values come
+    back as ``value_cols`` plus ``__asof_ts`` (the matched right
+    timestamp). ``tolerance_seconds`` nulls out matches farther than
+    the tolerance from the left timestamp.
+
+    Right rows must be unique per (by, ts) — pre-aggregate otherwise
+    (ties would make "the" matched row nondeterministic).
+
+    Implementation: union both sides (right rows carry a struct of
+    their values, left rows carry NULL), sort within each ``by`` group
+    by (ts, side) with the right side first on equal timestamps so
+    same-instant rows match inclusively, and take the running
+    ``last(struct, ignorenulls=True)``. One shuffle, no join.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = F.struct(
+        F.col(ts_col).alias("__asof_ts"), *[F.col(c) for c in value_cols]
+    )
+    r2 = (
+        right.withColumn("__r", payload)
+        .select(*by, ts_col, "__r")
+        .withColumn("__is_l", F.lit(0))
+    )
+    l2 = left.withColumn("__is_l", F.lit(1))
+    unioned = l2.unionByName(r2, allowMissingColumns=True)
+
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts_order, F.col("__is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__r", ignorenulls=True).over(w)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(matched["__asof_ts"])
+        ) / 1e6
+        matched = F.when(gap <= tolerance_seconds, matched)
+    out = (
+        unioned.withColumn("__m", matched)
+        .filter(F.col("__is_l") == 1)
+        .drop("__is_l", "__r")
+    )
+    for c in ("__asof_ts", *value_cols):
+        out = out.withColumn(c, F.col("__m")[c])
+    return out.drop("__m")
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Inner join on ``lo <= value <= hi`` via bin-bucketed equi-join.
+
+    Each right interval replicates to every bin it overlaps
+    (``sequence(floor(lo/w), floor(hi/w))``); each left point hashes to
+    exactly one bin, so the equi-join on the bin id emits every
+    matching pair exactly once and nothing needs a distinct. The
+    residual BETWEEN filter removes same-bin false candidates.
+    """
+    w = F.lit(bin_width)
+    r_binned = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    l_binned = left.withColumn("__bin", F.floor(F.col(value_col) / w).cast("long"))
+    return (
+        l_binned.join(r_binned, on="__bin")
+        .filter(F.col(value_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("__bin")
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grains: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Hypertable-style rollup: aggregate at several time granularities
+    (e.g. ``["hour", "day", "week"]``) in one pass / one shuffle.
+
+    Returns (grain, bucket, *aggs) — ``bucket`` is ``date_trunc(grain,
+    ts)``. Rows explode to one (grain, bucket) pair per granularity
+    up front so a single groupBy covers every grain; map-side partial
+    aggregation keeps the shuffle at |buckets|·|grains| rows per task.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(g).alias("grain"), F.date_trunc(g, F.col(ts_col)).alias("bucket")
+            )
+            for g in grains
+        ]
+    )
+    return (
+        df.withColumn("__gb", F.explode(pairs))
+        .groupBy(F.col("__gb.grain").alias("grain"), F.col("__gb.bucket").alias("bucket"))
+        .agg(*aggs)
+    )

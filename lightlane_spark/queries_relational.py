@@ -244,6 +244,25 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source round-trip (native datasource since Spark 4;
+    schema passed explicitly on read — never inferred)."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_xml_"), "orders_xml")
+    df = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    df.write.format("xml").option("rowTag", "order").mode("overwrite").save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey bigint, o_orderstatus string, o_totalprice double")
+        .load(path)
+    )
+
+
 def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark `percentile` and
     DuckDB `quantile_cont` share linear-interpolation semantics —
@@ -323,6 +342,7 @@ QUERIES = {
     "quantile_summary": q_quantile_summary,
     "snapshot_diff": q_snapshot_diff,
     "orc_roundtrip": q_orc_roundtrip,
+    "xml_roundtrip": q_xml_roundtrip,
     "join_3way": q_join_3way,
     "join_left_semi": q_join_left_semi,
     "join_full_outer": q_join_full_outer,
@@ -400,6 +420,7 @@ ORACLE = {
         FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
     """,
     "orc_roundtrip": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "xml_roundtrip": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "join_3way": """
         SELECT r_name AS region_name,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,

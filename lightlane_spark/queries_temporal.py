@@ -1,0 +1,176 @@
+"""Temporal-operator queries + DuckDB oracles (as-of join, range
+join, hypertable rollup) — merged into ``__spark_entry__.queries()``.
+
+The as-of oracle uses DuckDB's native ``ASOF LEFT JOIN``; the Spark
+side is the union+window single-shuffle formulation
+(operators/temporal.py), so the comparison is two genuinely
+independent implementations of the same semantics.
+
+Float policy: SUMs go through exact DECIMAL at expression scale;
+everything else here is integers, timestamps, or per-row doubles
+(identical IEEE ops in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lightlane_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+    time_rollup,
+)
+from lightlane_spark.sources.parquet import read_table
+
+
+def _clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+
+
+def _errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right side, unique per (user_id, ts) by construction."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+
+
+def _asof_output(out: DataFrame) -> DataFrame:
+    """Driver-contract shape: unmatched rows keep left-outer NULLs in
+    the operator, but the declared query coalesces them to sentinels
+    (the driver's row-sorting canonicalization can't order NULLs)."""
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(
+            F.col("__asof_ts"), F.lit("1970-01-01").cast("timestamp")
+        ).alias("err_ts"),
+        F.coalesce(F.col("err_value"), F.lit(-1.0)).alias("err_value"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: each click gets the user's latest error at or
+    before the click (sentinel when none)."""
+    return _asof_output(
+        asof_join(
+            _clicks(spark, sf_dir),
+            _errors(spark, sf_dir),
+            ts_col="ts",
+            by=["user_id"],
+            value_cols=["err_value"],
+        )
+    )
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click gets the user's next error at or
+    after the click."""
+    return _asof_output(
+        asof_join(
+            _clicks(spark, sf_dir),
+            _errors(spark, sf_dir),
+            ts_col="ts",
+            by=["user_id"],
+            value_cols=["err_value"],
+            direction="forward",
+        )
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events against 12 overlapping value bands
+    (non-aligned bounds force genuine range semantics; bin width 40
+    ≈ band width so right rows replicate ~2×)."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.range(12).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 40.0).alias("lo"),
+        (F.col("id") * 40.0 + 55.0).alias("hi"),
+    )
+    out = range_join_binned(ev, bands, "value", "lo", "hi", bin_width=40.0)
+    return out.select("event_id", "band_id", "value")
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hour/day/week aggregates in one
+    shuffle (explode-to-grain then a single groupBy)."""
+    ev = read_table(spark, sf_dir, "events")
+    return time_rollup(
+        ev,
+        "ts",
+        ["hour", "day", "week"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("sum_value"),
+        ],
+    )
+
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
+    "range_join": q_range_join,
+    "time_rollup": q_time_rollup,
+}
+
+
+_ASOF_CTES = """
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts, max(value) AS err_value
+        FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    )
+"""
+
+ORACLE = {
+    "asof_join": _ASOF_CTES
+    + """
+        SELECT l.event_id, l.user_id, l.ts,
+               COALESCE(r.ts, TIMESTAMP '1970-01-01') AS err_ts,
+               COALESCE(r.err_value, -1.0) AS err_value
+        FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "asof_join_forward": _ASOF_CTES
+    + """
+        SELECT l.event_id, l.user_id, l.ts,
+               COALESCE(r.ts, TIMESTAMP '1970-01-01') AS err_ts,
+               COALESCE(r.err_value, -1.0) AS err_value
+        FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    "range_join": """
+        WITH bands AS (
+            SELECT range AS band_id, range * 40.0 AS lo, range * 40.0 + 55.0 AS hi
+            FROM range(12)
+        )
+        SELECT e.event_id, b.band_id, e.value
+        FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+    """,
+    # date_trunc('day'/'week') yields DATE in DuckDB but TIMESTAMP in
+    # Spark — cast so the bucket column compares as one type.
+    "time_rollup": """
+        SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+               COUNT(*), CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'week', CAST(date_trunc('week', ts) AS TIMESTAMP),
+               COUNT(*), CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
+        FROM events GROUP BY 2
+    """,
+}

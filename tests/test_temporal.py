@@ -1,0 +1,159 @@
+"""Temporal operators: as-of join, binned range join, time rollup."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightlane_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+    time_rollup,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, ts, price): the classic trades/quotes as-of fixture
+    return spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T10:00:00"), 1.0),
+            ("a", _ts("2024-01-01T10:00:05"), 2.0),
+            ("a", _ts("2024-01-01T10:00:10"), 3.0),
+            ("b", _ts("2024-01-01T10:00:03"), 10.0),
+        ],
+        "sym string, ts timestamp, price double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01T10:00:04")),
+            (2, "a", _ts("2024-01-01T10:00:05")),  # equal-ts: inclusive match
+            (3, "a", _ts("2024-01-01T09:59:00")),  # before any quote
+            (4, "b", _ts("2024-01-01T10:00:07")),
+            (5, "c", _ts("2024-01-01T10:00:07")),  # key with no quotes
+        ],
+        "trade_id long, sym string, ts timestamp",
+    )
+
+
+def _rows(df, cols):
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_asof_backward(trades, quotes):
+    out = asof_join(trades, quotes, "ts", ["sym"], ["price"])
+    assert _rows(out, ["trade_id", "price"]) == {
+        (1, 1.0),  # latest quote <= 10:00:04 is 10:00:00
+        (2, 2.0),  # equal timestamp matches
+        (3, None),  # no earlier quote
+        (4, 10.0),
+        (5, None),  # no quotes for key at all
+    }
+    # matched timestamp surfaces as __asof_ts
+    m = {r["trade_id"]: r["__asof_ts"] for r in out.collect()}
+    assert m[2] == _ts("2024-01-01T10:00:05")
+
+
+def test_asof_forward(trades, quotes):
+    out = asof_join(trades, quotes, "ts", ["sym"], ["price"], direction="forward")
+    assert _rows(out, ["trade_id", "price"]) == {
+        (1, 2.0),  # next quote >= 10:00:04 is 10:00:05
+        (2, 2.0),  # equal timestamp matches forward too
+        (3, 1.0),
+        (4, None),  # no later quote
+        (5, None),
+    }
+
+
+def test_asof_tolerance(trades, quotes):
+    out = asof_join(
+        trades, quotes, "ts", ["sym"], ["price"], tolerance_seconds=2.0
+    )
+    # trade 1 (gap 4s from 10:00:00 quote) is nulled; trade 2 (gap 0) kept
+    assert _rows(out, ["trade_id", "price"]) == {
+        (1, None),
+        (2, 2.0),
+        (3, None),
+        (4, None),  # gap 4s > 2s
+        (5, None),
+    }
+
+
+def test_asof_keeps_left_columns_and_count(trades, quotes):
+    out = asof_join(trades, quotes, "ts", ["sym"], ["price"])
+    assert out.count() == trades.count()
+    assert set(out.columns) == {"trade_id", "sym", "ts", "__asof_ts", "price"}
+
+
+def test_asof_rejects_bad_direction(trades, quotes):
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, "ts", ["sym"], ["price"], direction="nearest")
+
+
+def test_range_join_binned_matches_naive(spark):
+    points = spark.range(0, 100).select(
+        F.col("id").alias("pid"), (F.col("id") * 1.37).alias("v")
+    )
+    ivals = spark.createDataFrame(
+        [(0, 5.0, 20.0), (1, 19.5, 21.0), (2, 80.0, 200.0), (3, -10.0, -1.0)],
+        "ival_id long, lo double, hi double",
+    )
+    got = _rows(
+        range_join_binned(points, ivals, "v", "lo", "hi", bin_width=7.0),
+        ["pid", "ival_id"],
+    )
+    naive = _rows(
+        points.crossJoin(ivals).filter(F.col("v").between(F.col("lo"), F.col("hi"))),
+        ["pid", "ival_id"],
+    )
+    assert got == naive and len(got) > 0
+    # bounds are inclusive on both ends
+    pts = spark.createDataFrame([(1, 5.0), (2, 20.0)], "pid long, v double")
+    one = spark.createDataFrame([(9, 5.0, 20.0)], "ival_id long, lo double, hi double")
+    assert _rows(
+        range_join_binned(pts, one, "v", "lo", "hi", bin_width=4.0), ["pid"]
+    ) == {(1,), (2,)}
+
+
+def test_time_rollup_one_shuffle_all_grains(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:15:00"), 1.0),
+            (2, _ts("2024-01-01T10:45:00"), 2.0),
+            (3, _ts("2024-01-01T11:05:00"), 4.0),
+            (4, _ts("2024-01-02T00:30:00"), 8.0),
+        ],
+        "id long, ts timestamp, value double",
+    )
+    out = time_rollup(
+        ev, "ts", ["hour", "day"], [F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")]
+    )
+    # one shuffle total, for all grains: a single Exchange in the plan
+    # (summarized pre-execution — an executed AQE plan prints its
+    # Initial Plan section too and would double-count)
+    from lightlane_spark.plans.explain import plan_summary
+
+    assert plan_summary(out).exchanges == 1
+    got = {(r["grain"], r["bucket"].isoformat(), r["n"], r["s"]) for r in out.collect()}
+    assert got == {
+        ("hour", "2024-01-01T10:00:00", 2, 3.0),
+        ("hour", "2024-01-01T11:00:00", 1, 4.0),
+        ("hour", "2024-01-02T00:00:00", 1, 8.0),
+        ("day", "2024-01-01T00:00:00", 3, 7.0),
+        ("day", "2024-01-02T00:00:00", 1, 8.0),
+    }
+def test_asof_plan_has_no_join(trades, quotes):
+    """The scale contract: as-of is window-based, not a join."""
+    from lightlane_spark.plans.explain import plan_summary
+
+    s = plan_summary(asof_join(trades, quotes, "ts", ["sym"], ["price"]))
+    assert "Join" not in s.text
+    assert s.exchanges == 1
