@@ -81,6 +81,44 @@ def streaming_dedup(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with an event-time bound:
+    matches require ``left_ts <= right_ts <= left_ts + max_delay``
+    (the impressions→clicks attribution shape).
+
+    Both the watermark AND the time-range condition are load-bearing:
+    together they let Spark evict join state once a row can no longer
+    find a partner — without them the state store grows forever. State
+    per key ≈ rows within (watermark + max_delay) of the front.
+    ``how`` may be ``inner`` or the outer variants Spark supports for
+    stream-stream joins (outer rows emit only after the watermark
+    passes their eviction bound).
+    """
+    l_ = left.withWatermark(left_ts, watermark).alias("l")
+    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    cond = (
+        cond
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return l_.join(r_, on=cond, how=how)
+
+
 def streaming_merge(
     stream_df: DataFrame,
     table_path: str,
