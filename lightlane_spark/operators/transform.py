@@ -101,6 +101,28 @@ def map_rows(
     return df.mapInPandas(apply_batches, schema=schema)
 
 
+def grouped_apply(
+    df: DataFrame,
+    keys: list[str],
+    fn: "Callable[[pd.DataFrame], pd.DataFrame]",
+    schema: "T.StructType | str",
+) -> DataFrame:
+    """Grouped-map ``applyInPandas``: ``fn`` receives each key-group as
+    ONE pandas DataFrame (vs ``map_rows``' arbitrary batches) — the
+    surface for per-group logic a window can't express (model scoring,
+    iterative fits, bespoke rankers).
+
+    One shuffle on ``keys``; each group materializes in executor
+    memory, so this is for bounded groups — prefer window functions or
+    ``map_rows`` when a single key can be corpus-sized (or salt the
+    key first, operators/skew.py).
+    """
+    from lightlane_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
 def drop_falsy(df: DataFrame, col: str) -> DataFrame:
     """OP-13 filter semantics: the reference drops a row when the
     transform returns a falsy value (``handler/base.py:35-37``) —

@@ -244,6 +244,59 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def q_revenue_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 flavor: fact⋈dim join on partkey, revenue share per
+    part type. At sf the part side broadcasts; at 100 TB AQE picks a
+    shuffle join — no hint pinned, the planner owns the choice."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(_dec_sum(dp, "revenue", 4), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 suppliers per nation by account balance (broadcast dim
+    join + window rank)."""
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal", "rnk")
+    )
+
+
+def q_grouped_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (OP-13's per-group hook surface):
+    top-3 customers by balance per market segment, ranked in pandas.
+    SQL-checkable — the pandas sort mirrors ROW_NUMBER ordering."""
+    from lightlane_spark.operators.transform import grouped_apply
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+    def top3(pdf):
+        return pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(3)
+
+    return grouped_apply(
+        c,
+        ["c_mktsegment"],
+        top3,
+        "c_custkey bigint, c_name string, c_mktsegment string, c_acctbal double",
+    )
+
+
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink/source round-trip (native datasource since Spark 4;
     schema passed explicitly on read — never inferred)."""
@@ -343,6 +396,9 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "orc_roundtrip": q_orc_roundtrip,
     "xml_roundtrip": q_xml_roundtrip,
+    "revenue_by_part_type": q_revenue_by_part_type,
+    "supplier_rank": q_supplier_rank,
+    "grouped_topk_pandas": q_grouped_topk_pandas,
     "join_3way": q_join_3way,
     "join_left_semi": q_join_left_semi,
     "join_full_outer": q_join_full_outer,
@@ -421,6 +477,32 @@ ORACLE = {
     """,
     "orc_roundtrip": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "xml_roundtrip": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "revenue_by_part_type": """
+        SELECT p_type,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
+    """,
+    "supplier_rank": """
+        SELECT n_name, s_suppkey, s_name, s_acctbal, rnk FROM (
+            SELECT n_name, s_suppkey, s_name, s_acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey
+                   ) AS rnk
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ) WHERE rnk <= 2
+    """,
+    "grouped_topk_pandas": """
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM (
+            SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey
+                   ) AS rnk
+            FROM customer
+        ) WHERE rnk <= 3
+    """,
     "join_3way": """
         SELECT r_name AS region_name,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue,

@@ -75,3 +75,18 @@ def test_fan_out(spark, tmp_path):
     fan_out(df, [lambda d, p=p: d.write.mode("overwrite").parquet(p) for p in paths])
     for p in paths:
         assert spark.read.parquet(p).count() == 2
+
+
+def test_grouped_apply_per_group_frames(spark):
+    from lightlane_spark.operators.transform import grouped_apply
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "grp: string, id: bigint, v: double",
+    )
+
+    def top2(pdf):
+        return pdf.sort_values("v", ascending=False).head(2)
+
+    out = grouped_apply(df, ["grp"], top2, "grp string, id bigint, v double")
+    assert {(r.grp, r.id) for r in out.collect()} == {("a", 2), ("a", 3), ("b", 4)}
