@@ -297,6 +297,67 @@ def q_grouped_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (absent from the reference — SURVEY
+    §2.5 notes anti-join ≈ EXCEPT on keys; here are the real ops).
+    High-value ∩ recent-ish keys, minus MERGED-slice keys."""
+    o = read_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 100000).select("o_orderkey")
+    recent = o.filter(F.col("o_orderdate") >= "1995-01-01").select("o_orderkey")
+    merged_slice = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    return hi.intersect(recent).exceptAll(merged_slice)
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price — scalar aggregate
+    broadcast against the fact scan (the DataFrame form of a scalar
+    subquery; exact via decimal-sum ÷ count)."""
+    o = read_table(spark, sf_dir, "orders")
+    avg1 = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg1))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles + PERCENT_RANK per market segment (rank-family
+    windows beyond row_number/rank/lag)."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample: portable-hash(key) % 100 < 10.
+
+    The scale-correct sampling form — reproducible across engines,
+    runs, and partitionings (unlike TABLESAMPLE/df.sample), pushes
+    nothing to the driver, and composes with joins (same keys sampled
+    on both sides)."""
+    from lightlane_spark.functions.hashing import h32
+
+    li = read_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.filter(h32(key) % 100 < 10).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
 def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink/source round-trip (native datasource since Spark 4;
     schema passed explicitly on read — never inferred)."""
@@ -399,6 +460,10 @@ QUERIES = {
     "revenue_by_part_type": q_revenue_by_part_type,
     "supplier_rank": q_supplier_rank,
     "grouped_topk_pandas": q_grouped_topk_pandas,
+    "intersect_except": q_intersect_except,
+    "scalar_subquery": q_scalar_subquery,
+    "window_ntile": q_window_ntile,
+    "hash_sample": q_hash_sample,
     "join_3way": q_join_3way,
     "join_left_semi": q_join_left_semi,
     "join_full_outer": q_join_full_outer,
@@ -502,6 +567,31 @@ ORACLE = {
                    ) AS rnk
             FROM customer
         ) WHERE rnk <= 3
+    """,
+    "intersect_except": """
+        (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+         INTERSECT
+         SELECT o_orderkey FROM orders WHERE o_orderdate >= DATE '1995-01-01')
+        EXCEPT
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    "scalar_subquery": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+            FROM orders
+        )
+    """,
+    "window_ntile": """
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    "hash_sample": """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE ('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 8))::BIGINT % 100 < 10
     """,
     "join_3way": """
         SELECT r_name AS region_name,
