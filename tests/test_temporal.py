@@ -150,6 +150,8 @@ def test_time_rollup_one_shuffle_all_grains(spark):
         ("day", "2024-01-01T00:00:00", 3, 7.0),
         ("day", "2024-01-02T00:00:00", 1, 8.0),
     }
+
+
 def test_asof_plan_has_no_join(trades, quotes):
     """The scale contract: as-of is window-based, not a join."""
     from lightlane_spark.plans.explain import plan_summary
@@ -157,3 +159,50 @@ def test_asof_plan_has_no_join(trades, quotes):
     s = plan_summary(asof_join(trades, quotes, "ts", ["sym"], ["price"]))
     assert "Join" not in s.text
     assert s.exchanges == 1
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized (seeded) cross-check against pandas.merge_asof —
+    an independent implementation of as-of semantics — in both
+    directions, including unmatched rows and equal timestamps."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    for case in range(5):
+        base = dt.datetime(2024, 1, 1)
+        lrows = [
+            (
+                i,
+                rng.choice("abc"),
+                base + dt.timedelta(seconds=rng.randrange(0, 500)),
+            )
+            for i in range(30)
+        ]
+        seen, rrows = set(), []
+        for _ in range(20):
+            key = rng.choice("abcd")
+            ts = base + dt.timedelta(seconds=rng.randrange(0, 500))
+            if (key, ts) not in seen:  # right unique per (by, ts)
+                seen.add((key, ts))
+                rrows.append((key, ts, float(len(seen))))
+        left = spark.createDataFrame(lrows, "lid long, k string, ts timestamp")
+        right = spark.createDataFrame(rrows, "k string, ts timestamp, val double")
+        lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+        rpd = pd.DataFrame(rrows, columns=["k", "ts", "val"]).sort_values("ts")
+        for direction in ("backward", "forward"):
+            got = {
+                (r.lid, r.val)
+                for r in asof_join(
+                    left, right, "ts", ["k"], ["val"], direction=direction
+                ).collect()
+            }
+            exp_pd = pd.merge_asof(
+                lpd, rpd, on="ts", by="k", direction=direction
+            )
+            exp = {
+                (int(r.lid), None if pd.isna(r.val) else float(r.val))
+                for r in exp_pd.itertuples()
+            }
+            assert got == exp, f"case {case} direction {direction}"
