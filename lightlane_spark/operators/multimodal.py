@@ -101,6 +101,89 @@ def decode_image_meta(
     )
 
 
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    use_real_extractor: bool = False,
+) -> DataFrame:
+    """Feature-extraction plumbing: binary payload → ``array<float>``
+    embedding via mapInPandas, the shape a CLIP/ResNet encoder uses
+    (model broadcast to executors, Arrow batches in, vectors out).
+
+    The real encoder is STUBBED (no torch in this container); the
+    deterministic fake derives a unit-norm vector from the payload's
+    md5 so the downstream similarity operators
+    (operators/similarity.py) run end-to-end on the output.
+    """
+    from lightlane_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            if use_real_extractor:
+                # STUB: load the broadcast model and encode here.
+                raise NotImplementedError(
+                    "real feature extraction requires torch/onnx — not in this container"
+                )
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                digest = hashlib.md5(bytes(payload)).digest()
+                # expand the 16-byte digest to `dim` centered floats
+                raw = [
+                    (digest[i % 16] ^ (31 * (i // 16))) / 255.0 - 0.5
+                    for i in range(dim)
+                ]
+                n = math.sqrt(sum(v * v for v in raw)) or 1.0
+                rows.append({"doc_id": doc_id, "embedding": [v / n for v in raw]})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feat_batches, schema=f"{id_col} bigint, embedding array<float>"
+    )
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Resize plumbing: payload → payload' with recorded target dims.
+
+    The byte transform is STUBBED (identity passthrough; a real
+    implementation decodes, resamples, re-encodes inside the pandas
+    fn) — schema, batching, and the payload-in/payload-out contract
+    are the real thing. Linear, no shuffle."""
+    from lightlane_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if use_real_decoder:
+                # STUB: decode → resample to (width, height) → re-encode.
+                raise NotImplementedError(
+                    "real resize requires PIL/libvips — not in this container"
+                )
+            out = pdf[[id_col, payload_col]].copy()
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize_batches,
+        schema=f"{id_col} bigint, {payload_col} binary, width int, height int",
+    )
+
+
 def sample_frames(
     df: DataFrame,
     every_n_bytes: int = 1024,

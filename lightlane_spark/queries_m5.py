@@ -225,6 +225,22 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs, every_n_bytes=64)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → embedding → similarity chain: extract (stub-fake)
+    features from binary payloads, then each probe's nearest neighbor.
+    Rows-only driver check (float32 vectors don't hash cross-engine);
+    unit tests pin determinism and self-match."""
+    from lightlane_spark.operators.multimodal import extract_features
+    from lightlane_spark.operators.similarity import topk_bruteforce
+
+    docs = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    feats = extract_features(docs, dim=16).withColumnRenamed("doc_id", "vec_id")
+    probes = feats.filter(F.col("vec_id") % 50 == 0)
+    return topk_bruteforce(feats, probes, k=3).select(
+        "query_id", "vec_id", "rank", F.round(F.col("sim"), 6).alias("sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming (extension — reference has none; SURVEY §2.5)
 # ---------------------------------------------------------------------------
@@ -292,6 +308,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
+    "multimodal_features": q_multimodal_features,
 }
 
 _SW = "('the','a','of','and','to','in','is','it')"

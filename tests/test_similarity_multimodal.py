@@ -92,3 +92,45 @@ def test_sample_frames_offsets(spark):
     df = spark.createDataFrame([(1, b"x" * 3000)], "doc_id: bigint, payload: binary")
     out = sample_frames(df, every_n_bytes=1024).collect()
     assert [r.frame_offset for r in out] == [0, 1024, 2048]
+
+
+def test_extract_features_feeds_similarity(spark, sf_dir):
+    from lightlane_spark.operators.multimodal import extract_features
+    from lightlane_spark.operators.similarity import topk_bruteforce
+
+    docs = read_table(spark, sf_dir, "documents").limit(30)
+    feats = extract_features(attach_binary_payload(docs), dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r.embedding) == 16
+        assert abs(sum(v * v for v in r.embedding) - 1.0) < 1e-5  # unit norm
+    # deterministic: same payload -> same vector
+    again = {r.doc_id: r.embedding for r in feats.collect()}
+    assert all(again[r.doc_id] == r.embedding for r in rows)
+    # the multimodal -> embedding -> search chain runs end-to-end
+    corpus = feats.withColumnRenamed("doc_id", "vec_id")
+    top = topk_bruteforce(corpus, corpus.limit(3), k=1).collect()
+    assert {(r.query_id, r.vec_id) for r in top} == {
+        (r.query_id, r.query_id) for r in top
+    }  # every probe's nearest neighbor is itself
+
+
+def test_extract_features_real_path_stubbed(spark, sf_dir):
+    from lightlane_spark.operators.multimodal import extract_features
+
+    docs = read_table(spark, sf_dir, "documents").limit(1)
+    with pytest.raises(Exception, match="NotImplementedError|real feature extraction"):
+        extract_features(
+            attach_binary_payload(docs), use_real_extractor=True
+        ).collect()
+
+
+def test_resize_image_plumbing(spark, sf_dir):
+    from lightlane_spark.operators.multimodal import resize_image
+
+    docs = read_table(spark, sf_dir, "documents").limit(5)
+    out = resize_image(attach_binary_payload(docs), 224, 224).collect()
+    assert len(out) == 5
+    for r in out:
+        assert (r.width, r.height) == (224, 224) and len(bytes(r.payload)) > 0
