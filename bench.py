@@ -42,6 +42,7 @@ HEADLINE = [
     "time_rollup",
     # M5 LLM-pipeline operators
     "minhash_lsh_pairs",
+    "neardup_clusters",
     "simhash_signatures",
     "ngram_jaccard",
     "ann_topk_bruteforce",

@@ -1,0 +1,141 @@
+"""Connected components for near-duplicate clustering.
+
+The missing last stage of a fuzzy-dedup pipeline: LSH/SimHash emit
+verified PAIRS, but dedup needs CLUSTERS (a, b near-dup and b, c
+near-dup => keep one of {a, b, c}). Pairs are edges; clusters are
+connected components; the canonical doc is the min id per component.
+
+Algorithm: alternating large-star / small-star contraction (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+Each round is two groupBy shuffles over the edge set; the edge set
+only shrinks (edges re-point at smaller labels), and convergence is
+O(log n) rounds even for pathological path graphs — this is the
+published cluster-scale algorithm, unlike naive label propagation
+whose round count is the graph diameter.
+
+Scale notes (100 TB corpus => billions of pairs):
+  - All state is the edge list itself — no driver-side structures;
+    the per-round actions are a count + hash checksum (two scalars).
+  - ``localCheckpoint`` truncates lineage each round so the plan does
+    not grow with iteration count (and AQE re-plans each round from
+    the materialized size).
+  - Near-dup graphs are overwhelmingly tiny cliques + isolated
+    nodes; rounds-to-converge is 2-3 in practice. The iteration cap
+    is a safety rail, not a tuning knob.
+
+Reference parity note: the reference (RickyXuPengfei/LightLane) has
+no clustering operator; this is a north-star M5 extension
+(SURVEY.md section 7.2 M5, dedup_fuzzy at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Undirected edge list -> distinct (u, v) with u < v, no loops."""
+    return (
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) + {u}); re-point every LARGER
+    neighbor at m. Emits (w, m) with m <= u < w."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nbrs = sym.groupBy("u").agg(F.collect_set("v").alias("ns"))
+    m = F.least(F.array_min("ns"), F.col("u"))
+    return (
+        nbrs.select(F.col("u"), m.alias("m"), F.explode("ns").alias("w"))
+        .filter(F.col("w") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("w").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge at its larger endpoint u; m = min of u's
+    smaller neighbors; re-point u and all its smaller neighbors at m.
+    Input/output edges satisfy u < v."""
+    nbrs = edges.groupBy("v").agg(F.collect_set("u").alias("ns"))
+    m = F.array_min("ns")  # all smaller than v by orientation
+    pts = F.array_union(F.array(F.col("v")), F.col("ns"))
+    return (
+        nbrs.select(m.alias("m"), F.explode(pts).alias("w"))
+        .filter(F.col("w") != F.col("m"))
+        .select(F.col("m").alias("u"), F.col("w").alias("v"))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(id, component) for every node in ``edges``; component = min
+    node id in the node's connected component.
+
+    One large-star + small-star contraction per round, converging when
+    the edge set's (count, checksum) fingerprint is stable. Each round
+    materializes via ``localCheckpoint`` — required for any iterative
+    DataFrame algorithm: it cuts the exponentially-growing lineage and
+    gives AQE true sizes to re-plan from.
+    """
+    e = _canonical_edges(edges, id_a, id_b).localCheckpoint()
+    prev = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).distinct().localCheckpoint()
+        fp = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("s"),
+        ).first()
+        cur = (fp["n"], fp["s"])
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint edges are stars (root=u < leaf=v). Component of a leaf
+    # is its root; roots (and only roots) never appear as v.
+    leaves = e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return leaves.unionByName(roots).distinct()
+
+
+def assign_components(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Attach a ``component`` column to every row of ``df``; rows whose
+    id is in no edge become singleton components (component = own id).
+
+    The components table is tiny relative to the corpus (only docs
+    that matched SOME near-dup pair), so the join broadcasts.
+    """
+    cc = connected_components(edges, id_a, id_b).withColumnRenamed("id", id_col)
+    return df.join(F.broadcast(cc), on=id_col, how="left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one canonical row (min id) per near-dup cluster: the
+    end-to-end fuzzy-dedup contract — pairs in, deduped corpus out."""
+    labeled = assign_components(df, edges, id_col)
+    return labeled.filter(F.col(id_col) == F.col("component")).drop("component")

@@ -128,3 +128,36 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_rolling": fingerprint_rolling(c),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / redaction (portable regex: RE2 and Java regex agree on
+# every construct used — \xNN classes, bounded quantifiers)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+CONTROL_RE = r"[\x00-\x1F]"
+
+
+def clean_text(text: Column | str) -> Column:
+    """Normalize whitespace: control chars → space, runs collapsed,
+    ends trimmed. The standard first pass of a corpus-cleaning
+    pipeline; pure codegen'd string ops, linear at 100 TB."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.regexp_replace(c, CONTROL_RE, " "), r"\s+", " "))
+
+
+def redact_pii(
+    text: Column | str,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """Replace email addresses then phone-like digit runs with typed
+    tokens. Regex-heuristic PII scrub (the standard pre-training
+    hygiene pass); swap in an NER model via mapInPandas for entity
+    classes regexes can't reach."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, email_token), PHONE_RE, phone_token
+    )

@@ -99,6 +99,65 @@ sig AS (
 )
 
 
+# Banding + candidate + exact-Jaccard verification over `sig`/`sh`
+# (shared by the pair query and the clustering queries).
+_VERIFIED_PAIRS_CTES = (
+    _MINHASH_CTES
+    + """,
+bands AS (
+    SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+           string_agg(minh, ',' ORDER BY seed) AS band_sig
+    FROM sig GROUP BY doc_id, band
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+    GROUP BY c.id_a, c.id_b
+),
+verified AS (
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.7
+)
+"""
+)
+
+# Transitive closure of the verified-pair graph: component = min
+# reachable id. The `r.lbl < e.v` guard prunes propagation to labels
+# that can still win (the component min always passes), keeping the
+# recursion linear instead of all-pairs.
+_CLUSTER_CTES = (
+    _VERIFIED_PAIRS_CTES
+    + """,
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM verified
+    UNION ALL
+    SELECT id_b, id_a FROM verified
+),
+reach AS (
+    SELECT doc_id AS u, doc_id AS lbl FROM corpus
+    UNION
+    SELECT e.v AS u, r.lbl FROM reach r JOIN edges e ON e.u = r.u
+    WHERE r.lbl < e.v
+),
+clusters AS (
+    SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u
+)
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -129,6 +188,38 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_md5("text").alias("fp_md5"))
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control-char normalization over a deliberately
+    dirtied corpus (control bytes + tab + space runs appended)."""
+    from lightlane_spark.operators.text import clean_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit("  \x01odd\tspacing   here ")).alias("text")
+    )
+    return dirty.select("doc_id", clean_text("text").alias("cleaned"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email + phone redaction over docs with synthetic PII appended
+    (deterministic per doc_id, same fixture in the oracle)."""
+    from lightlane_spark.operators.text import redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-0"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return with_pii.select("doc_id", redact_pii("text").alias("redacted"))
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -148,6 +239,30 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
     )
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: verified MinHash-LSH pairs -> connected
+    components (large-star/small-star) -> every corpus doc labeled
+    with its cluster id (singletons label themselves). The DuckDB
+    oracle computes the same components via a recursive CTE."""
+    from lightlane_spark.operators.clustering import assign_components
+    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
+    return assign_components(corpus, pairs).select("doc_id", "component")
+
+
+def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: keep the min-id canonical doc per
+    near-dup cluster."""
+    from lightlane_spark.operators.clustering import dedup_by_components
+    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
+    return dedup_by_components(corpus, pairs).select("doc_id")
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,9 +411,13 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_clean": q_text_clean,
+    "pii_redact": q_pii_redact,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "neardup_clusters": q_neardup_clusters,
+    "neardup_dedup": q_neardup_dedup,
     "simhash_signatures": q_simhash_signatures,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -388,6 +507,30 @@ ORACLE = {
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5
         FROM documents
     """,
+    "text_clean": """
+        WITH dirty AS (
+            SELECT doc_id,
+                   text || '  ' || chr(1) || 'odd' || chr(9) || 'spacing   here ' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F]', ' ', 'g'),
+                                   '\\s+', ' ', 'g')) AS cleaned
+        FROM dirty
+    """,
+    "pii_redact": """
+        WITH with_pii AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@mail.example.com or +1-555-0'
+                        || (doc_id % 1000) || ' now' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        FROM with_pii
+    """,
     "dedup_exact": f"""
         WITH {_CORPUS_CTE},
         keyed AS (
@@ -419,31 +562,16 @@ ORACLE = {
         GROUP BY doc_id, seed
     """,
     "minhash_lsh_pairs": f"""
-        WITH {_MINHASH_CTES},
-        bands AS (
-            SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-                   string_agg(minh, ',' ORDER BY seed) AS band_sig
-            FROM sig GROUP BY doc_id, band
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT c.id_a, c.id_b, count(*) AS n_inter
-            FROM cand c
-            JOIN sh sa ON sa.doc_id = c.id_a
-            JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
-            GROUP BY c.id_a, c.id_b
-        )
-        SELECT i.id_a, i.id_b,
-               round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
-        FROM inter i
-        JOIN sizes za ON za.doc_id = i.id_a
-        JOIN sizes zb ON zb.doc_id = i.id_b
-        WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) >= 0.7
+        WITH {_VERIFIED_PAIRS_CTES}
+        SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verified
+    """,
+    "neardup_clusters": f"""
+        WITH RECURSIVE {_CLUSTER_CTES}
+        SELECT doc_id, component FROM clusters
+    """,
+    "neardup_dedup": f"""
+        WITH RECURSIVE {_CLUSTER_CTES}
+        SELECT doc_id FROM clusters WHERE doc_id = component
     """,
     "simhash_signatures": f"""
         WITH {_CORPUS_CTE},

@@ -449,7 +449,67 @@ def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavor: revenue from lineitems whose quantity is
+    below 20% of their part's average quantity, rolled up per brand.
+    The correlated-avg subquery becomes an aggregate + re-join (one
+    extra shuffle keyed the same as the fact scan); part is
+    dim-sized → broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    # l_quantity values are integral doubles → the decimal sum is
+    # exact, so avg (sum/count) is bit-identical cross-engine.
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    small = li.join(avg_q, on="l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return (
+        small.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(28,2)")).cast("double") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: orders-per-customer distribution via LEFT join (so
+    zero-order customers land in bucket 0) with a join-side filter."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 flavor: parts whose revenue exceeds 0.1% of total
+    revenue — GROUP BY + HAVING against a scalar aggregate, expressed
+    as a 1-row broadcast join (no driver collect)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = li.groupBy("l_partkey").agg(_dec_sum(rev, "part_rev", 4))
+    total = li.agg(_dec_sum(rev, "t", 4)).select(
+        (F.col("t") * 0.001).alias("__thresh")
+    )
+    return (
+        per.join(F.broadcast(total))
+        .filter(F.col("part_rev") > F.col("__thresh"))
+        .select("l_partkey", "part_rev")
+    )
+
+
 QUERIES = {
+    "small_order_revenue": q_small_order_revenue,
+    "customer_order_counts": q_customer_order_counts,
+    "having_filter": q_having_filter,
     "dq_violations": q_dq_violations,
     "pivot": q_pivot,
     "unpivot": q_unpivot,

@@ -108,3 +108,75 @@ def test_ngram_jaccard_near_dups(spark, corpus):
     # dropping one word from an m-token doc keeps jaccard ≈ (m-3)/m ≥ 0.5
     # for all but the shortest docs
     assert found >= len(near_ids) * 0.8
+
+
+# ---------------------------------------------------------------------------
+# Connected components (near-dup clustering)
+# ---------------------------------------------------------------------------
+
+
+def _cc_dict(spark, pairs):
+    from lightlane_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(pairs, "id_a: bigint, id_b: bigint")
+    return {r.id: r.component for r in connected_components(edges).collect()}
+
+
+def test_cc_chain_merges_transitively(spark):
+    # a-b, b-c, c-d: one component even though a-d never paired
+    got = _cc_dict(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_separate_components_and_orientation(spark):
+    got = _cc_dict(spark, [(5, 2), (2, 9), (7, 8), (30, 30)])
+    assert got == {2: 2, 5: 2, 9: 2, 7: 7, 8: 7}  # self-loop dropped
+
+
+def test_cc_long_path_converges(spark):
+    # path graph 0-1-...-19: worst case for label propagation;
+    # star contraction must still converge inside the round cap
+    got = _cc_dict(spark, [(i, i + 1) for i in range(19)])
+    assert set(got.values()) == {0} and len(got) == 20
+
+
+def test_cc_empty_edges(spark):
+    from lightlane_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame([], "id_a: bigint, id_b: bigint")
+    assert connected_components(edges).count() == 0
+
+
+def test_assign_and_dedup_by_components(spark):
+    from lightlane_spark.operators.clustering import (
+        assign_components,
+        dedup_by_components,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id: bigint, text: string"
+    )
+    edges = spark.createDataFrame([(0, 3), (3, 5)], "id_a: bigint, id_b: bigint")
+    labeled = {r.doc_id: r.component for r in assign_components(df, edges).collect()}
+    assert labeled == {0: 0, 3: 0, 5: 0, 1: 1, 2: 2, 4: 4}
+    kept = sorted(r.doc_id for r in dedup_by_components(df, edges).collect())
+    assert kept == [0, 1, 2, 4]
+
+
+def test_cc_end_to_end_minhash_clusters(spark, corpus):
+    """exact dup (id+1e6) and near dup (id+2e6) of the same base doc
+    must land in ONE cluster keyed by the base id (when both exist and
+    the near-dup verifies)."""
+    from lightlane_spark.operators.clustering import assign_components
+    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
+
+    pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
+    labeled = assign_components(corpus, pairs)
+    comp = {r.doc_id: r.component for r in labeled.collect()}
+    merged = [
+        d for d in comp if d >= 2_000_000
+        and (d - 2_000_000) % 5 == 0 and comp[d] != d
+    ]
+    for d in merged:
+        base = d - 2_000_000
+        assert comp[d] == comp[base] == comp.get(base + 1_000_000, comp[base])
