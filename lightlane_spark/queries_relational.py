@@ -538,6 +538,41 @@ QUERIES = {
 }
 
 ORACLE = {
+    "small_order_revenue": """
+        WITH avgq AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p_brand,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem l
+        JOIN avgq a ON a.l_partkey = l.l_partkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < 0.2 * a.avg_qty
+        GROUP BY p_brand
+    """,
+    "customer_order_counts": """
+        WITH per AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist FROM per GROUP BY c_count
+    """,
+    "having_filter": """
+        WITH per AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS part_rev
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, part_rev FROM per
+        WHERE part_rev > (
+            SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) * 0.001
+            FROM lineitem
+        )
+    """,
     "dq_violations": """
         WITH dirty AS (
             SELECT o_orderkey,
