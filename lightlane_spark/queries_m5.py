@@ -325,6 +325,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization codes, exploded to integer rows (engine-exact
+    arithmetic; see operators/embeddings.py)."""
+    from lightlane_spark.operators.embeddings import quantize_codes
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return quantize_codes(emb)
+
+
+def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector max reconstruction error of the int8 round-trip
+    (bounded by scale/2 — the operator's contract)."""
+    from lightlane_spark.operators.embeddings import dequantize_error
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return dequantize_error(emb)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -425,6 +443,8 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_quantize": q_embedding_quantize,
+    "embedding_quantize_error": q_embedding_quantize_error,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
@@ -675,6 +695,38 @@ ORACLE = {
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) /
               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+    """,
+    "embedding_quantize": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        m AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM e
+        ),
+        x AS (
+            SELECT vec_id, scale,
+                   unnest(v) AS val,
+                   unnest(range(len(v))) AS pos
+            FROM m
+        )
+        SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+               CAST(CASE WHEN scale = 0 THEN 0 ELSE round(val / scale) END AS BIGINT) AS q,
+               round(scale, 9) AS scale
+        FROM x
+    """,
+    "embedding_quantize_error": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        m AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM e
+        )
+        SELECT vec_id,
+               round(list_max(list_transform(v,
+                   x -> abs(x - CASE WHEN scale = 0 THEN 0.0
+                                     ELSE round(x / scale) * scale END))), 9) AS max_abs_err,
+               round(scale, 9) AS scale
+        FROM m
     """,
     "multimodal_decode": """
         WITH m AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents)

@@ -506,7 +506,22 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per event type — the sketch
+    path for 100 TB cardinality (fixed-size state, one pass, no
+    count-distinct shuffle explosion). No SQL oracle: sketch estimates
+    are engine-specific; the ±5%-of-exact tolerance contract lives in
+    tests/test_quality.py, and the exact-count twin is
+    ``distinct_agg``."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 QUERIES = {
+    "approx_distinct": q_approx_distinct,
     "small_order_revenue": q_small_order_revenue,
     "customer_order_counts": q_customer_order_counts,
     "having_filter": q_having_filter,

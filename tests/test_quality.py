@@ -61,3 +61,25 @@ def test_uniqueness_and_containment(spark, sf_dir):
     orphan = spark.createDataFrame([(999999,)], "o_custkey: bigint")
     bad = orders.select("o_custkey").unionByName(orphan)
     assert assert_contained(bad, customer, ["o_custkey"], ["c_custkey"]).count() == 1
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """HLL++ (rsd=2%) must land within ±5% of exact per-group distinct
+    counts on real data — the contract backing the rows-only driver
+    query `approx_distinct`."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    got = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert abs(r.approx - r.exact) <= max(0.05 * r.exact, 2)
