@@ -89,6 +89,42 @@ def q_groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_groupby_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (orderstatus, orderpriority): all 2^k grouping sets —
+    completes the grouping-sets family next to ROLLUP."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("o_totalprice"), "sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, events in the preceding hour
+    (inclusive) at each event — sliding-window analytics without a
+    self-join; one shuffle keyed by user."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
 def q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions beyond row_number: rank within customer by
     price, lag of previous order date (gap analysis)."""
@@ -543,6 +579,8 @@ QUERIES = {
     "join_left_semi": q_join_left_semi,
     "join_full_outer": q_join_full_outer,
     "groupby_rollup": q_groupby_rollup,
+    "groupby_cube": q_groupby_cube,
+    "window_range_frame": q_window_range_frame,
     "window_rank_lag": q_window_rank_lag,
     "window_running_sum": q_window_running_sum,
     "topk_per_group": q_topk_per_group,
@@ -724,6 +762,23 @@ ORACLE = {
                COALESCE(price_a, -1.0) AS price_a,
                COALESCE(price_b, -1.0) AS price_b
         FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+    "groupby_cube": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "window_range_frame": """
+        SELECT event_id, user_id,
+               count(*) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ) AS n_last_hour
+        FROM events
     """,
     "groupby_rollup": """
         SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

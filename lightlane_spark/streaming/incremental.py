@@ -185,3 +185,129 @@ def drain_until(query, condition, timeout_sec: int = 120, poll_sec: float = 1.0)
     finally:
         if query.isActive:
             query.stop()
+
+
+def streaming_neardup_ingest(
+    stream_df: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    sim_threshold: float = 0.7,
+    trigger_available_now: bool = True,
+):
+    """Continuous near-dup-filtered ingestion: each micro-batch of
+    documents is MinHash-deduped against the ALREADY-ACCEPTED corpus
+    before landing.
+
+    Per batch (foreachBatch):
+      1. signatures for the batch (one shuffle over batch shingles);
+      2. LSH band keys for batch + accepted index (band keys derive
+         from stored signatures by pure projection — the index stores
+         only (id, sig), ~128 B/doc at the defaults);
+      3. candidates = bucket collisions (batch x index, plus in-batch
+         pairs); similarity = fraction of agreeing minhashes (the
+         unbiased Jaccard estimate) via one zip_with — no shingle
+         storage, no re-tokenization of old docs;
+      4. batch docs matching an accepted doc (or a smaller-id batch
+         doc) at >= sim_threshold are rejected; survivors append to
+         corpus and index.
+
+    Scale: index lookups are equi-joins on (band, band_sig) — the
+    accepted-index side shuffles once per batch; at 10^9 accepted docs
+    the index is ~100 GB, bucket-partitioned storage keeps per-batch
+    work proportional to collision count, not corpus size. Greedy
+    pair rule within a batch (min-id wins) — full transitive
+    clustering is the batch operator (operators/clustering.py).
+
+    Parquet appends in foreachBatch are at-least-once under task
+    retry; use an ACID table format for exactly-once at production
+    scale (the checkpoint makes whole-batch replays idempotent-ish
+    but not partial-task failures).
+    """
+    from lightlane_spark.operators.fuzzy_dedup import (
+        lsh_band_keys,
+        minhash_signature_arrays,
+        shingle,
+    )
+
+    rows_per_band = num_hashes // bands
+
+    def _sig_match(a, b):
+        eq = F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0))
+        return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        if batch_df.isEmpty():
+            return
+        sh = shingle(batch_df, text_col, id_col, k, distinct=False)
+        sigs = minhash_signature_arrays(sh, id_col, num_hashes).persist()
+        new_keys = lsh_band_keys(sigs, id_col, bands, rows_per_band)
+        try:
+            old_sigs = spark.read.parquet(index_path)
+            old_keys = lsh_band_keys(old_sigs, id_col, bands, rows_per_band)
+        except Exception:
+            old_sigs = old_keys = None
+
+        # candidate (new, other) pairs: vs accepted corpus...
+        cand = None
+        if old_keys is not None:
+            cand = (
+                new_keys.select(F.col(id_col).alias("id_new"), "band", "band_sig")
+                .join(
+                    old_keys.select(F.col(id_col).alias("id_old"), "band", "band_sig"),
+                    on=["band", "band_sig"],
+                )
+                .select("id_new", F.col("id_old").alias("id_other"))
+            )
+        # ...plus in-batch pairs (smaller id wins)
+        in_batch = (
+            new_keys.select(F.col(id_col).alias("id_new"), "band", "band_sig")
+            .join(
+                new_keys.select(F.col(id_col).alias("id_other"), "band", "band_sig"),
+                on=["band", "band_sig"],
+            )
+            .filter(F.col("id_other") < F.col("id_new"))
+            .select("id_new", "id_other")
+        )
+        cand = in_batch if cand is None else cand.unionByName(in_batch)
+        cand = cand.distinct()
+
+        sig_pool = sigs if old_sigs is None else sigs.unionByName(old_sigs)
+        matched = (
+            cand.join(
+                sigs.select(F.col(id_col).alias("id_new"), F.col("sig").alias("__sn")),
+                on="id_new",
+            )
+            .join(
+                sig_pool.select(
+                    F.col(id_col).alias("id_other"), F.col("sig").alias("__so")
+                ),
+                on="id_other",
+            )
+            .filter(_sig_match(F.col("__sn"), F.col("__so")) >= sim_threshold)
+            .select("id_new")
+            .distinct()
+        )
+        novel = batch_df.join(
+            matched.withColumnRenamed("id_new", id_col), on=id_col, how="left_anti"
+        ).persist()
+        novel.write.mode("append").parquet(corpus_path)
+        sigs.join(novel.select(id_col), on=id_col, how="left_semi").write.mode(
+            "append"
+        ).parquet(index_path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
