@@ -158,3 +158,36 @@ def fan_out(df: DataFrame, sinks: list[Callable[[DataFrame], Any]]) -> None:
             sink(cached)
     finally:
         cached.unpersist()
+
+
+def chunk_text_udtf(chunk_size: int = 32, stride: int = 24):
+    """Python UDTF (Spark 4): split a document into overlapping
+    fixed-size word windows — LLM context-window chunking / sequence
+    packing. One chunk starts at every multiple of ``stride`` below
+    the word count, so consecutive chunks overlap by
+    ``chunk_size - stride`` words.
+
+    The UDTF is the Spark-4-native face of the reference's
+    row→many-rows Transformer hook (LightLane/transformer.py:11-16,
+    handler emit loop csv_handler.py:80-90) — same surface, but
+    table-valued and registered in the SQL catalog; use it via
+    ``LATERAL``. Scale: per-row generator, no state, embarrassingly
+    parallel; prefer the pure-SQL `F.sequence`+`slice` form
+    (operators/fuzzy_dedup.py::shingle pattern) when the chunk rule
+    is expressible — the UDTF exists for rules that aren't.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk: string, n_words: int")
+    class ChunkText:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = text.split(" ")
+            idx = 0
+            for start in range(0, len(words), stride):
+                part = words[start : start + chunk_size]
+                yield idx, " ".join(part), len(part)
+                idx += 1
+
+    return ChunkText

@@ -225,6 +225,22 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via Python UDTF + LATERAL: 32-word
+    chunks, stride 24 (8-word overlap)."""
+    from lightlane_spark.operators.transform import chunk_text_udtf
+
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_for_chunking")
+    spark.udtf.register("ll_chunk_text", chunk_text_udtf(32, 24))
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM __docs_for_chunking d, LATERAL ll_chunk_text(d.text) c
+        """
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs_with_dups(spark, sf_dir)).select("doc_id")
 
@@ -430,6 +446,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_clean": q_text_clean,
+    "chunk_documents": q_chunk_documents,
     "pii_redact": q_pii_redact,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -537,6 +554,18 @@ ORACLE = {
                trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F]', ' ', 'g'),
                                    '\\s+', ' ', 'g')) AS cleaned
         FROM dirty
+    """,
+    "chunk_documents": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        starts AS (
+            SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(s // 24 AS INTEGER) AS chunk_idx,
+               array_to_string(t[s+1 : s+32], ' ') AS chunk,
+               CAST(least(32, len(t) - s) AS INTEGER) AS n_words
+        FROM starts
     """,
     "pii_redact": """
         WITH with_pii AS (

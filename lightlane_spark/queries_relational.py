@@ -556,7 +556,24 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured querying via the VARIANT type (Spark 4):
+    parse_json once, typed variant_get extraction, then relational agg
+    on top. VARIANT keeps the binary-parsed form through the plan —
+    no re-parsing per extraction, unlike get_json_object chains."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES = {
+    "variant_extract": q_variant_extract,
     "approx_distinct": q_approx_distinct,
     "small_order_revenue": q_small_order_revenue,
     "customer_order_counts": q_customer_order_counts,
@@ -762,6 +779,12 @@ ORACLE = {
                COALESCE(price_a, -1.0) AS price_a,
                COALESCE(price_b, -1.0) AS price_b
         FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+    "variant_extract": """
+        SELECT event_type,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
     """,
     "groupby_cube": """
         SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

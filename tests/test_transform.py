@@ -90,3 +90,26 @@ def test_grouped_apply_per_group_frames(spark):
 
     out = grouped_apply(df, ["grp"], top2, "grp string, id bigint, v double")
     assert {(r.grp, r.id) for r in out.collect()} == {("a", 2), ("a", 3), ("b", 4)}
+
+
+def test_chunk_text_udtf_edges(spark):
+    from lightlane_spark.operators.transform import chunk_text_udtf
+
+    spark.udtf.register("t_chunk", chunk_text_udtf(4, 3))
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x"), (3, "")],
+        "doc_id: bigint, text: string",
+    )
+    df.createOrReplaceTempView("__chunk_edges")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk, r.n_words)
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM __chunk_edges d, LATERAL t_chunk(d.text) c"
+        ).collect()
+    }
+    # 8 words, size 4, stride 3 -> starts 0,3,6
+    assert got[(1, 0)] == ("a b c d", 4)
+    assert got[(1, 1)] == ("d e f g", 4)
+    assert got[(1, 2)] == ("g h", 2)
+    assert got[(2, 0)] == ("x", 1)
+    assert got[(3, 0)] == ("", 1)  # split('') -> [''] like the SQL form
