@@ -57,3 +57,44 @@ def test_filter_pushdown_survives_pipeline(spark, sf_dir):
     ps = plan_summary(df)
     assert any("l_quantity" in f for f in ps.pushed_filters)
     assert ps.scan_reads_only({"l_orderkey", "l_quantity"}), ps.read_schemas
+
+
+def test_small_order_revenue_broadcasts_part(spark, sf_dir):
+    """The dim-sized part table must broadcast; the correlated-avg
+    subquery re-join shuffles on l_partkey only."""
+    from lightlane_spark.queries_relational import q_small_order_revenue
+
+    ps = plan_summary(q_small_order_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in ps.text
+    assert "CartesianProduct" not in ps.text
+
+
+def test_having_filter_scalar_is_broadcast_not_cartesian(spark, sf_dir):
+    """HAVING vs a 1-row scalar aggregate must be a broadcast
+    nested-loop against ONE row — no shuffle of the per-part aggs
+    beyond their own groupBy, and never a real cartesian blowup."""
+    from lightlane_spark.queries_relational import q_having_filter
+
+    ps = plan_summary(q_having_filter(spark, sf_dir))
+    assert "CartesianProduct" not in ps.text
+
+
+def test_window_range_frame_single_shuffle(spark, sf_dir):
+    """RANGE-frame window = one Exchange keyed by user_id, one Window
+    node — no self-join shape."""
+    from lightlane_spark.queries_relational import q_window_range_frame
+
+    ps = plan_summary(q_window_range_frame(spark, sf_dir))
+    assert ps.text.count("Window") >= 1
+    assert ps.exchanges == 1, ps.text[:800]
+    assert "Join" not in ps.text
+
+
+def test_quantize_codes_map_only(spark, sf_dir):
+    """Quantization must be a pure projection over the scan — zero
+    Exchanges (the whole point: linear, shuffle-free at 100 TB)."""
+    from lightlane_spark.operators.embeddings import quantize_codes
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ps = plan_summary(quantize_codes(emb))
+    assert ps.exchanges == 0, ps.text[:800]
