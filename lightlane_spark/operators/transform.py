@@ -191,3 +191,30 @@ def chunk_text_udtf(chunk_size: int = 32, stride: int = 24):
                 idx += 1
 
     return ChunkText
+
+
+def stratified_sample(
+    df,
+    stratum_col: str,
+    fractions: dict,
+    key_col: str = "doc_id",
+    default: float = 1.0,
+):
+    """Deterministic per-stratum sampling: keep a row iff
+    portable-hash(key) % 10000 < stratum_fraction * 10000.
+
+    The corpus-rebalancing primitive (downsample dominant languages /
+    sources, keep rare ones whole). Same keys sampled across engines,
+    runs, and partitionings — reproducible pipelines, and join-safe
+    (sample both sides of a join identically). Map-only: no shuffle,
+    no driver involvement, linear at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.functions.hashing import h32
+
+    pct = h32(F.col(key_col).cast("string")) % 10000
+    rate = F.lit(int(default * 10000))
+    for stratum, frac in sorted(fractions.items()):
+        rate = F.when(F.col(stratum_col) == stratum, int(frac * 10000)).otherwise(rate)
+    return df.filter(pct < rate)

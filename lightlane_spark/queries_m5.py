@@ -220,6 +220,54 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pii.select("doc_id", redact_pii("text").alias("redacted"))
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 corpus tokens with deterministic
+    rank (count desc, token asc). The global window runs over the
+    vocab-sized count table, not the corpus — fine at any scale."""
+    from pyspark.sql import Window
+
+    from lightlane_spark.operators.text import tokenize
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter("rank <= 100")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: language-stratified deterministic sampling
+    (downsample 'en' to 30%, keep other strata whole)."""
+    from lightlane_spark.operators.text import language_id
+    from lightlane_spark.operators.transform import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_lang = docs.withColumn("lang", language_id("text"))
+    return stratified_sample(
+        with_lang, "lang", {"en": 0.3}, key_col="doc_id", default=1.0
+    ).select("doc_id", "lang")
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus-prep composition: clean → quality-filter →
+    exact-dedup → token-count. Each stage is an independently
+    oracle-checked operator; this query pins the COMPOSITION."""
+    from lightlane_spark.operators.text import (
+        clean_text,
+        quality_score,
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cleaned = docs.select("doc_id", clean_text("text").alias("text"))
+    good = cleaned.filter(quality_score("text") >= 0.75)
+    deduped = dedup_exact(good)
+    return deduped.select("doc_id", token_count("text").alias("n_tokens"))
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -447,6 +495,9 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_clean": q_text_clean,
     "chunk_documents": q_chunk_documents,
+    "vocab_topk": q_vocab_topk,
+    "stratified_sample": q_stratified_sample,
+    "corpus_prep": q_corpus_prep,
     "pii_redact": q_pii_redact,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -579,6 +630,78 @@ ORACLE = {
                    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                    '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
         FROM with_pii
+    """,
+    "vocab_topk": """
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        SELECT tok, cnt, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank FROM c
+        ) WHERE rank <= 100
+    """,
+    "stratified_sample": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text,' '), x -> x IN {_SW})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_en,
+                   len(list_filter(string_split(text,' '), x -> x IN {_SW_DE})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_de,
+                   len(list_filter(string_split(text,' '), x -> x IN {_SW_ES})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_es,
+                   len(list_filter(string_split(text,' '), x -> x IN {_SW_FR})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_fr
+            FROM documents
+        ),
+        langed AS (
+            SELECT doc_id,
+                   CASE WHEN greatest(r_en,r_de,r_es,r_fr) = 0 THEN 'und'
+                        WHEN r_en = greatest(r_en,r_de,r_es,r_fr) THEN 'en'
+                        WHEN r_de = greatest(r_en,r_de,r_es,r_fr) THEN 'de'
+                        WHEN r_es = greatest(r_en,r_de,r_es,r_fr) THEN 'es'
+                        WHEN r_fr = greatest(r_en,r_de,r_es,r_fr) THEN 'fr'
+                        ELSE 'und' END AS lang
+            FROM m
+        )
+        SELECT doc_id, lang FROM langed
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+              < CASE WHEN lang = 'en' THEN 3000 ELSE 10000 END
+    """,
+    "corpus_prep": f"""
+        WITH cleaned AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1F]', ' ', 'g'),
+                                       '\\s+', ' ', 'g')) AS text
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id,
+                   0.25 * (CASE WHEN n_toks >= 10 AND n_toks <= 100000 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (n_alpha / n_chars)
+                 + 0.25 * (CASE WHEN (n_sw / n_toks) > 0.01 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN (n_chars / n_toks) >= 2 AND (n_chars / n_toks) <= 12 THEN 1.0 ELSE 0.0 END)
+                   AS quality
+            FROM (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+                       CAST(length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS DOUBLE) AS n_alpha,
+                       CAST(len(list_filter(string_split(text, ' '), x -> x IN {_SW})) AS DOUBLE) AS n_sw
+                FROM cleaned
+            )
+        ),
+        good AS (
+            SELECT c.doc_id, c.text FROM cleaned c JOIN q ON q.doc_id = c.doc_id
+            WHERE q.quality >= 0.75
+        ),
+        keyed AS (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM good
+        ),
+        kept AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM keyed
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM kept
     """,
     "dedup_exact": f"""
         WITH {_CORPUS_CTE},
