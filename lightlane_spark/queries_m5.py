@@ -422,6 +422,22 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(docs, every_n_bytes=64)
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (mapInPandas, payload-in/payload-out; byte
+    transform stubbed as identity): integer projection of the result
+    so the Arrow round-trip is oracle-checkable."""
+    from lightlane_spark.operators.multimodal import resize_image
+
+    docs = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    out = resize_image(docs, 224, 224)
+    return out.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        "width",
+        "height",
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal → embedding → similarity chain: extract (stub-fake)
     features from binary payloads, then each probe's nearest neighbor.
@@ -514,6 +530,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "embedding_quantize_error": q_embedding_quantize_error,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
 }
@@ -888,6 +905,11 @@ ORACLE = {
                CAST(64 + ((n * 7) % 480) AS INTEGER) AS height,
                md5(text) AS checksum
         FROM m
+    """,
+    "multimodal_resize": """
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+               CAST(224 AS INTEGER) AS width, CAST(224 AS INTEGER) AS height
+        FROM documents
     """,
     "frame_sample": """
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -572,8 +572,27 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join, verified invisible in results: orders
+    (salted per-row) ⋈ customer (replicated ×8 salts) on custkey,
+    revenue per market segment. The oracle is the PLAIN join — salting
+    must change the shuffle shape only, never the answer."""
+    from lightlane_spark.operators.skew import salted_join
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(o, c, on=["c_custkey"], buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "variant_extract": q_variant_extract,
+    "salted_join": q_salted_join,
     "approx_distinct": q_approx_distinct,
     "small_order_revenue": q_small_order_revenue,
     "customer_order_counts": q_customer_order_counts,
@@ -779,6 +798,13 @@ ORACLE = {
                COALESCE(price_a, -1.0) AS price_a,
                COALESCE(price_b, -1.0) AS price_b
         FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+    "salted_join": """
+        SELECT c_mktsegment,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
+               count(*) AS n
+        FROM orders JOIN customer ON customer.c_custkey = orders.o_custkey
+        GROUP BY c_mktsegment
     """,
     "variant_extract": """
         SELECT event_type,
