@@ -161,3 +161,46 @@ def redact_pii(
     return F.regexp_replace(
         F.regexp_replace(c, EMAIL_RE, email_token), PHONE_RE, phone_token
     )
+
+
+def dup_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+    """Fraction of repeated word n-grams within the document —
+    the Gopher-style intra-document repetition signal (high values ⇒
+    boilerplate/spam). 1 - |distinct grams| / |grams|; 0.0 for docs
+    too short to have a gram. Pure array ops, map-only."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    frac = 1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
+    return F.when(F.size(toks) < n, F.lit(0.0)).otherwise(frac)
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Decontamination probe: corpus doc ids sharing ANY word k-gram
+    with the benchmark set (the standard n-gram-overlap test-set leak
+    check, k=8 following common practice).
+
+    Scale shape: benchmark gram sets are tiny (test suites, not
+    corpora) → broadcast semi-join against the corpus gram stream;
+    the corpus side is a map-only shingle scan, no corpus shuffle.
+    """
+    from lightlane_spark.operators.fuzzy_dedup import shingle
+
+    bench_grams = shingle(benchmark, text_col, id_col, k, distinct=False).select(
+        "sh"
+    ).distinct()
+    corpus_grams = shingle(corpus, text_col, id_col, k, distinct=False)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), on="sh", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )

@@ -220,6 +220,31 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pii.select("doc_id", redact_pii("text").alias("redacted"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition: duplicate 2-gram and
+    3-gram fractions per doc (boilerplate/spam signal)."""
+    from lightlane_spark.operators.text import dup_ngram_fraction
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(dup_ngram_fraction("text", 2), 6).alias("dup_2gram_frac"),
+        F.round(dup_ngram_fraction("text", 3), 6).alias("dup_3gram_frac"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 8-gram with
+    the 'benchmark' fixture (every 97th doc). Benchmark grams
+    broadcast; corpus side map-only."""
+    from lightlane_spark.operators.text import contaminated_ids
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contaminated_ids(corpus, benchmark, k=8)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary building: top-100 corpus tokens with deterministic
     rank (count desc, token asc). The global window runs over the
@@ -512,6 +537,8 @@ QUERIES = {
     "text_clean": q_text_clean,
     "chunk_documents": q_chunk_documents,
     "vocab_topk": q_vocab_topk,
+    "repetition_stats": q_repetition_stats,
+    "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "corpus_prep": q_corpus_prep,
     "pii_redact": q_pii_redact,
@@ -647,6 +674,33 @@ ORACLE = {
                    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                    '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
         FROM with_pii
+    """,
+    "repetition_stats": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (
+            SELECT doc_id, t,
+                   list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) AS g2,
+                   list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' ')) AS g3
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN len(t) < 2 THEN 0.0
+                    ELSE round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS dup_2gram_frac,
+               CASE WHEN len(t) < 3 THEN 0.0
+                    ELSE round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END AS dup_3gram_frac
+        FROM g
+    """,
+    "decontaminate": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        grams AS (
+            SELECT doc_id, array_to_string(t[i:i+7], ' ') AS sh
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) idx
+            WHERE len(t) >= 8
+        ),
+        bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 97 = 0)
+        SELECT DISTINCT g.doc_id
+        FROM grams g JOIN bench b ON g.sh = b.sh
+        WHERE g.doc_id % 97 <> 0
     """,
     "vocab_topk": """
         WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
