@@ -49,6 +49,12 @@ HEADLINE = [
     "embedding_neardup",
     "text_quality",
     "dedup_exact",
+    # corpus-prep breadth
+    "corpus_prep",
+    "chunk_documents",
+    "decontaminate",
+    "variant_extract",
+    "window_range_frame",
 ]
 
 

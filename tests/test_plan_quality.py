@@ -98,3 +98,16 @@ def test_quantize_codes_map_only(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     ps = plan_summary(quantize_codes(emb))
     assert ps.exchanges == 0, ps.text[:800]
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become PartitionFilters
+    on the scan (directory pruning) — not a post-scan Filter over all
+    partitions."""
+    ev = read_table(spark, sf_dir, "events").limit(2000)
+    path = str(tmp_path / "ev_part")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    ps = plan_summary(back)
+    assert "PartitionFilters" in ps.text
+    assert "event_type" in ps.text.split("PartitionFilters", 1)[1][:200]

@@ -113,3 +113,25 @@ def test_chunk_text_udtf_edges(spark):
     assert got[(1, 2)] == ("g h", 2)
     assert got[(2, 0)] == ("x", 1)
     assert got[(3, 0)] == ("", 1)  # split('') -> [''] like the SQL form
+
+
+def test_permissive_corrupt_json_quarantine(spark, tmp_path):
+    """Read-side error-row handling (OP-17's ingest face): PERMISSIVE
+    JSON read routes malformed rows to _corrupt_record; quarantine
+    splits them into an auditable sink instead of silently dropping."""
+    import json as _json
+
+    p = tmp_path / "mixed.json"
+    lines = [_json.dumps({"id": 1, "v": 10}), "{not valid json!", _json.dumps({"id": 3, "v": 30})]
+    p.write_text("\n".join(lines))
+    df = (
+        spark.read.schema("id bigint, v bigint, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # required: corrupt-record column can't be queried alone otherwise
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    assert bad.count() == 1 and "not valid" in bad.first()["_corrupt_record"]
