@@ -69,3 +69,53 @@ def row_count_stat(spark: SparkSession, table: str) -> int | None:
                 if part.endswith("rows"):
                     return int(part.split()[0])
     return None
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data profile: (column, n_nulls, n_distinct, min_val,
+    max_val) for numeric columns — the profiling depth behind stats
+    refresh (OP-32; reference only triggers engine stats,
+    hive_impala.py:49-58 — this computes them engine-side).
+
+    One pass: all aggregates in a single groupBy-less agg (Spark plans
+    multiple count-distincts via one Expand), then an in-plan unpivot
+    to rows. min/max stay numeric (string-casting them would make the
+    output engine-formatting-dependent).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    num_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, num_types)
+        and (columns is None or f.name in columns)
+    ]
+    if not cols:
+        raise ValueError("no numeric columns to profile")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    row_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_val"),
+                F.col(f"__mx_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(row_structs).alias("p")).select("p.*")

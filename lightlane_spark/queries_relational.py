@@ -590,9 +590,21 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric profile of lineitem (nulls, distincts,
+    min/max per column)."""
+    from lightlane_spark.catalog import profile_columns
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li, ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 QUERIES = {
     "variant_extract": q_variant_extract,
     "salted_join": q_salted_join,
+    "table_profile": q_table_profile,
     "approx_distinct": q_approx_distinct,
     "small_order_revenue": q_small_order_revenue,
     "customer_order_counts": q_customer_order_counts,
@@ -798,6 +810,24 @@ ORACLE = {
                COALESCE(price_a, -1.0) AS price_a,
                COALESCE(price_b, -1.0) AS price_b
         FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+    "table_profile": """
+        SELECT 'l_orderkey' AS "column", count(*) - count(l_orderkey) AS n_nulls,
+               count(DISTINCT l_orderkey) AS n_distinct,
+               CAST(min(l_orderkey) AS DOUBLE) AS min_val, CAST(max(l_orderkey) AS DOUBLE) AS max_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', count(*) - count(l_quantity), count(DISTINCT l_quantity),
+               CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*) - count(l_extendedprice), count(DISTINCT l_extendedprice),
+               CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*) - count(l_discount), count(DISTINCT l_discount),
+               CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', count(*) - count(l_tax), count(DISTINCT l_tax),
+               CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE) FROM lineitem
     """,
     "salted_join": """
         SELECT c_mktsegment,
