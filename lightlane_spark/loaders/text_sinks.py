@@ -51,8 +51,11 @@ def write_csv(
     null_token: str = "",
     encoding: str = "UTF-8",
     mode: str = "overwrite",
+    **options: str,
 ) -> None:
-    """OP-18: quoted-CSV sink with the reference handler's knobs."""
+    """OP-18: quoted-CSV sink with the reference handler's knobs.
+    Extra writer options (timestampFormat, compression, ...) pass
+    through to the Spark CSV writer."""
     (
         serialize_complex_columns(df)
         .write.mode(mode)
@@ -63,6 +66,7 @@ def write_csv(
             nullValue=null_token,
             encoding=encoding,
             escape='"',  # RFC-4180 doubled-quote escaping
+            **options,
         )
         .csv(path)
     )
@@ -76,10 +80,12 @@ def read_csv(
     delimiter: str = ",",
     null_token: str = "",
     multi_line: bool = True,
+    **options: str,
 ) -> DataFrame:
     """``multi_line=True`` parses quoted embedded newlines/CRs
     correctly but makes files non-splittable (one task per file) —
-    disable it for scale when values are known newline-free."""
+    disable it for scale when values are known newline-free. Extra
+    reader options pass through to the Spark CSV reader."""
     return (
         spark.read.schema(schema)
         .options(
@@ -88,6 +94,7 @@ def read_csv(
             nullValue=null_token,
             escape='"',
             multiLine=multi_line,
+            **options,
         )
         .csv(path)
     )

@@ -62,3 +62,54 @@ def test_split_options_never_emit_partial_config(lower, upper, splits):
     assert present == quad or present == set()
     if present:
         assert lower is not None and upper is not None and splits > 1
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs a driver-side union-find reference
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, then label by component min
+    comp = {}
+    for n in list(parent):
+        root = find(n)
+        comp.setdefault(root, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """Star-contraction CC must agree with a union-find oracle on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from lightlane_spark.operators.clustering import connected_components
+
+    expected = _union_find_components([(a, b) for a, b in edges if a != b])
+    df = spark.createDataFrame(edges, "id_a: bigint, id_b: bigint")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == expected
