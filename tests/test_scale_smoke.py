@@ -1,0 +1,58 @@
+"""Scale smoke (gated: SPARK_GRAFT_SCALE_SMOKE=1): the fuzzy-dedup
+chain on an amplified corpus — ~125k docs built by replicating sf0.1
+documents x25 with per-copy mutations. Verifies the pipeline's
+super-linear terms stay bounded (bucket caps hold) and end-to-end
+wall time stays in linear-ish territory on local[32].
+
+Not part of the default suite (driver runs tests at sf0.001); run
+manually, results recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
+    reason="scale smoke is opt-in (SPARK_GRAFT_SCALE_SMOKE=1)",
+)
+
+
+def test_minhash_cc_at_125k_docs(spark):
+    from lightlane_spark.operators.clustering import connected_components
+    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = spark.range(25).withColumnRenamed("id", "copy")
+    # copy 0 keeps the text verbatim (a true duplicate of the base);
+    # other copies get a distinct leading token (near-dup family)
+    corpus = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * 100 + F.col("copy")).alias("doc_id"),
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(F.concat(F.concat_ws("", F.lit("tok"), F.col("copy")), F.lit(" "), F.col("text")))
+            .alias("text"),
+        )
+    )
+    n = corpus.count()
+    assert n == 125_000
+    t0 = time.monotonic()
+    pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    n_nodes, n_comps = cc.agg(
+        F.count("*").alias("n"), F.countDistinct("component").alias("c")
+    ).first()
+    wall = time.monotonic() - t0
+    # every base doc spawns a 25-member near-dup family -> huge pair
+    # count; clusters must form and the run must stay minutes-scale
+    assert n_nodes > 50_000
+    assert n_comps < n_nodes / 5
+    assert wall < 600, f"scale smoke too slow: {wall:.0f}s"
+    print(f"SCALE_SMOKE docs={n} paired_nodes={n_nodes} components={n_comps} wall={wall:.1f}s")
