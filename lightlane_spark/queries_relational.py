@@ -590,6 +590,59 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER completing the join matrix: per-supplier shipped
+    quantity, keeping suppliers with no lineitems (coalesced to 0)."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(_dec_sum(F.col("l_quantity"), "qty"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return li.join(s, li["l_suppkey"] == s["s_suppkey"], "right").select(
+        s["s_suppkey"], F.coalesce("qty", F.lit(0.0)).alias("total_qty")
+    )
+
+
+def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (dim × dim grid) — tiny sides only; the
+    plan is a broadcast nested loop, never a shuffled cartesian."""
+    r = read_table(spark, sf_dir, "region").select("r_name")
+    n = read_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over full-partition frames: each order
+    alongside its customer's first and last order date."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderdate").over(w).alias("first_date"),
+        F.last("o_orderdate").over(w).alias("last_date"),
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family: month truncation, day diff from an
+    anchor, month arithmetic with end-of-month clamping, last_day."""
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since"),
+        F.add_months(d, 2).alias("plus_two_months"),
+        F.last_day(d).alias("month_end"),
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass numeric profile of lineitem (nulls, distincts,
     min/max per column)."""
@@ -605,6 +658,10 @@ QUERIES = {
     "variant_extract": q_variant_extract,
     "salted_join": q_salted_join,
     "table_profile": q_table_profile,
+    "join_right_outer": q_join_right_outer,
+    "cross_join_grid": q_cross_join_grid,
+    "window_first_last": q_window_first_last,
+    "date_functions": q_date_functions,
     "approx_distinct": q_approx_distinct,
     "small_order_revenue": q_small_order_revenue,
     "customer_order_counts": q_customer_order_counts,
@@ -810,6 +867,32 @@ ORACLE = {
                COALESCE(price_a, -1.0) AS price_a,
                COALESCE(price_b, -1.0) AS price_b
         FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+    "join_right_outer": """
+        SELECT s_suppkey, coalesce(qty, 0.0) AS total_qty
+        FROM (
+            SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+            FROM lineitem GROUP BY l_suppkey
+        ) li RIGHT JOIN supplier ON li.l_suppkey = supplier.s_suppkey
+    """,
+    "cross_join_grid": """
+        SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    "window_first_last": """
+        SELECT o_orderkey, o_custkey,
+               first_value(o_orderdate) OVER w AS first_date,
+               last_value(o_orderdate) OVER w AS last_date
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "date_functions": """
+        SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_two_months,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end
+        FROM orders
     """,
     "table_profile": """
         SELECT 'l_orderkey' AS "column", count(*) - count(l_orderkey) AS n_nulls,
