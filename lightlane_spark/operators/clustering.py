@@ -117,15 +117,21 @@ def assign_components(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Attach a ``component`` column to every row of ``df``; rows whose
     id is in no edge become singleton components (component = own id).
 
-    The components table is tiny relative to the corpus (only docs
-    that matched SOME near-dup pair), so the join broadcasts.
+    ``broadcast``: force (True) or forbid (False) broadcasting the
+    component map. Default None lets AQE decide from the map's actual
+    size — right at scale, where a heavily-duplicated corpus (web
+    crawl: 30%+ of docs in some pair) makes the map far too large to
+    broadcast even though it is tiny on clean corpora.
     """
     cc = connected_components(edges, id_a, id_b).withColumnRenamed("id", id_col)
-    return df.join(F.broadcast(cc), on=id_col, how="left").withColumn(
+    if broadcast:
+        cc = F.broadcast(cc)
+    return df.join(cc, on=id_col, how="left").withColumn(
         "component", F.coalesce(F.col("component"), F.col(id_col))
     )
 
