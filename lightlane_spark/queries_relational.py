@@ -643,6 +643,26 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg semantics):
+    per-customer order keys joined in orderdate order. Spark has no
+    ordered collect — sort structs in-array after collect_list, which
+    is the deterministic scale-safe form (per-group arrays bounded by
+    group size, one shuffle)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+                ),
+                lambda s: s["o_orderkey"].cast("string"),
+            ),
+        ).alias("order_keys")
+    )
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass numeric profile of lineitem (nulls, distincts,
     min/max per column)."""
@@ -661,6 +681,7 @@ QUERIES = {
     "join_right_outer": q_join_right_outer,
     "cross_join_grid": q_cross_join_grid,
     "window_first_last": q_window_first_last,
+    "ordered_agg": q_ordered_agg,
     "date_functions": q_date_functions,
     "approx_distinct": q_approx_distinct,
     "small_order_revenue": q_small_order_revenue,
@@ -877,6 +898,11 @@ ORACLE = {
     """,
     "cross_join_grid": """
         SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    "ordered_agg": """
+        SELECT o_custkey,
+               string_agg(o_orderkey, ',' ORDER BY o_orderdate, o_orderkey) AS order_keys
+        FROM orders GROUP BY o_custkey
     """,
     "window_first_last": """
         SELECT o_orderkey, o_custkey,
