@@ -643,6 +643,48 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped-order revenue for one segment —
+    selective dim filter broadcast into a two-fact join, then a
+    deterministic top-k (revenue desc, orderkey asc)."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(li["l_orderkey"], o["o_orderdate"], o["o_orderpriority"])
+        .agg(_dec_sum(rev, "revenue", 4))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(_dec_sum(rev, "revenue", 4))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (LISTAGG/string_agg semantics):
     per-customer order keys joined in orderdate order. Spark has no
@@ -682,6 +724,8 @@ QUERIES = {
     "cross_join_grid": q_cross_join_grid,
     "window_first_last": q_window_first_last,
     "ordered_agg": q_ordered_agg,
+    "shipping_priority": q_shipping_priority,
+    "returned_items": q_returned_items,
     "date_functions": q_date_functions,
     "approx_distinct": q_approx_distinct,
     "small_order_revenue": q_small_order_revenue,
@@ -898,6 +942,30 @@ ORACLE = {
     """,
     "cross_join_grid": """
         SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    "shipping_priority": """
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1999-01-01'
+          AND l.l_shipdate > TIMESTAMP '1999-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "returned_items": """
+        SELECT c.c_custkey, c.c_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
     """,
     "ordered_agg": """
         SELECT o_custkey,

@@ -51,13 +51,22 @@ def windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     group_cols: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Event-time tumbling-window counts with late-data watermark.
+    """Event-time window counts with late-data watermark — tumbling by
+    default, sliding (overlapping) when ``slide`` < ``window`` is
+    given (each event then lands in window/slide buckets; state scales
+    by the same factor).
 
     The watermark lets Spark drop window state once events older than
     ``watermark`` can no longer arrive — bounded memory forever."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     grouped = df.withWatermark(ts_col, watermark).groupBy(
-        F.window(F.col(ts_col), window).alias("win"),
+        win.alias("win"),
         *[F.col(c) for c in (group_cols or [])],
     )
     return grouped.agg(F.count(F.lit(1)).alias("n")).select(

@@ -76,3 +76,39 @@ def test_streaming_merge_upserts(spark, tmp_path):
     run_to_completion(q)
     rows = {r.pk: (r.val, r.ver) for r in spark.read.parquet(target).collect()}
     assert rows == {1: ("old", 1), 2: ("new", 2), 3: ("dup-late", 3)}
+
+
+def test_sliding_window_counts(spark):
+    """Sliding windows: a 2h window sliding hourly puts each event in
+    exactly 2 windows; counts must double-count accordingly."""
+    import tempfile
+
+    from lightlane_spark.streaming.incremental import (
+        run_to_completion,
+        stream_from_directory,
+        windowed_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="llspark_slide_")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (2, "2024-01-01 01:30:00")],
+        "id bigint, ts_s string",
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    df.write.parquet(f"{base}/land")
+    stream = stream_from_directory(spark, f"{base}/land", df.schema)
+    agg = windowed_counts(stream, ts_col="ts", window="2 hours", watermark="4 hours", slide="1 hour")
+    import uuid
+
+    name = "slide_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    run_to_completion(q)
+    rows = spark.table(name).collect()
+    # event@00:30 -> windows [23:00,01:00) and [00:00,02:00);
+    # event@01:30 -> [00:00,02:00) and [01:00,03:00)
+    total = sum(r.n for r in rows)
+    assert total == 4
+    by_start = {str(r.window_start): r.n for r in rows}
+    assert by_start["2024-01-01 00:00:00"] == 2
