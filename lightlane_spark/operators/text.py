@@ -204,3 +204,85 @@ def contaminated_ids(
         .select(id_col)
         .distinct()
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by portable hash of the
+    id: reproducible across engines/runs/partitionings, join-safe, and
+    stable under corpus growth (a doc's split never changes when other
+    docs arrive — the property random splits lack)."""
+    pct = h32(F.col(id_col).cast("string")) % 100
+    split = (
+        F.when(pct < test_pct, F.lit("test"))
+        .when(pct < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per doc by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1))). Ranking uses the 6dp-ROUNDED score so
+    cross-engine last-ulp ln() differences can never flip the order;
+    ties break on the term itself.
+
+    Plan: two shuffles (term counts per doc, doc-frequency per term)
+    + a window over per-doc terms. The doc-count scalar joins as a
+    1-row broadcast — no driver collect."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(dfreq, on="tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "tok", "tfidf", "rank")
+    )
+
+
+def hashed_bow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 64,
+) -> DataFrame:
+    """Feature-hashed bag-of-words: (id, dim, weight) with
+    weight = count of tokens hashing (portable h32) into the dim
+    bucket. The text→vector bridge: exact integer weights, engine-
+    portable, feeds the ANN/similarity operators after a pivot to
+    array form. Linear: one shuffle keyed by (id, dim)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    return (
+        toks.withColumn("dim", (h32(F.col("tok")) % dims).cast("int"))
+        .groupBy(id_col, "dim")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

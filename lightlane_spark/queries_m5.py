@@ -220,6 +220,32 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pii.select("doc_id", redact_pii("text").alias("redacted"))
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5 by portable
+    id-hash)."""
+    from lightlane_spark.operators.text import dataset_split
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return dataset_split(docs)
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF."""
+    from lightlane_spark.operators.text import tfidf_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=3)
+
+
+def q_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed bag-of-words vectors in (doc, dim, weight) row
+    form — exact integer weights."""
+    from lightlane_spark.operators.text import hashed_bow
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hashed_bow(docs, dims=64)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition: duplicate 2-gram and
     3-gram fractions per doc (boilerplate/spam signal)."""
@@ -538,6 +564,9 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "vocab_topk": q_vocab_topk,
     "repetition_stats": q_repetition_stats,
+    "dataset_split": q_dataset_split,
+    "tfidf_topk": q_tfidf_topk,
+    "hashed_bow": q_hashed_bow,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "corpus_prep": q_corpus_prep,
@@ -674,6 +703,39 @@ ORACLE = {
                    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                    '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
         FROM with_pii
+    """,
+    "dataset_split": """
+        SELECT doc_id,
+               CASE WHEN h < 5 THEN 'test' WHEN h < 10 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS h
+            FROM documents
+        )
+    """,
+    "tfidf_topk": """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   round(tf.tf * ln((nd + 1.0) / (df + 1.0)), 6) AS tfidf
+            FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT doc_id, tok, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """,
+    "hashed_bow": """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INTEGER) AS dim,
+               count(*) AS weight
+        FROM toks GROUP BY 1, 2
     """,
     "repetition_stats": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
