@@ -246,6 +246,45 @@ def q_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_bow(docs, dims=64)
 
 
+def q_bow_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text→vector→similarity chain, fully oracle-checked: hashed-BoW
+    vectors in sparse (doc, dim, weight) form, probe docs (every
+    100th) joined to the corpus ON DIM (sparse dot product — only
+    co-occurring dims multiply), cosine top-3 per probe. Integer dots
+    and norms are exact, so the whole chain is engine-deterministic."""
+    from pyspark.sql import Window
+
+    from lightlane_spark.operators.text import hashed_bow
+
+    docs = read_table(spark, sf_dir, "documents")
+    bow = hashed_bow(docs, dims=64)
+    norms = bow.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("nrm")
+    )
+    probes = bow.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "dim", F.col("weight").alias("wq")
+    )
+    dots = (
+        probes.join(bow.filter(F.col("doc_id") % 100 != 0), on="dim")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("wq") * F.col("weight")).alias("dot"))
+    )
+    sims = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("nq")),
+            on="query_id",
+        )
+        .join(norms, on="doc_id")
+        .withColumn("sim", F.round(F.col("dot") / (F.col("nq") * F.col("nrm")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("doc_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "doc_id", "sim", "rank")
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition: duplicate 2-gram and
     3-gram fractions per doc (boilerplate/spam signal)."""
@@ -567,6 +606,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "tfidf_topk": q_tfidf_topk,
     "hashed_bow": q_hashed_bow,
+    "bow_similarity": q_bow_similarity,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "corpus_prep": q_corpus_prep,
@@ -736,6 +776,34 @@ ORACLE = {
                CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INTEGER) AS dim,
                count(*) AS weight
         FROM toks GROUP BY 1, 2
+    """,
+    "bow_similarity": """
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        bow AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INTEGER) AS dim,
+                   count(*) AS weight
+            FROM toks GROUP BY 1, 2
+        ),
+        norms AS (SELECT doc_id, sqrt(sum(weight * weight)) AS nrm FROM bow GROUP BY doc_id),
+        dots AS (
+            SELECT p.doc_id AS query_id, c.doc_id, sum(p.weight * c.weight) AS dot
+            FROM bow p JOIN bow c ON p.dim = c.dim
+            WHERE p.doc_id % 100 = 0 AND c.doc_id % 100 <> 0
+            GROUP BY 1, 2
+        ),
+        sims AS (
+            SELECT d.query_id, d.doc_id,
+                   round(dot / (nq.nrm * nc.nrm), 6) AS sim
+            FROM dots d
+            JOIN norms nq ON nq.doc_id = d.query_id
+            JOIN norms nc ON nc.doc_id = d.doc_id
+        )
+        SELECT query_id, doc_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT query_id, doc_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+            FROM sims
+        ) WHERE rank <= 3
     """,
     "repetition_stats": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
