@@ -55,6 +55,8 @@ HEADLINE = [
     "decontaminate",
     "variant_extract",
     "window_range_frame",
+    "tfidf_topk",
+    "bow_similarity",
 ]
 
 

@@ -81,6 +81,11 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     multiple count-distincts via one Expand), then an in-plan unpivot
     to rows. min/max stay numeric (string-casting them would make the
     output engine-formatting-dependent).
+
+    Scale note: the Expand for n exact count-distincts multiplies
+    scan rows ×(n+1) into the shuffle — at 100 TB swap
+    ``F.countDistinct`` for ``F.approx_count_distinct`` (no Expand,
+    fixed sketch state) unless exact cardinalities are required.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

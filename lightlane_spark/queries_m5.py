@@ -251,7 +251,13 @@ def q_bow_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors in sparse (doc, dim, weight) form, probe docs (every
     100th) joined to the corpus ON DIM (sparse dot product — only
     co-occurring dims multiply), cosine top-3 per probe. Integer dots
-    and norms are exact, so the whole chain is engine-deterministic."""
+    and norms are exact, so the whole chain is engine-deterministic.
+
+    Scale note: the dim-join is exact brute force scaled by 1/dims,
+    and 64 join keys cap shuffle parallelism — right for a probe
+    set vs corpus at moderate scale, but 100 TB top-k similarity
+    should go through the ANN operators (ann_topk_lsh / ivf_topk);
+    this query's value is the exact, fully-SQL-checkable chain."""
     from pyspark.sql import Window
 
     from lightlane_spark.operators.text import hashed_bow
