@@ -75,3 +75,81 @@ def apply_changes(
         dels.unionByName(ups.select(*primary_keys)), on=primary_keys, how="left_anti"
     )
     return kept.unionByName(ups)
+
+
+OPEN_END = "9999-12-31 00:00:00"
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    pks: list[str],
+    effective_ts,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply ``updates`` to a
+    versioned ``history`` table (attribute columns + ``valid_from`` /
+    ``valid_to``; open rows carry valid_to = 9999-12-31 rather than
+    NULL so downstream BETWEEN predicates need no null handling).
+
+    Per update key with a real attribute change: the open version is
+    closed out (valid_to = effective_ts) and a new open version is
+    inserted. No-op updates (identical attributes) are dropped —
+    re-running the same batch is idempotent. Closed history is
+    untouched.
+
+    Scale shape: one equi-join of the OPEN slice against the update
+    batch (batch side broadcastable), a union, no window — history
+    depth never enters the join. The reference's MERGE (OP-27,
+    hive_loader.py:162-182) overwrites in place and loses history;
+    SCD2 is the auditable form of the same ingestion step.
+    """
+    eff = F.lit(effective_ts).cast("timestamp")
+    attr_cols = compare_cols or [
+        c for c in updates.columns if c not in pks
+    ]
+    open_rows = history.filter(F.col("valid_to") == F.lit(OPEN_END).cast("timestamp"))
+    closed_rows = history.filter(F.col("valid_to") != F.lit(OPEN_END).cast("timestamp"))
+
+    upd = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in pks + attr_cols]
+    )
+    joined = open_rows.join(
+        upd,
+        on=[F.col(k) == F.col(f"__u_{k}") for k in pks],
+        how="left",
+    )
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    has_update = F.col(f"__u_{pks[0]}").isNotNull()
+
+    keep_open = joined.filter(~has_update | ~changed).select(*history.columns)
+    close_out = (
+        joined.filter(has_update & changed)
+        .select(*[F.col(c) for c in history.columns])
+        .withColumn("valid_to", eff)
+    )
+    new_versions = (
+        joined.filter(has_update & changed)
+        .select(
+            *[F.col(c) for c in pks],
+            *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
+        )
+        .withColumn("valid_from", eff)
+        .withColumn("valid_to", F.lit(OPEN_END).cast("timestamp"))
+        .select(*history.columns)
+    )
+    brand_new = (
+        updates.join(open_rows.select(*pks), on=pks, how="left_anti")
+        .select(*[F.col(c) for c in pks + attr_cols])
+        .withColumn("valid_from", eff)
+        .withColumn("valid_to", F.lit(OPEN_END).cast("timestamp"))
+        .select(*history.columns)
+    )
+    return (
+        closed_rows.unionByName(keep_open)
+        .unionByName(close_out)
+        .unionByName(new_versions)
+        .unionByName(brand_new)
+    )

@@ -705,6 +705,22 @@ def q_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: all orders open at 2020-01-01, then an
+    update batch (every 10th order re-priced ×2) applied effective
+    2024-06-01 — changed keys close out + re-open, others untouched."""
+    from lightlane_spark.operators.cdc import OPEN_END, scd2_apply
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    hist = o.withColumn(
+        "valid_from", F.lit("2020-01-01 00:00:00").cast("timestamp")
+    ).withColumn("valid_to", F.lit(OPEN_END).cast("timestamp"))
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    return scd2_apply(hist, upd, ["o_orderkey"], "2024-06-01 00:00:00")
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass numeric profile of lineitem (nulls, distincts,
     min/max per column)."""
@@ -720,6 +736,7 @@ QUERIES = {
     "variant_extract": q_variant_extract,
     "salted_join": q_salted_join,
     "table_profile": q_table_profile,
+    "scd2_load": q_scd2_load,
     "join_right_outer": q_join_right_outer,
     "cross_join_grid": q_cross_join_grid,
     "window_first_last": q_window_first_last,
@@ -932,6 +949,21 @@ ORACLE = {
                COALESCE(price_a, -1.0) AS price_a,
                COALESCE(price_b, -1.0) AS price_b
         FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+    "scd2_load": """
+        WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)
+        SELECT o_orderkey, o_totalprice,
+               TIMESTAMP '2020-01-01' AS valid_from,
+               TIMESTAMP '9999-12-31' AS valid_to
+        FROM base WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice,
+               TIMESTAMP '2020-01-01', TIMESTAMP '2024-06-01'
+        FROM base WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 2,
+               TIMESTAMP '2024-06-01', TIMESTAMP '9999-12-31'
+        FROM base WHERE o_orderkey % 10 = 0
     """,
     "join_right_outer": """
         SELECT s_suppkey, coalesce(qty, 0.0) AS total_qty
