@@ -286,3 +286,52 @@ def hashed_bow(
         .groupBy(id_col, "dim")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: pair rows whose strings are
+    within ``max_distance`` edits, without the O(n·m) cross join.
+
+    Blocking: strings sharing >= 1 character k-gram become candidates
+    (two strings within d edits share a k-gram whenever
+    min_len >= k + d·k, and in practice far below that); candidates
+    are verified with exact Levenshtein. Same
+    block-then-verify shape as MinHash-LSH — candidates ∝ shared
+    grams, never all pairs. Both sides keep all their columns.
+
+    Scale: gram explosion is ×(len-k+1) per row; the gram equi-join
+    shuffles gram rows. Frequent grams (e.g. 'the') are the skew
+    risk — block on rarer features (sorted-neighborhood keys or TF-IDF-
+    weighted grams) when matching long free text rather than names.
+    """
+    # grams via SQL expr (substring's start index isn't bindable to a
+    # lambda variable through the Python DSL)
+    lg = left.withColumn(
+        "__g",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, length({left_col}) - {k - 1})), "
+                f"i -> substring({left_col}, i, {k}))"
+            )
+        ),
+    ).dropDuplicates([*left.columns, "__g"])
+    rg = right.withColumn(
+        "__g",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(1, length({right_col}) - {k - 1})), "
+                f"i -> substring({right_col}, i, {k}))"
+            )
+        ),
+    ).dropDuplicates([*right.columns, "__g"])
+    cand = lg.join(rg, on="__g").drop("__g").distinct()
+    return cand.withColumn(
+        "edit_distance", F.levenshtein(F.col(left_col), F.col(right_col))
+    ).filter(F.col("edit_distance") <= max_distance)

@@ -246,6 +246,24 @@ def q_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_bow(docs, dims=64)
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: dirty supplier names (vowels after position 3
+    dropped — a deterministic 'typo' generator) matched back to the
+    clean register by trigram blocking + Levenshtein ≤ 2."""
+    from lightlane_spark.operators.text import fuzzy_join
+
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dirty = s.select(
+        F.col("s_suppkey").alias("dirty_key"),
+        F.concat(
+            F.substring("s_name", 1, 3),
+            F.regexp_replace(F.expr("substring(s_name, 4)"), "[aeiou]", ""),
+        ).alias("dirty_name"),
+    )
+    out = fuzzy_join(dirty, s, "dirty_name", "s_name", max_distance=2)
+    return out.select("dirty_key", "dirty_name", "s_suppkey", "s_name", "edit_distance")
+
+
 def q_bow_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text→vector→similarity chain, fully oracle-checked: hashed-BoW
     vectors in sparse (doc, dim, weight) form, probe docs (every
@@ -613,6 +631,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "hashed_bow": q_hashed_bow,
     "bow_similarity": q_bow_similarity,
+    "fuzzy_match": q_fuzzy_match,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "corpus_prep": q_corpus_prep,
@@ -782,6 +801,35 @@ ORACLE = {
                CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INTEGER) AS dim,
                count(*) AS weight
         FROM toks GROUP BY 1, 2
+    """,
+    "fuzzy_match": """
+        WITH dirty AS (
+            SELECT s_suppkey AS dirty_key,
+                   substring(s_name, 1, 3) ||
+                   regexp_replace(substring(s_name, 4), '[aeiou]', '', 'g') AS dirty_name
+            FROM supplier
+        ),
+        lg AS (
+            SELECT DISTINCT dirty_key, dirty_name,
+                   substring(dirty_name, i, 3) AS g
+            FROM dirty, LATERAL (
+                SELECT unnest(range(1, greatest(1, length(dirty_name) - 2) + 1)) AS i
+            ) ix
+        ),
+        rg AS (
+            SELECT DISTINCT s_suppkey, s_name, substring(s_name, i, 3) AS g
+            FROM supplier, LATERAL (
+                SELECT unnest(range(1, greatest(1, length(s_name) - 2) + 1)) AS i
+            ) ix
+        ),
+        cand AS (
+            SELECT DISTINCT dirty_key, dirty_name, s_suppkey, s_name
+            FROM lg JOIN rg USING (g)
+        )
+        SELECT dirty_key, dirty_name, s_suppkey, s_name,
+               CAST(levenshtein(dirty_name, s_name) AS INTEGER) AS edit_distance
+        FROM cand
+        WHERE levenshtein(dirty_name, s_name) <= 2
     """,
     "bow_similarity": """
         WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
