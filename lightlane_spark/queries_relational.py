@@ -705,6 +705,28 @@ def q_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-ROWS frame (3-row trailing moving average of order
+    totals per customer) — completes the frame family next to
+    unbounded-rows (`window_running_sum`) and value-RANGE
+    (`window_range_frame`). Decimal accumulation keeps the averages
+    engine-exact."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("trailing_avg"),
+    )
+
+
 def q_scd2_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history build: all orders open at 2020-01-01, then an
     update batch (every 10th order re-priced ×2) applied effective
@@ -737,6 +759,7 @@ QUERIES = {
     "salted_join": q_salted_join,
     "table_profile": q_table_profile,
     "scd2_load": q_scd2_load,
+    "moving_avg": q_moving_avg,
     "join_right_outer": q_join_right_outer,
     "cross_join_grid": q_cross_join_grid,
     "window_first_last": q_window_first_last,
@@ -949,6 +972,14 @@ ORACLE = {
                COALESCE(price_a, -1.0) AS price_a,
                COALESCE(price_b, -1.0) AS price_b
         FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+    "moving_avg": """
+        SELECT o_orderkey, o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER w AS DOUBLE)
+               / count(*) OVER w AS trailing_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     "scd2_load": """
         WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)
