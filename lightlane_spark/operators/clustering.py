@@ -145,3 +145,76 @@ def dedup_by_components(
     end-to-end fuzzy-dedup contract — pairs in, deduped corpus out."""
     labeled = assign_components(df, edges, id_col)
     return labeled.filter(F.col(id_col) == F.col("component")).drop("component")
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    unit: int = 10**12,
+) -> DataFrame:
+    """PageRank over an undirected graph in FIXED-POINT integer
+    arithmetic: ranks are bigint micro-units (1.0 == ``unit``), every
+    per-edge contribution is ``rank * damping_pct DIV (100 * degree)``
+    (integer floor division). No floating point anywhere in the
+    iteration, so results are bit-identical across engines, runs, and
+    summation orders — an exactly-SQL-oracle-able iterative algorithm
+    (cross-engine float PageRank can't hash-match: double summation
+    order differs).
+
+    Scale: one groupBy per iteration over the edge list (same shape
+    as connected_components rounds); ``localCheckpoint`` truncates
+    lineage. Floor rounding loses < |V|·iterations micro-units of
+    probability mass in total — irrelevant for ranking at unit=1e12.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("id"), "deg")
+    n_nodes = nodes.select(F.count(F.lit(1)).alias("__n"))
+    # base = (100 - d)% of unit / N, floor; start everyone at unit DIV N
+    ranks = (
+        nodes.join(F.broadcast(n_nodes))
+        .select(
+            "id",
+            "deg",
+            F.expr(f"CAST({unit} AS BIGINT) DIV __n").alias("rank"),
+            F.expr(
+                f"CAST({100 - damping_pct} AS BIGINT) * {unit} DIV (100 * __n)"
+            ).alias("__base"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("id", "src"), on="src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(f"rank * {damping_pct} DIV (100 * deg)").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.drop("rank")
+            .join(contrib, on="id", how="left")
+            .select(
+                "id",
+                "deg",
+                "__base",
+                (F.col("__base") + F.coalesce(F.col("inflow"), F.lit(0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", "rank")

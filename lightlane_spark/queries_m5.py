@@ -443,6 +443,20 @@ def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_components(corpus, pairs).select("doc_id")
 
 
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the verified near-dup graph —
+    centrality of each doc inside its duplicate family (the canonical-
+    doc-selection signal beyond min-id). Bit-exact iterative algorithm:
+    every contribution is bigint floor division, so 5 iterations match
+    the DuckDB recursive-CTE oracle exactly."""
+    from lightlane_spark.operators.clustering import pagerank_integer
+    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
+    return pagerank_integer(pairs, iterations=5)
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_docs_with_dups(spark, sf_dir))
 
@@ -640,6 +654,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_clusters": q_neardup_clusters,
+    "pagerank_neardup": q_pagerank_neardup,
     "neardup_dedup": q_neardup_dedup,
     "simhash_signatures": q_simhash_signatures,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -991,6 +1006,31 @@ ORACLE = {
     "minhash_lsh_pairs": f"""
         WITH {_VERIFIED_PAIRS_CTES}
         SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verified
+    """,
+    "pagerank_neardup": f"""
+        WITH RECURSIVE {_VERIFIED_PAIRS_CTES},
+        sym AS (
+            SELECT id_a AS src, id_b AS dst FROM verified
+            UNION
+            SELECT id_b, id_a FROM verified
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM deg),
+        pr AS (
+            SELECT 0 AS lvl, src AS id,
+                   CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
+            FROM deg
+            UNION ALL
+            SELECT p.lvl + 1, s.dst AS id,
+                   CAST((SELECT 15 * 1000000000000 // (100 * n) FROM nn)
+                        + sum(p.rank * 85 // (100 * d.deg)) AS BIGINT)
+            FROM pr p
+            JOIN sym s ON s.src = p.id
+            JOIN deg d ON d.src = p.id
+            WHERE p.lvl < 5
+            GROUP BY p.lvl, s.dst
+        )
+        SELECT id, rank FROM pr WHERE lvl = 5
     """,
     "neardup_clusters": f"""
         WITH RECURSIVE {_CLUSTER_CTES}

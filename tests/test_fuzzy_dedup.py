@@ -180,3 +180,16 @@ def test_cc_end_to_end_minhash_clusters(spark, corpus):
     for d in merged:
         base = d - 2_000_000
         assert comp[d] == comp[base] == comp.get(base + 1_000_000, comp[base])
+
+
+def test_pagerank_integer_properties(spark):
+    from lightlane_spark.operators.clustering import pagerank_integer
+
+    # path graph 1-2-3: middle node must outrank endpoints; symmetric
+    # endpoints must tie exactly (integer arithmetic is order-free)
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a: bigint, id_b: bigint")
+    got = {r.id: r.rank for r in pagerank_integer(edges, iterations=5).collect()}
+    assert got[1] == got[3]
+    assert got[2] > got[1]
+    # total probability mass stays within floor-rounding loss of 1.0
+    assert 0.99 * 10**12 < sum(got.values()) <= 10**12
