@@ -80,6 +80,34 @@ class Pipeline:
             self._df = fn(self._df)
         return self
 
+    def dedup_exact_text(
+        self, text_col: str = "text", id_col: str = "doc_id"
+    ) -> "Pipeline":
+        """Corpus stage: keep the min-id doc per exact normalized text."""
+        from lightlane_spark.operators.fuzzy_dedup import dedup_exact
+
+        return self.transform(lambda df: dedup_exact(df, text_col, id_col))
+
+    def dedup_fuzzy(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.7,
+    ) -> "Pipeline":
+        """Corpus stage: full fuzzy dedup — MinHash-LSH pairs →
+        connected components → keep the min-id canonical doc per
+        near-dup cluster."""
+        from lightlane_spark.operators.clustering import dedup_by_components
+        from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
+
+        def _stage(df: DataFrame) -> DataFrame:
+            pairs = dedup_minhash(
+                df, text_col, id_col, threshold=threshold
+            ).select("id_a", "id_b")
+            return dedup_by_components(df, pairs, id_col)
+
+        return self.transform(_stage)
+
     def quarantine(self, good_predicate) -> "Pipeline":
         """OP-17: split off bad rows; route them with .bad_to_parquet."""
         self._require_df()
@@ -142,3 +170,4 @@ class Pipeline:
     def _require_df(self) -> None:
         if self._df is None:
             raise ValueError("no source: call extract_* first")
+

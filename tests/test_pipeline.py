@@ -83,3 +83,32 @@ def test_pipeline_validation():
         Pipeline(None).transform(lambda d: d)
     with pytest.raises(ValueError):
         Pipeline(None).run()
+
+
+def test_pipeline_dedup_fuzzy_end_to_end(spark, sf_dir, tmp_path):
+    """Reference-user story: extract docs -> fuzzy-dedup -> load — one
+    fluent chain. Exact dups (verbatim copies) must collapse."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.pipeline import Pipeline
+    from lightlane_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dups)
+    out_path = str(tmp_path / "deduped")
+    (
+        Pipeline(spark)
+        .extract_df(corpus)
+        .dedup_fuzzy()
+        .to_parquet(out_path)
+        .run()
+    )
+    kept = spark.read.parquet(out_path)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    # every injected verbatim dup must be gone (its base doc has min id)
+    assert not any(i >= 1_000_000 for i in kept_ids)
+    # base docs survive except genuine natural near-dups in the corpus
+    assert 0.8 * docs.count() <= kept.count() <= docs.count()
