@@ -56,3 +56,27 @@ def test_minhash_cc_at_125k_docs(spark):
     assert n_comps < n_nodes / 5
     assert wall < 600, f"scale smoke too slow: {wall:.0f}s"
     print(f"SCALE_SMOKE docs={n} paired_nodes={n_nodes} components={n_comps} wall={wall:.1f}s")
+
+
+def test_ann_lsh_at_100k_vectors(spark):
+    import pyspark.sql.functions as F
+
+    from lightlane_spark.operators.similarity import ann_topk_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = spark.range(50).withColumnRenamed("id", "copy")
+    corpus = emb.crossJoin(copies).select(
+        (F.col("vec_id") * 100 + F.col("copy")).alias("vec_id"), "embedding"
+    )
+    n = corpus.count()
+    assert n == 100_000
+    probes = corpus.filter(F.col("vec_id") < 1000)
+    t0 = time.monotonic()
+    out = ann_topk_lsh(corpus, probes, dims=64, k=5, num_bits=8)
+    n_results = out.count()
+    wall = time.monotonic() - t0
+    assert n_results > 0
+    assert wall < 300, f"ANN smoke too slow: {wall:.0f}s"
+    print(f"ANN_SMOKE corpus={n} probes=10 results={n_results} wall={wall:.1f}s")
