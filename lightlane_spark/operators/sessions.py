@@ -35,9 +35,12 @@ def sessionize(
     event: a new session starts where the gap > ``gap_minutes``."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col))
     prev_ts = F.lag(ts_col).over(w)
-    gap_sec = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+    # Microsecond-exact gap: unix_timestamp truncates to whole seconds,
+    # which would merge a 3600.5s gap that a fractional-second engine
+    # (e.g. DuckDB's epoch_us) splits. Compare in integer microseconds.
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
     opens = F.when(
-        prev_ts.isNull() | (gap_sec > gap_minutes * 60), 1
+        prev_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
     ).otherwise(0)
     running = Window.partitionBy(user_col).orderBy(F.col(ts_col)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -681,14 +681,14 @@ ORACLE = {
         WITH e AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 3600
+                             OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 3600000000
                         THEN 1 ELSE 0 END AS opens
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), s AS (
             SELECT user_id, ts,
-                   SUM(opens) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(SUM(opens) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM e
         )
         SELECT user_id, session_id,
@@ -1056,7 +1056,7 @@ ORACLE = {
             GROUP BY doc_id, b
         )
         SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id
     """,
     "simhash_near_pairs": f"""

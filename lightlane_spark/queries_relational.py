@@ -1078,7 +1078,7 @@ ORACLE = {
     """,
     "variant_extract": """
         SELECT event_type,
-               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                count(*) AS n
         FROM events GROUP BY event_type
     """,

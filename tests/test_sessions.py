@@ -39,6 +39,55 @@ def test_sessionize_batch_semantics(spark):
     assert stats == {(1, 1): 2, (1, 2): 2, (2, 1): 1}
 
 
+def test_sessionize_fractional_second_gap(spark):
+    """A 3600.5s gap must SPLIT at a 60-min timeout in both engines.
+
+    unix_timestamp truncates to whole seconds (gap would read 3600 and
+    merge); the operator compares integer microseconds instead.
+    """
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(seconds=3600, microseconds=500_000)),  # split
+        (2, t0),
+        (2, t0 + dt.timedelta(seconds=3599, microseconds=500_000)),  # merge
+    ]
+    df = spark.createDataFrame(rows, "user_id: bigint, ts: timestamp")
+    got = {
+        (r.user_id, r.session_id): r.n_events
+        for r in session_stats(df, gap_minutes=60).collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 1, (2, 1): 2}
+    exp = {
+        (u, s): n
+        for u, s, n in duckdb.sql(
+            """
+            WITH e AS (
+                SELECT * FROM (VALUES
+                    (1, TIMESTAMP '2025-01-01 00:00:00'),
+                    (1, TIMESTAMP '2025-01-01 01:00:00.5'),
+                    (2, TIMESTAMP '2025-01-01 00:00:00'),
+                    (2, TIMESTAMP '2025-01-01 00:59:59.5')
+                ) AS t(user_id, ts)
+            ), o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+                            THEN 1 ELSE 0 END AS opens
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id,
+                       SUM(opens) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM o
+            )
+            SELECT user_id, session_id, count(*) FROM s GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == exp
+
+
 def test_sessionize_matches_duckdb(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     got = {
