@@ -32,9 +32,6 @@ when the runtime has it; this file is the format-agnostic path.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
 import uuid
 from dataclasses import dataclass, field
 from enum import Enum
@@ -131,25 +128,49 @@ class Loader:
     def _merge(self, staging: DataFrame) -> None:
         """Reconcile-and-swap: the reference's MERGE commit
         (``hive_loader.py:166-179``) re-expressed as a staged parquet
-        write + atomic directory rename."""
-        if not os.path.exists(self.table_path):
+        write + a rename swap through the Hadoop FileSystem API — so
+        the same code works on file://, HDFS, and S3A paths, not just
+        the driver-local filesystem."""
+        fs, table = self._fs_path(self.table_path)
+        if not fs.exists(table):
             staging.write.mode("overwrite").parquet(self.table_path)
             return
         target = self.spark.read.parquet(self.table_path)
         merged = merge_upsert(target, staging, self.primary_keys)
         reconcile = self._sibling_tmp_path()
-        merged.write.mode("overwrite").parquet(reconcile)
-        # Atomic swap, mirroring the reference's rename dance
-        # (mysql_loader.py:119-123): retire the old dir, move the
-        # reconcile dir into place, drop the old.
-        retired = self.table_path + ".old-" + uuid.uuid4().hex[:8]
-        os.rename(self.table_path, retired)
-        os.rename(reconcile, self.table_path)
-        shutil.rmtree(retired)
+        _, rec = self._fs_path(reconcile)
+        try:
+            merged.write.mode("overwrite").parquet(reconcile)
+            # Swap, mirroring the reference's rename dance
+            # (mysql_loader.py:119-123): retire the old dir, move the
+            # reconcile dir into place, drop the old. If the second
+            # rename fails, restore the retired dir so the table path
+            # is never left missing.
+            _, retired = self._fs_path(self.table_path + ".old-" + uuid.uuid4().hex[:8])
+            if not fs.rename(table, retired):
+                raise IOError(f"MERGE swap: could not retire {self.table_path}")
+            if not fs.rename(rec, table):
+                fs.rename(retired, table)
+                raise IOError(f"MERGE swap: could not install reconcile dir at {self.table_path}")
+            fs.delete(retired, True)
+        except Exception:
+            if fs.exists(rec):
+                fs.delete(rec, True)
+            raise
+
+    def _fs_path(self, path_str: str):
+        """(FileSystem, Path) for ``path_str``'s scheme via the JVM
+        Hadoop API — local paths resolve against the default FS."""
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        return path.getFileSystem(hconf), path
 
     def _sibling_tmp_path(self) -> str:
-        parent = os.path.dirname(os.path.abspath(self.table_path)) or tempfile.gettempdir()
-        return os.path.join(parent, ".reconcile-" + uuid.uuid4().hex[:12])
+        # Scheme-preserving sibling path (os.path would mangle URIs).
+        base = self.table_path.rstrip("/")
+        parent, _, _ = base.rpartition("/")
+        return (parent or ".") + "/.reconcile-" + uuid.uuid4().hex[:12]
 
     def _analyze(self) -> None:
         """OP-32: refresh stats. On a path-backed table the useful

@@ -63,6 +63,12 @@ def session_stats(
     )
 
 
+def _utc_naive(epoch_sec: int) -> dt.datetime:
+    """UTC wall-clock for an epoch second, tz-naive (Arrow-friendly);
+    ``utcfromtimestamp`` is deprecated in Python 3.12."""
+    return dt.datetime.fromtimestamp(epoch_sec, tz=dt.timezone.utc).replace(tzinfo=None)
+
+
 SESSION_OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )
@@ -87,6 +93,11 @@ def sessionize_stream(
     run keeps executing state-cleanup micro-batches until every
     pending timeout fires, so a bounded drain wants a short flush even
     when the session gap is long.
+
+    Requires ``spark.sql.session.timeZone=UTC`` (the session default in
+    ``session.py``): epoch seconds and the emitted naive timestamps are
+    both computed UTC-side, so a non-UTC session zone would shift gap
+    arithmetic across DST transitions.
     """
     from lightlane_spark.shipping import ensure_package_shipped
 
@@ -124,8 +135,8 @@ def sessionize_stream(
             yield pd.DataFrame(
                 {
                     "user_id": [c[0] for c in closed],
-                    "session_start": [dt.datetime.utcfromtimestamp(c[1]) for c in closed],
-                    "session_end": [dt.datetime.utcfromtimestamp(c[2]) for c in closed],
+                    "session_start": [_utc_naive(c[1]) for c in closed],
+                    "session_end": [_utc_naive(c[2]) for c in closed],
                     "n_events": [c[3] for c in closed],
                 }
             )

@@ -50,7 +50,19 @@ def salted_join(
     ``large`` is salted per-row; ``small`` is exploded ×buckets (one
     copy per salt value) — correctness: every (large-row, small-row)
     key match still meets on exactly one (key, salt) pair.
+
+    Only ``how`` values that never emit unmatched *small*-side rows are
+    valid: the small side is replicated ×buckets, so right/full outer
+    joins would emit each unmatched small-side row ``buckets`` times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated small side "
+            "would duplicate unmatched rows; use one of "
+            "inner/left/left_semi/left_anti"
+        )
     l_salted = with_salt(large, buckets)
     s_replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -250,18 +250,35 @@ def streaming_neardup_ingest(
         eq = F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0))
         return F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
 
+    from pyspark.errors import AnalysisException
+
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.persist()
-        if batch_df.isEmpty():
-            return
+        to_unpersist = []
+        try:
+            batch_df = batch_df.persist()
+            to_unpersist.append(batch_df)
+            if batch_df.isEmpty():
+                return
+            _ingest_batch_body(spark, batch_df, to_unpersist)
+        finally:
+            for df in to_unpersist:
+                df.unpersist()
+
+    def _ingest_batch_body(spark, batch_df: DataFrame, to_unpersist: list) -> None:
         sh = shingle(batch_df, text_col, id_col, k, distinct=False)
         sigs = minhash_signature_arrays(sh, id_col, num_hashes).persist()
+        to_unpersist.append(sigs)
         new_keys = lsh_band_keys(sigs, id_col, bands, rows_per_band)
+        # First batch: no accepted index yet. Only a missing path may be
+        # treated as "empty index" — any other read failure must fail the
+        # batch, or the batch would silently bypass dedup vs the corpus.
         try:
             old_sigs = spark.read.parquet(index_path)
             old_keys = lsh_band_keys(old_sigs, id_col, bands, rows_per_band)
-        except Exception:
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             old_sigs = old_keys = None
 
         # candidate (new, other) pairs: vs accepted corpus...
@@ -307,6 +324,7 @@ def streaming_neardup_ingest(
         novel = batch_df.join(
             matched.withColumnRenamed("id_new", id_col), on=id_col, how="left_anti"
         ).persist()
+        to_unpersist.append(novel)
         novel.write.mode("append").parquet(corpus_path)
         sigs.join(novel.select(id_col), on=id_col, how="left_semi").write.mode(
             "append"
