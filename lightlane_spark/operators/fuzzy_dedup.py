@@ -403,6 +403,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with k-gram Jaccard ≥ threshold, via shingle self-join.
 
@@ -412,11 +413,30 @@ def ngram_jaccard_pairs(
     ~4× faster than bucket-expansion + set-intersection here, because
     exact all-pairs has candidates ≈ co-shingle pairs (the
     collect_set/array_intersect shape only wins when candidates are
-    sparse, as in MinHash-LSH verify). Work is Σ_sh cnt(sh)² — use on
-    blocked/small domains or as a verifier; MinHash-LSH is the scale
-    path.
+    sparse, as in MinHash-LSH verify).
+
+    Work is Σ_sh cnt(sh)² — unbounded on frequent grams. At scale,
+    ALWAYS set ``max_doc_freq``: shingles occurring in more than that
+    many documents are dropped from the gram universe BEFORE the
+    self-join (both intersection and set sizes count only retained
+    grams, so the Jaccard stays internally consistent). That bounds
+    per-gram pair expansion at cap² and kills the frequent-gram skew —
+    near-duplicate pairs keep their doc-specific rare grams and are
+    still found, while boilerplate phrases shared by millions of docs
+    no longer generate cross-pairs. ``None`` keeps exact full-universe
+    semantics (verifier-only shape; MinHash-LSH is the discovery path).
     """
     sh = shingle(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        # Document frequency via a count window on the shingle key:
+        # one exchange on `sh`, and the self-join below joins on the
+        # same key, so the partitioning is computed once and reused.
+        w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(w))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     pairs = (
         sh.select(F.col(id_col).alias("id_a"), "sh")
         .join(sh.select(F.col(id_col).alias("id_b"), "sh"), on="sh")

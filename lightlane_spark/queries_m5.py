@@ -467,10 +467,13 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _docs_with_dups(spark, sf_dir).filter(
-        "doc_id % 7 = 0 OR doc_id >= 2000000"
-    )
-    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    """Blocked headline shape: the gram universe is df-capped (grams in
+    >25 docs dropped before the self-join), so pair expansion is
+    bounded at cap² per gram — the full corpus runs without the
+    Σcnt² frequent-gram blowup. Exact full-universe Jaccard remains
+    available as the MinHash-LSH verifier (fuzzy_dedup.py)."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5, max_doc_freq=25)
     return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
@@ -1095,13 +1098,14 @@ ORACLE = {
     """,
     "ngram_jaccard": f"""
         WITH {_CORPUS_CTE},
-        sub AS (SELECT * FROM corpus WHERE doc_id % 7 = 0 OR doc_id >= 2000000),
-        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM sub),
-        sh AS (
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        sh0 AS (
             SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
             FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
             WHERE len(t) >= 3
         ),
+        rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 25),
+        sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN rare r ON s.sh = r.sh),
         pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
