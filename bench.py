@@ -45,7 +45,10 @@ HEADLINE = [
     "neardup_clusters",
     "simhash_signatures",
     "ngram_jaccard",
-    "ann_topk_bruteforce",
+    # similarity headline = the scale paths (bruteforce stays in
+    # queries() as the oracle anchor; recall contracts pin LSH/IVF)
+    "ann_topk_lsh",
+    "ann_topk_ivf",
     "embedding_neardup",
     "text_quality",
     "dedup_exact",

@@ -110,6 +110,12 @@ def hyperplane_bits(
     return bucket
 
 
+def _table_salt(t: int) -> str:
+    # table 0 keeps the historical salt so single-table buckets are
+    # unchanged across versions
+    return "hp" if t == 0 else f"hp{t}"
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -117,32 +123,81 @@ def ann_topk_lsh(
     k: int = 5,
     num_bits: int = 8,
     multiprobe: int = 1,
+    num_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: compare only within the query's hyperplane
-    bucket(s). ``multiprobe=1`` also probes every 1-bit-flip neighbor
-    bucket (num_bits+1 probes) — near-boundary vectors land in a
-    neighbor bucket, so multi-probe is what buys recall without
-    shrinking ``num_bits`` (probe count scales the query side only;
-    the corpus is hashed once). Returns (query_id, vec_id, rank, sim)."""
-    c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv")).withColumn(
-        "bucket", hyperplane_bits(F.col("__cv"), dims, num_bits)
+    bucket(s). Returns (query_id, vec_id, rank, sim).
+
+    Two recall dials, both scaling the candidate count rather than the
+    corpus pass:
+      - ``multiprobe``: probe every bucket within that Hamming
+        distance of the query's bucket (1 → num_bits+1 probes,
+        2 → + C(num_bits,2)) — near-boundary vectors land in a
+        neighbor bucket. Probe count scales the (broadcast) query
+        side only.
+      - ``num_tables``: L independent hyperplane tables; a true
+        neighbor is missed only if it misses in EVERY table, so
+        recall = 1-(1-q)^L for per-table recall q. The corpus is
+        hashed L times map-only (explode ×L), never re-shuffled.
+
+    Candidates colliding in several tables are deduped on
+    (query, candidate) before ranking.
+    """
+    c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
+    c_tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bits(F.col("__cv"), dims, num_bits, salt=_table_salt(t))
+                .cast("long")
+                .alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
     )
+    c = (
+        c.withColumn("__tb", F.explode(c_tb))
+        .select(id_col, "__cv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"))
+        .withColumn("__cn", norm(F.col("__cv")))
+    )
+
     q = queries.select(
         F.col(id_col).alias(query_id_col), _vec_double(vec_col).alias("__qv")
-    ).withColumn("bucket", hyperplane_bits(F.col("__qv"), dims, num_bits))
-    if multiprobe >= 1:
-        probe_sets = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_bits)],
+    )
+    probe_structs = []
+    for t in range(num_tables):
+        b = hyperplane_bits(F.col("__qv"), dims, num_bits, salt=_table_salt(t))
+        probes = [b]
+        if multiprobe >= 1:
+            probes += [b.bitwiseXOR(F.lit(1 << i)) for i in range(num_bits)]
+        if multiprobe >= 2:
+            probes += [
+                b.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(num_bits)
+                for j in range(i + 1, num_bits)
+            ]
+        probe_structs += [
+            F.struct(F.lit(t).alias("tbl"), p.cast("long").alias("bucket"))
+            for p in probes
+        ]
+    q = (
+        q.withColumn("__tb", F.explode(F.array_distinct(F.array(*probe_structs))))
+        .select(query_id_col, "__qv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"))
+        .withColumn("__qn", norm(F.col("__qv")))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on=["tbl", "bucket"])
+        .withColumn(
+            "sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
         )
-        q = q.withColumn("bucket", F.explode(F.array_distinct(probe_sets)))
-    q = q.withColumn("__qn", norm(F.col("__qv")))
-    c = c.withColumn("__cn", norm(F.col("__cv")))
-    scored = F.broadcast(q).join(c, on="bucket").withColumn(
-        "sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        # sim is deterministic per pair, so distinct collapses the
+        # ≤ num_tables copies of a multi-table collision
+        .select(query_id_col, id_col, "sim")
+        .distinct()
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (

@@ -491,21 +491,27 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate variant — no SQL oracle (bucket recall is the tested
-    contract, tests/test_similarity_multimodal.py); driver records the
-    rows-only check."""
+    """Approximate variant, recall-tuned (4 hash tables → measured
+    recall@5 ≥ 0.95 vs brute force) — no SQL oracle (bucket recall is
+    the tested contract, tests/test_similarity_multimodal.py); driver
+    records the rows-only check. This is the benched similarity
+    headline: candidate count, not corpus size, scales the work."""
     emb = read_table(spark, sf_dir, "embeddings")
-    out = ann_topk_lsh(emb, emb.filter("vec_id < 10"), dims=64, k=5, num_bits=4)
+    out = ann_topk_lsh(
+        emb, emb.filter("vec_id < 10"), dims=64, k=5, num_bits=4, num_tables=4
+    )
     return out.select("query_id", "vec_id", "rank")
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN variant — no SQL oracle (k-means model dependent); the
-    recall-vs-bruteforce contract lives in tests/test_ivf.py."""
+    """IVF ANN variant, recall-tuned (7/8 probes on the near-uniform
+    synthetic embeddings → measured recall@5 ≥ 0.95; clustered real
+    corpora need a far lower probe fraction) — no SQL oracle (k-means
+    model dependent); the recall contract lives in tests/test_ivf.py."""
     from lightlane_spark.operators.similarity import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    out = ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=3)
+    out = ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=7)
     return out.select("query_id", "vec_id", "rank")
 
 
