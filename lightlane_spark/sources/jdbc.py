@@ -106,6 +106,38 @@ def probe_bounds(spark: SparkSession, url: str, table: str, splitby: str,
     return (row["lo"], row["hi"])
 
 
+def jdbc_merge_statements(
+    table: str,
+    staging_table: str,
+    primary_keys: list[str],
+) -> list[str]:
+    """The reference's server-side MERGE contract
+    (``mysql_loader.py:92-113``) as an ordered statement list: build a
+    reconcile table holding target rows whose PK is absent from staging
+    (LEFT OUTER JOIN … IS NULL = anti-join) UNION ALL staging, then
+    atomically swap it in via the rename dance. Runs entirely inside
+    the target DB — no data moves back through Spark.
+    """
+    if not primary_keys:
+        raise ValueError("MERGE requires primary_keys")  # mysql_loader.py:49-50
+    reconcile = f"z_etl_{table}_reconcile"
+    bak = f"{table}_bak"
+    join = " AND ".join(f"a.{k} = b.{k}" for k in primary_keys)
+    return [
+        f"DROP TABLE IF EXISTS {reconcile}",
+        f"CREATE TABLE {reconcile} LIKE {table}",
+        f"INSERT INTO {reconcile} "
+        f"SELECT a.* FROM {table} a "
+        f"LEFT OUTER JOIN {staging_table} b ON {join} "
+        f"WHERE b.{primary_keys[0]} IS NULL "
+        f"UNION ALL SELECT * FROM {staging_table}",
+        f"ALTER TABLE {table} RENAME TO {bak}",
+        f"ALTER TABLE {reconcile} RENAME TO {table}",
+        f"DROP TABLE IF EXISTS {bak}",
+        f"DROP TABLE IF EXISTS {staging_table}",
+    ]
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -113,11 +145,40 @@ def write_jdbc(
     mode: str = "append",
     batchsize: int = 10_000,
     properties: dict[str, str] | None = None,
+    primary_keys: list[str] | None = None,
+    sql_executor=None,
+    staging_table: str | None = None,
+    staging_writer=None,
 ) -> None:
     """OP-22: bulk load replacement — batched INSERTs from executors
     (the reference's ``LOAD DATA LOCAL INFILE``, ``mysql.py:39-64``,
     collapses into the JDBC writer; per-partition connections give the
-    same parallelism as its worker pool)."""
+    same parallelism as its worker pool).
+
+    ``mode='merge'`` adds the reference's JDBC-side upsert
+    (``mysql_loader.py:92-113``): the batch lands in a staging table,
+    then ``jdbc_merge_statements`` run inside the target DB via
+    ``sql_executor`` (a callable taking the statement list — Spark's
+    JDBC writer cannot issue DDL, so the caller supplies the
+    connection; a DBAPI cursor's executescript-style loop is enough).
+    ``staging_writer`` (df, table_name) -> None overrides the staging
+    write for contract tests without a live endpoint.
+    """
+    if mode == "merge":
+        if not primary_keys:
+            raise ValueError("MERGE requires primary_keys")  # mysql_loader.py:49-50
+        if sql_executor is None:
+            raise ValueError(
+                "merge mode needs sql_executor bound to the target DB "
+                "(the merge runs server-side, not through the JDBC writer)"
+            )
+        stg = staging_table or f"z_etl_{table}_staging"
+        if staging_writer is not None:
+            staging_writer(df, stg)
+        else:
+            write_jdbc(df, url, stg, "overwrite", batchsize, properties)
+        sql_executor(jdbc_merge_statements(table, stg, primary_keys))
+        return
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     writer = writer.option("batchsize", str(batchsize))
     for k, v in (properties or {}).items():

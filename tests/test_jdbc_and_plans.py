@@ -65,3 +65,79 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
     )
     ps = plan_summary(joined)
     assert ps.broadcast_joins >= 2 and ps.sortmerge_joins == 0, ps.text[:500]
+
+
+# ---------------------------------------------------------------------------
+# OP-22 merge mode: the reference's server-side upsert contract
+# (mysql_loader.py:92-113) — staging write + statement sequence.
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_merge_statement_contract():
+    from lightlane_spark.sources.jdbc import jdbc_merge_statements
+
+    stmts = jdbc_merge_statements("orders", "z_etl_orders_staging", ["o_orderkey", "o_custkey"])
+    # anti-join on ALL pks, null-probe on the first (mysql_loader.py:93,103)
+    insert = next(s for s in stmts if s.startswith("INSERT"))
+    assert "a.o_orderkey = b.o_orderkey AND a.o_custkey = b.o_custkey" in insert
+    assert "WHERE b.o_orderkey IS NULL" in insert
+    assert "UNION ALL SELECT * FROM z_etl_orders_staging" in insert
+    # rename dance order: retire target, install reconcile, drop bak
+    renames = [s for s in stmts if s.startswith("ALTER")]
+    assert renames == [
+        "ALTER TABLE orders RENAME TO orders_bak",
+        "ALTER TABLE z_etl_orders_reconcile RENAME TO orders",
+    ]
+    assert stmts[-2] == "DROP TABLE IF EXISTS orders_bak"
+    assert stmts[-1] == "DROP TABLE IF EXISTS z_etl_orders_staging"
+
+
+def test_jdbc_merge_requires_pks_and_executor(spark):
+    from lightlane_spark.sources.jdbc import write_jdbc
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="primary_keys"):
+        write_jdbc(df, "jdbc:x", "t", mode="merge")
+    with pytest.raises(ValueError, match="sql_executor"):
+        write_jdbc(df, "jdbc:x", "t", mode="merge", primary_keys=["id"])
+
+
+def test_jdbc_merge_end_state_against_duckdb(spark):
+    """Execute the generated statements in DuckDB standing in for the
+    target MySQL (one LIKE→CTAS dialect shim); the final table must be
+    the anti-join+union upsert."""
+    import re
+
+    import duckdb
+
+    from lightlane_spark.sources.jdbc import write_jdbc
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tgt (id BIGINT, val VARCHAR)")
+    con.execute("INSERT INTO tgt VALUES (1,'a'), (2,'b'), (3,'c')")
+
+    batch = spark.createDataFrame([(2, "B2"), (4, "D")], "id bigint, val string")
+
+    def staging_writer(df, table_name):
+        rows = [(r.id, r.val) for r in df.collect()]
+        con.execute(f"CREATE TABLE {table_name} (id BIGINT, val VARCHAR)")
+        con.executemany(f"INSERT INTO {table_name} VALUES (?, ?)", rows)
+
+    def sql_executor(stmts):
+        for s in stmts:
+            s = re.sub(
+                r"CREATE TABLE (\S+) LIKE (\S+)",
+                r"CREATE TABLE \1 AS SELECT * FROM \2 WHERE 1=0",
+                s,
+            )
+            con.execute(s)
+
+    write_jdbc(
+        batch, "jdbc:unused", "tgt", mode="merge",
+        primary_keys=["id"], sql_executor=sql_executor, staging_writer=staging_writer,
+    )
+    got = sorted(con.execute("SELECT id, val FROM tgt").fetchall())
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "D")]
+    # staging + reconcile + bak all cleaned up
+    left = {t[0] for t in con.execute("SHOW TABLES").fetchall()}
+    assert left == {"tgt"}
