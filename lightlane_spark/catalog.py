@@ -71,21 +71,29 @@ def row_count_stat(spark: SparkSession, table: str) -> int | None:
     return None
 
 
-def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+    approx_rsd: float = 0.05,
+) -> DataFrame:
     """Per-column data profile: (column, n_nulls, n_distinct, min_val,
     max_val) for numeric columns — the profiling depth behind stats
     refresh (OP-32; reference only triggers engine stats,
     hive_impala.py:49-58 — this computes them engine-side).
 
-    One pass: all aggregates in a single groupBy-less agg (Spark plans
-    multiple count-distincts via one Expand), then an in-plan unpivot
-    to rows. min/max stay numeric (string-casting them would make the
-    output engine-formatting-dependent).
+    One pass: all aggregates in a single groupBy-less agg, then an
+    in-plan unpivot to rows. min/max stay numeric (string-casting them
+    would make the output engine-formatting-dependent).
 
-    Scale note: the Expand for n exact count-distincts multiplies
-    scan rows ×(n+1) into the shuffle — at 100 TB swap
-    ``F.countDistinct`` for ``F.approx_count_distinct`` (no Expand,
-    fixed sketch state) unless exact cardinalities are required.
+    ``approx`` is the 100 TB path: exact mode plans n count-distincts
+    through one Expand that multiplies scan rows ×(n+1) into the
+    shuffle; ``approx=True`` swaps in ``approx_count_distinct``
+    (HyperLogLog++) — fixed sketch state per column, no Expand, one
+    partial-agg pass. ``approx_rsd`` is the sketch's relative standard
+    deviation (a σ, not a bound — size tolerance checks accordingly).
+    Keep exact only when cardinality must be precise (e.g. the DuckDB
+    oracle row).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -102,11 +110,18 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     ]
     if not cols:
         raise ValueError("no numeric columns to profile")
+    def ndv(col):
+        return (
+            F.approx_count_distinct(col, rsd=approx_rsd)
+            if approx
+            else F.countDistinct(col)
+        )
+
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"__nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            ndv(F.col(c)).alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("double").alias(f"__mx_{c}"),
         ]

@@ -6,7 +6,12 @@ The Spark-side plumbing — schema contract, batch shape, partitioning —
 is real and tested; the actual media decode is STUBBED because decode
 libraries (PIL/ffmpeg/torchaudio) are not in this container:
 
-  - ``decode_image_meta(..., use_real_decoder=True)`` raises
+  - Each operator takes a pluggable callable (``decoder`` /
+    ``extractor`` / ``resizer``) — the slot a real PIL/ffmpeg/torch
+    implementation plugs into, exercised in tests with an injected
+    fake "real" decoder so the slot itself is covered, not just the
+    raise.
+  - ``use_real_decoder=True`` with no callable raises
     ``NotImplementedError`` at the point a real decoder would be
     invoked (clearly marked, slot-in ready).
   - The default path runs a DETERMINISTIC FAKE decoder that derives
@@ -56,12 +61,17 @@ def decode_image_meta(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     use_real_decoder: bool = False,
+    decoder=None,
 ) -> DataFrame:
     """Extract image metadata from binary payloads via mapInPandas.
 
     Arrow-batched: the pandas fn sees a batch of (id, payload) and
     emits one metadata row per input — the exact plumbing a real
     decoder uses; only the per-row byte interpretation is stubbed.
+
+    ``decoder``: ``bytes -> (format, width, height)`` — the real-
+    decoder slot (e.g. wrap ``PIL.Image.open``); must be picklable,
+    shipped to executors by cloudpickle.
     """
 
     # The closure references module-level _fake_decode, which
@@ -75,15 +85,16 @@ def decode_image_meta(
         import hashlib
 
         for pdf in batches:
-            if use_real_decoder:
+            if use_real_decoder and decoder is None:
                 # STUB: slot a real decoder (PIL.Image.open etc.) here.
                 raise NotImplementedError(
                     "real image decoding requires PIL/libvips — not in this container"
                 )
+            dec = decoder or _fake_decode
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
-                fmt, width, height = _fake_decode(payload)
+                fmt, width, height = dec(payload)
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -107,14 +118,15 @@ def extract_features(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     use_real_extractor: bool = False,
+    extractor=None,
 ) -> DataFrame:
     """Feature-extraction plumbing: binary payload → ``array<float>``
     embedding via mapInPandas, the shape a CLIP/ResNet encoder uses
     (model broadcast to executors, Arrow batches in, vectors out).
 
-    The real encoder is STUBBED (no torch in this container); the
-    deterministic fake derives a unit-norm vector from the payload's
-    md5 so the downstream similarity operators
+    ``extractor``: ``bytes -> list[float]`` — the real-encoder slot.
+    Without one, the deterministic fake derives a unit-norm vector
+    from the payload's md5 so the downstream similarity operators
     (operators/similarity.py) run end-to-end on the output.
     """
     from lightlane_spark.shipping import ensure_package_shipped
@@ -126,13 +138,18 @@ def extract_features(
         import math
 
         for pdf in batches:
-            if use_real_extractor:
+            if use_real_extractor and extractor is None:
                 # STUB: load the broadcast model and encode here.
                 raise NotImplementedError(
                     "real feature extraction requires torch/onnx — not in this container"
                 )
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if extractor is not None:
+                    rows.append(
+                        {"doc_id": doc_id, "embedding": extractor(bytes(payload))}
+                    )
+                    continue
                 digest = hashlib.md5(bytes(payload)).digest()
                 # expand the 16-byte digest to `dim` centered floats
                 raw = [
@@ -155,25 +172,31 @@ def resize_image(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     use_real_decoder: bool = False,
+    resizer=None,
 ) -> DataFrame:
     """Resize plumbing: payload → payload' with recorded target dims.
 
-    The byte transform is STUBBED (identity passthrough; a real
-    implementation decodes, resamples, re-encodes inside the pandas
-    fn) — schema, batching, and the payload-in/payload-out contract
-    are the real thing. Linear, no shuffle."""
+    ``resizer``: ``(bytes, width, height) -> bytes`` — the real
+    decode→resample→re-encode slot. Without one the byte transform is
+    an identity passthrough — schema, batching, and the
+    payload-in/payload-out contract are the real thing. Linear, no
+    shuffle."""
     from lightlane_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(df.sparkSession)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if use_real_decoder:
+            if use_real_decoder and resizer is None:
                 # STUB: decode → resample to (width, height) → re-encode.
                 raise NotImplementedError(
                     "real resize requires PIL/libvips — not in this container"
                 )
             out = pdf[[id_col, payload_col]].copy()
+            if resizer is not None:
+                out[payload_col] = [
+                    resizer(bytes(p), width, height) for p in out[payload_col]
+                ]
             out["width"] = width
             out["height"] = height
             yield out

@@ -60,3 +60,26 @@ def test_observe_counts_without_extra_pass(spark, sf_dir):
 def test_timed_wrapper():
     (out, sec) = timed(sum, [1, 2, 3])
     assert out == 6 and sec >= 0
+
+
+def test_profile_columns_approx_no_expand(spark, sf_dir):
+    """approx=True is the 100 TB profile: HLL++ sketches instead of the
+    Expand-based exact count-distincts. Plan must drop the Expand;
+    cardinalities within the 5% rsd; nulls/min/max stay exact."""
+    from lightlane_spark.catalog import profile_columns
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice"]
+    exact = {r.column: r for r in profile_columns(li, cols).collect()}
+    approx = profile_columns(li, cols, approx=True, approx_rsd=0.01)
+    assert "Expand" not in approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in (
+        profile_columns(li, cols)._jdf.queryExecution().executedPlan().toString()
+    )
+    for r in approx.collect():
+        e = exact[r.column]
+        assert r.n_nulls == e.n_nulls
+        assert r.min_val == e.min_val and r.max_val == e.max_val
+        assert abs(r.n_distinct - e.n_distinct) <= max(0.05 * e.n_distinct, 2), (
+            r.column, r.n_distinct, e.n_distinct,
+        )

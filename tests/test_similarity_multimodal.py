@@ -143,3 +143,41 @@ def test_resize_image_plumbing(spark, sf_dir):
     assert len(out) == 5
     for r in out:
         assert (r.width, r.height) == (224, 224) and len(bytes(r.payload)) > 0
+
+
+def test_pluggable_decoder_injection(spark, sf_dir):
+    """The real-decoder slot must be exercisable, not only raise: an
+    injected decoder callable flows through the full mapInPandas path
+    and its outputs land in the metadata contract."""
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 20")
+    with_bin = attach_binary_payload(docs)
+
+    def header_decoder(payload: bytes):
+        # a "real" decoder shape: inspects leading bytes
+        return ("bmp" if payload[:1] == b"a" else "tiff", len(payload) % 100, 42)
+
+    out = decode_image_meta(with_bin, decoder=header_decoder).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.format in ("bmp", "tiff") and r.height == 42
+        assert r.width == r.n_bytes % 100
+
+
+def test_pluggable_extractor_and_resizer(spark, sf_dir):
+    from lightlane_spark.operators.multimodal import extract_features, resize_image
+
+    docs = read_table(spark, sf_dir, "documents").filter("doc_id < 10")
+    with_bin = attach_binary_payload(docs)
+
+    feats = extract_features(
+        with_bin, extractor=lambda p: [float(len(p)), 1.0]
+    ).collect()
+    assert all(r.embedding == [float(r_len), 1.0] for r, r_len in
+               zip(feats, [len(bytes_) for bytes_ in
+                           [bytes(x.payload) for x in with_bin.select("payload").collect()]]))
+
+    resized = resize_image(
+        with_bin, 32, 16, resizer=lambda p, w, h: p[: w + h]
+    ).collect()
+    assert all(len(bytes(r.payload)) <= 48 and r.width == 32 and r.height == 16
+               for r in resized)
