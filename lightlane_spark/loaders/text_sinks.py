@@ -143,3 +143,28 @@ def read_hive_text(
         )
         .csv(path)
     )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """JSON-lines sink (SURVEY §1.4: Spark-native format family beyond
+    the reference's TEXTFILE/PARQUET usage). Timestamps serialize as
+    ISO-8601; nested types are first-class, no OP-15 pre-serialization
+    needed."""
+    df.write.mode(mode).options(**options).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """Schema-explicit JSON-lines reader (schemas are never inferred
+    from data — SURVEY §1.3)."""
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar alternative the reference only declares
+    (const.py:19-26 lists ORC, never writes it)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader (self-describing schema, like parquet)."""
+    return spark.read.orc(path)

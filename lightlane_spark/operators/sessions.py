@@ -48,6 +48,32 @@ def sessionize(
     return df.withColumn("session_id", F.sum(opens).over(running))
 
 
+def session_window_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """One row per session via Spark's native ``session_window`` —
+    the built-in dynamic-gap form of :func:`session_stats` (same
+    single shuffle on the user key; sessions merge transitively when
+    events are within the gap of each other). ``session_end`` is
+    Spark's window end = last event + gap, and works identically in
+    Structured Streaming group-bys (watermark evicts closed sessions).
+    """
+    sw = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (
+        df.groupBy(F.col(user_col), sw.alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str = "user_id",

@@ -639,9 +639,21 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, gap_minutes=60)
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session_window sessionization (dynamic-gap groupBy)
+    — same single shuffle as the gaps-and-islands form; exact-gap
+    events merge (split iff diff > gap, verified empirically), so the
+    oracle reuses the sessionize island logic with end = last + gap."""
+    from lightlane_spark.operators.sessions import session_window_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_window_stats(ev, gap_minutes=60)
+
+
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
     "sessionize": q_sessionize,
+    "session_window": q_session_window,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -686,6 +698,26 @@ _SW_ES = "('el','la','de','que','y','en','un','es')"
 _SW_FR = "('le','la','de','et','un','est','que','en')"
 
 ORACLE = {
+    "session_window": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 3600000000
+                        THEN 1 ELSE 0 END AS opens
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts,
+                   CAST(SUM(opens) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM e
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 60 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
     "sessionize": """
         WITH e AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -147,3 +147,29 @@ def test_sessionize_stream_closes_sessions(spark, tmp_path):
     # user 1: session of 2 events closed by the later event, then the
     # singleton closed by timeout; user 2's singleton closed by timeout
     assert closed == {(1, 2), (1, 1), (2, 1)}
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Spark's session_window merges windows that exactly touch (split
+    iff diff > gap) — pinned here because the DuckDB oracle encodes the
+    same convention."""
+    from lightlane_spark.operators.sessions import session_window_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),      # exactly gap after -> merge
+            (1, "2024-01-01 00:20:00.000001"),  # gap + 1us -> split
+            (2, "2024-01-01 00:00:00"),
+        ],
+        "user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = session_window_stats(df, gap_minutes=10)
+    rows = sorted(
+        (r.user_id, str(r.session_start), r.n_events) for r in out.collect()
+    )
+    assert rows == [
+        (1, "2024-01-01 00:00:00", 2),
+        (1, "2024-01-01 00:20:00.000001", 1),
+        (2, "2024-01-01 00:00:00", 1),
+    ]
