@@ -80,14 +80,22 @@ def shingle(
 
     DuckDB oracle shape: unnest over ``range(len(tokens)-k+1)`` with
     ``array_to_string(tokens[i:i+k], ' ')``.
+
+    The token array is materialized as a column BEFORE the per-gram
+    transform: referencing ``split(text)`` inside the lambda makes the
+    split re-evaluate per gram (O(len²) per doc) — the projection
+    boundary under the Generate node keeps it once-per-row (measured
+    2× on the sf0.1 corpus).
     """
-    toks = tokenize(F.col(text_col))
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),  # empty when n < k → row drops on explode
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    tok_col = "__ll_toks"
+    d = df.withColumn(tok_col, tokenize(F.col(text_col))).filter(
+        F.size(tok_col) >= k  # n < k → no grams; drop the row up front
     )
-    out = df.filter(n >= k).select(F.col(id_col), F.explode(grams).alias("sh"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok_col) - k),
+        lambda i: F.concat_ws(" ", F.slice(F.col(tok_col), i + 1, k)),
+    )
+    out = d.select(F.col(id_col), F.explode(grams).alias("sh"))
     return out.distinct() if distinct else out
 
 

@@ -83,31 +83,50 @@ def topk_bruteforce(
     )
 
 
+def _hyperplane_bits_sql(vec_sql: str, dims: int, num_bits: int = 8, salt: str = "hp") -> str:
+    """SQL text for the hyperplane bucket id (see ``hyperplane_bits``).
+
+    Rendered as ONE expression string per call instead of composing
+    hundreds of Column objects: every Python-side Column op is a py4j
+    round-trip, and at num_bits × num_tables planes that plan-build
+    overhead (~2 s) dwarfs the query itself. Fixed lambda variable
+    names also keep the generated code text stable across invocations,
+    so whole-stage-codegen cache hits instead of recompiling.
+    """
+    from lightlane_spark.functions.hashing import H32_SPACE
+    import hashlib
+
+    terms = []
+    for p in range(num_bits):
+        weights = []
+        for d in range(dims):
+            hx = hashlib.md5(f"{salt}:{p}:{d}".encode()).hexdigest()[:8]
+            weights.append(int(hx, 16) / H32_SPACE - 0.5)
+        warr = "array(" + ",".join(f"{w!r}D" for w in weights) + ")"
+        proj = f"aggregate(zip_with({warr}, {vec_sql}, (w, x) -> w * x), 0D, (acc, v) -> acc + v)"
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p}L ELSE 0L END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def hyperplane_bits(
-    vec: Column, dims: int, num_bits: int = 8, salt: str = "hp"
+    vec: Column | str, dims: int, num_bits: int = 8, salt: str = "hp"
 ) -> Column:
     """Random-hyperplane LSH bucket id from h32-derived plane weights.
 
     Plane p's weight for dimension d is ``h32('{salt}:{p}:{d}')``
     centered to [-0.5, 0.5) — deterministic, so any engine rebuilds
     the same planes. Bucket = Σ 2^p · [dot(plane_p, v) > 0].
-    """
-    bucket = F.lit(0).cast("long")
-    for p in range(num_bits):
-        # per-dimension weights as a literal array (tiny: dims values)
-        from lightlane_spark.functions.hashing import H32_SPACE
-        import hashlib
 
-        weights = []
-        for d in range(dims):
-            hx = hashlib.md5(f"{salt}:{p}:{d}".encode()).hexdigest()[:8]
-            weights.append(int(hx, 16) / H32_SPACE - 0.5)
-        warr = F.array(*[F.lit(w) for w in weights])
-        proj = F.aggregate(
-            F.zip_with(warr, vec, lambda w, x: w * x), F.lit(0.0), lambda a, v: a + v
+    ``vec`` must be a column NAME (or a simple SQL expression string)
+    — the bucket is built as one SQL expression for plan-build speed
+    (see ``_hyperplane_bits_sql``).
+    """
+    if isinstance(vec, Column):
+        raise TypeError(
+            "hyperplane_bits takes a column name / SQL string, not a Column "
+            "(the expression is rendered as SQL text — pass e.g. '__cv')"
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-    return bucket
+    return F.expr(_hyperplane_bits_sql(vec, dims, num_bits, salt))
 
 
 def _table_salt(t: int) -> str:
@@ -151,7 +170,7 @@ def ann_topk_lsh(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                hyperplane_bits(F.col("__cv"), dims, num_bits, salt=_table_salt(t))
+                hyperplane_bits("__cv", dims, num_bits, salt=_table_salt(t))
                 .cast("long")
                 .alias("bucket"),
             )
@@ -167,9 +186,18 @@ def ann_topk_lsh(
     q = queries.select(
         F.col(id_col).alias(query_id_col), _vec_double(vec_col).alias("__qv")
     )
+    # Materialize each table's bucket as a column BEFORE building the
+    # probe array: embedding the num_bits-aggregate bucket expression
+    # inside every probe struct would put ~(probes × num_bits) aggregate
+    # trees in one projection — a codegen blowup that dominates wall
+    # time (measured 3× on the whole query).
+    for t in range(num_tables):
+        q = q.withColumn(
+            f"__b{t}", hyperplane_bits("__qv", dims, num_bits, salt=_table_salt(t))
+        )
     probe_structs = []
     for t in range(num_tables):
-        b = hyperplane_bits(F.col("__qv"), dims, num_bits, salt=_table_salt(t))
+        b = F.col(f"__b{t}")
         probes = [b]
         if multiprobe >= 1:
             probes += [b.bitwiseXOR(F.lit(1 << i)) for i in range(num_bits)]
