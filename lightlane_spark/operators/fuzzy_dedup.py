@@ -91,9 +91,12 @@ def shingle(
     d = df.withColumn(tok_col, tokenize(F.col(text_col))).filter(
         F.size(tok_col) >= k  # n < k → no grams; drop the row up front
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tok_col) - k),
-        lambda i: F.concat_ws(" ", F.slice(F.col(tok_col), i + 1, k)),
+    # SQL text, not Column lambdas: python-side lambdas get fresh
+    # variable ids per invocation, so every call generates new codegen
+    # text and recompiles (~1s); fixed text hits the codegen cache.
+    grams = F.expr(
+        f"transform(sequence(0, size({tok_col}) - {k}),"
+        f" i -> concat_ws(' ', slice({tok_col}, i + 1, {k})))"
     )
     out = d.select(F.col(id_col), F.explode(grams).alias("sh"))
     return out.distinct() if distinct else out
