@@ -374,6 +374,7 @@ _DEFERRED = [
     # slots keep their planned occupants
     "session_window",
     "json_roundtrip",
+    "quota_sample",
     "embedding_neardup",
     "embedding_quantize",
     "embedding_quantize_error",

@@ -335,3 +335,32 @@ def fuzzy_join(
     return cand.withColumn(
         "edit_distance", F.levenshtein(F.col(left_col), F.col(right_col))
     ).filter(F.col("edit_distance") <= max_distance)
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quota sampling: keep at most ``n_per_group`` rows per
+    group, chosen in deterministic hash order of the id — the
+    domain/language-balancing step of corpus prep (cap any one source's
+    share of the training mix).
+
+    One shuffle on the group key; hash order (h32, md5-based) makes the
+    selection reproducible across engines and runs, unlike rand()-based
+    sampling. Skewed groups: the per-group rank is a streaming window
+    (no per-group materialization), so a giant domain costs its row
+    count, not memory.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        h32(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__qrk", F.row_number().over(w))
+        .filter(F.col("__qrk") <= n_per_group)
+        .drop("__qrk")
+    )

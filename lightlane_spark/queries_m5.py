@@ -654,10 +654,20 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_stats(ev, gap_minutes=60)
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (corpus domain balancing): keep at
+    most 30 docs per source in deterministic h32 order."""
+    from lightlane_spark.operators.text import quota_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return quota_sample(docs, "source", 30)
+
+
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
+    "quota_sample": q_quota_sample,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -702,6 +712,17 @@ _SW_ES = "('el','la','de','que','y','en','un','es')"
 _SW_FR = "('le','la','de','et','un','est','que','en')"
 
 ORACLE = {
+    "quota_sample": """
+        SELECT doc_id, source, lang FROM (
+            SELECT doc_id, source, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                                doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 30
+    """,
     "session_window": """
         WITH e AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

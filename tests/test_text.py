@@ -89,3 +89,18 @@ def test_analyze_documents_bundle(spark, sf_dir):
     )
     got = {r.doc_id: r.n_tokens for r in out.select("doc_id", "n_tokens").collect()}
     assert got == exp
+
+
+def test_quota_sample_cap_and_determinism(spark, sf_dir):
+    from lightlane_spark.operators.text import quota_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = quota_sample(docs, "source", 7)
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 7 for n in per.values())
+    assert all(per[s] == min(7, full[s]) for s in full)
+    # deterministic: same selection on re-run
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in quota_sample(docs, "source", 7).collect()}
+    assert ids1 == ids2
