@@ -245,9 +245,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means-partition the corpus, probe
     only the ``n_probe`` nearest centroids per query.
+
+    ``max_iter`` bounds the k-means fit (each iteration is a full
+    corpus pass); with a generous ``n_probe`` the recall is insensitive
+    to centroid convergence, so a handful of iterations suffices.
 
     The scale path when hyperplane buckets are too coarse: centroids
     adapt to the data distribution, and the corpus is scanned
@@ -261,7 +266,10 @@ def ivf_topk(
 
     c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
     feat = c.withColumn("__feat", array_to_vector(F.col("__cv")))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat", predictionCol="__cluster")
+    km = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter,
+        featuresCol="__feat", predictionCol="__cluster",
+    )
     model = km.fit(feat)
     assigned = model.transform(feat).select(id_col, "__cv", "__cluster")
 

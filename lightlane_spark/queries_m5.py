@@ -515,7 +515,9 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lightlane_spark.operators.similarity import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    out = ivf_topk(emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=7)
+    out = ivf_topk(
+        emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=7, max_iter=8
+    )
     return out.select("query_id", "vec_id", "rank")
 
 

@@ -14,7 +14,7 @@ def test_ivf_recall_and_self_retrieval(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 10")
     exact = topk_bruteforce(emb, queries, k=5).collect()
-    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=7).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=7, max_iter=8).collect()
     exact_set = {(r.query_id, r.vec_id) for r in exact}
     approx_set = {(r.query_id, r.vec_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
