@@ -108,6 +108,15 @@ class Pipeline:
 
         return self.transform(_stage)
 
+    def quota_sample(
+        self, group_col: str, n_per_group: int, id_col: str = "doc_id"
+    ) -> "Pipeline":
+        """Corpus stage: cap each group's share of the mix (domain /
+        language balancing), deterministic hash order."""
+        from lightlane_spark.operators.text import quota_sample as _qs
+
+        return self.transform(lambda df: _qs(df, group_col, n_per_group, id_col))
+
     def quarantine(self, good_predicate) -> "Pipeline":
         """OP-17: split off bad rows; route them with .bad_to_parquet."""
         self._require_df()
