@@ -375,6 +375,8 @@ _DEFERRED = [
     "session_window",
     "json_roundtrip",
     "quota_sample",
+    "weighted_sample",
+    "pack_sequences",
     "embedding_neardup",
     "embedding_quantize",
     "embedding_quantize_error",

@@ -364,3 +364,68 @@ def quota_sample(
         .filter(F.col("__qrk") <= n_per_group)
         .drop("__qrk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling with per-row keep probability
+    ``weight_col`` (in [0,1] — e.g. a quality score): keep the row iff
+    ``h32(seed:id) / 2^32 < weight``. Quality-weighted corpus
+    downsampling that is reproducible across engines and runs
+    (rand()-based sampling is neither), map-only, no shuffle.
+    """
+    from lightlane_spark.functions.hashing import H32_SPACE, h32
+
+    u = h32(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    return df.filter(u / F.lit(float(H32_SPACE)) < F.col(weight_col))
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str,
+    window_tokens: int,
+    buckets: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents (in id order)
+    into a token stream and cut it every ``window_tokens`` tokens;
+    documents straddle sequence boundaries. Returns one row per
+    (document × sequence) intersection:
+    (bucket, seq_id, doc_id, doc_start, doc_end) — token offsets are
+    doc-relative, [doc_start, doc_end) landing in that sequence.
+
+    Scale shape: a GLOBAL stream cumsum would serialize on one
+    partition, so the stream is sharded into ``buckets`` independent
+    streams by ``id % buckets`` — the cumulative sum is a per-bucket
+    window (one shuffle), and every bucket packs in parallel. Sequence
+    ids are bucket-local; (bucket, seq_id) is the global key.
+    """
+    from pyspark.sql import Window
+
+    b = (F.col(id_col) % buckets).cast("int")
+    w = Window.partitionBy("__bkt").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = (
+        df.select(F.col(id_col), F.col(n_tokens_col).cast("long").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .withColumn("__bkt", b)
+        .withColumn("__cum_end", F.sum("__n").over(w))
+        .withColumn("__cum_before", F.col("__cum_end") - F.col("__n"))
+    )
+    first_seq = F.floor(F.col("__cum_before") / window_tokens)
+    last_seq = F.floor((F.col("__cum_end") - 1) / window_tokens)
+    out = d.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+    seq_lo = F.col("seq_id") * window_tokens
+    seq_hi = seq_lo + window_tokens
+    return out.select(
+        F.col("__bkt").alias("bucket"),
+        "seq_id",
+        id_col,
+        (F.greatest(seq_lo, F.col("__cum_before")) - F.col("__cum_before")).alias("doc_start"),
+        (F.least(seq_hi, F.col("__cum_end")) - F.col("__cum_before")).alias("doc_end"),
+    )

@@ -665,11 +665,38 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_sample(docs, "source", 30)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling: keep probability
+    scales with doc length (stand-in quality score), reproducible via
+    hash threshold — map-only, no shuffle."""
+    from lightlane_spark.operators.text import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = docs.withColumn(
+        "weight", F.least(F.col("n_chars") / F.lit(600.0), F.lit(1.0))
+    )
+    return weighted_sample(w, "weight").select("doc_id", "n_chars")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: docs concatenated (id order, 8
+    sharded streams) and cut every 256 tokens; one row per doc×seq
+    intersection with doc-relative token offsets."""
+    from lightlane_spark.operators.text import pack_sequences, token_count
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", window_tokens=256, buckets=8)
+
+
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
     "quota_sample": q_quota_sample,
+    "weighted_sample": q_weighted_sample,
+    "pack_sequences": q_pack_sequences,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -714,6 +741,37 @@ _SW_ES = "('el','la','de','que','y','en','un','es')"
 _SW_FR = "('le','la','de','et','un','est','que','en')"
 
 ORACLE = {
+    "weighted_sample": """
+        SELECT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars,
+                   LEAST(n_chars / 600.0, 1.0) AS weight,
+                   ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+            FROM documents
+        ) WHERE u < weight
+    """,
+    "pack_sequences": """
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                   CAST(doc_id % 8 AS INTEGER) AS bucket
+            FROM documents
+            WHERE len(string_split(text, ' ')) > 0
+        ), c AS (
+            SELECT *, CAST(SUM(n) OVER (PARTITION BY bucket ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+            FROM d
+        ), e AS (
+            SELECT bucket, doc_id, cum_end, cum_end - n AS cum_before,
+                   CAST(floor((cum_end - n) / 256.0) AS BIGINT) AS first_seq,
+                   CAST(floor((cum_end - 1) / 256.0) AS BIGINT) AS last_seq
+            FROM c
+        )
+        SELECT bucket, seq_id, doc_id,
+               GREATEST(seq_id * 256, cum_before) - cum_before AS doc_start,
+               LEAST(seq_id * 256 + 256, cum_end) - cum_before AS doc_end
+        FROM e, LATERAL (SELECT unnest(range(first_seq, last_seq + 1)) AS seq_id) s
+    """,
     "quota_sample": """
         SELECT doc_id, source, lang FROM (
             SELECT doc_id, source, lang,

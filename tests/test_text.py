@@ -104,3 +104,56 @@ def test_quota_sample_cap_and_determinism(spark, sf_dir):
     ids1 = {r.doc_id for r in out.collect()}
     ids2 = {r.doc_id for r in quota_sample(docs, "source", 7).collect()}
     assert ids1 == ids2
+
+
+def test_weighted_sample_rate_and_determinism(spark, sf_dir):
+    from lightlane_spark.operators.text import weighted_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = docs.withColumn("weight", F.least(F.col("n_chars") / 600.0, F.lit(1.0)))
+    kept = weighted_sample(w, "weight")
+    n, total = kept.count(), docs.count()
+    mean_w = w.agg(F.avg("weight")).first()[0]
+    # kept fraction tracks the mean weight (law of large numbers, 500 docs)
+    assert abs(n / total - mean_w) < 0.1
+    assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in weighted_sample(w, "weight").collect()}
+    # different seed -> different (deterministic) sample
+    other = weighted_sample(w, "weight", seed="ws2")
+    assert {r.doc_id for r in other.collect()} != {r.doc_id for r in kept.collect()}
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Every token of every doc lands in exactly one sequence slice;
+    no sequence holds more than window_tokens; slices are contiguous."""
+    from lightlane_spark.operators.text import pack_sequences, token_count
+
+    W = 128
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n")
+    )
+    out = pack_sequences(docs, "n", window_tokens=W, buckets=4)
+    rows = out.collect()
+    n_by_doc = {r.doc_id: r.n for r in docs.collect()}
+    # per-doc slices cover [0, n) without gaps or overlaps
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.doc_start, r.doc_end))
+    for doc_id, slices in by_doc.items():
+        slices.sort()
+        assert slices[0][0] == 0
+        assert slices[-1][1] == n_by_doc[doc_id]
+        assert all(a[1] == b[0] for a, b in zip(slices, slices[1:]))
+        assert all(e > s for s, e in slices)
+    assert set(by_doc) == {d for d, n in n_by_doc.items() if n > 0}
+    # sequence capacity: sum of slice lengths per (bucket, seq) <= W,
+    # and every sequence except each bucket's last is exactly full
+    per_seq = {}
+    for r in rows:
+        per_seq[(r.bucket, r.seq_id)] = per_seq.get((r.bucket, r.seq_id), 0) + (r.doc_end - r.doc_start)
+    last_seq = {}
+    for (b, s) in per_seq:
+        last_seq[b] = max(last_seq.get(b, -1), s)
+    for (b, s), tok in per_seq.items():
+        assert tok <= W
+        if s < last_seq[b]:
+            assert tok == W, (b, s, tok)
