@@ -90,10 +90,13 @@ def connected_components(
     DataFrame algorithm: it cuts the exponentially-growing lineage and
     gives AQE true sizes to re-plan from.
     """
-    e = _canonical_edges(edges, id_a, id_b).localCheckpoint()
+    # eager=False: the fingerprint action right below materializes the
+    # checkpoint anyway, so the eager materialization job per round is
+    # pure overhead (one job/round saved; lineage still truncated).
+    e = _canonical_edges(edges, id_a, id_b).localCheckpoint(eager=False)
     prev = None
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).distinct().localCheckpoint()
+        e = _small_star(_large_star(e)).distinct().localCheckpoint(eager=False)
         fp = e.agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("s"),
