@@ -378,6 +378,7 @@ _DEFERRED = [
     "weighted_sample",
     "pack_sequences",
     "embedding_neardup",
+    "embedding_neardup_lsh",
     "embedding_quantize",
     "embedding_quantize_error",
     "multimodal_decode",

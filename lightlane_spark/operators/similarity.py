@@ -308,6 +308,30 @@ def ivf_topk(
     )
 
 
+def cosine_neardup_lsh(
+    df: DataFrame,
+    dims: int,
+    threshold: float = 0.95,
+    num_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs with self-contained LSH blocking: the
+    block key is the vector's own hyperplane bucket (no label column
+    needed — the 100 TB shape). Near-identical vectors project to the
+    same side of every plane, so true near-dups (sim ≥ ~0.95) share a
+    bucket with high probability; pair count is Σ|bucket|² ≈ N²/2^bits
+    for uniform data. Approximate (bucket-boundary pairs can be
+    missed); the exact-within-block form is ``cosine_neardup_pairs``.
+    """
+    blocked = df.withColumn(
+        "__blk", hyperplane_bits(vec_col, dims, num_bits, salt="nd")
+    )
+    return cosine_neardup_pairs(
+        blocked, "__blk", threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     block_col: str,
@@ -318,7 +342,8 @@ def cosine_neardup_pairs(
     """Embedding near-dup pairs within blocks: (id_a, id_b, sim).
 
     Block-local self-join keeps pair count at Σ|block|²; at corpus
-    scale the block key is a coarse LSH bucket rather than a label.
+    scale the block key is a coarse LSH bucket rather than a label
+    (``cosine_neardup_lsh`` wires that up).
     """
     v = df.select(
         F.col(block_col).alias("__blk"),

@@ -521,6 +521,21 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-blocked (hyperplane-bucket) embedding near-dup — the scale
+    shape with no label crutch. Rows-only driver check (float
+    projection signs aren't portable to SQL); the dup-recovery
+    contract lives in tests/test_similarity_multimodal.py."""
+    from lightlane_spark.operators.similarity import cosine_neardup_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dups = emb.filter("vec_id < 5").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    out = cosine_neardup_lsh(emb.unionByName(dups), dims=64, threshold=0.999)
+    return out.select("id_a", "id_b")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     dups = emb.filter("vec_id < 5").select(
@@ -727,6 +742,7 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "embedding_quantize": q_embedding_quantize,
     "embedding_quantize_error": q_embedding_quantize_error,
     "multimodal_decode": q_multimodal_decode,

@@ -181,3 +181,20 @@ def test_pluggable_extractor_and_resizer(spark, sf_dir):
     ).collect()
     assert all(len(bytes(r.payload)) <= 48 and r.width == 32 and r.height == 16
                for r in resized)
+
+
+def test_cosine_neardup_lsh_self_blocked(spark, sf_dir):
+    """LSH-blocked near-dup (no label column): exact duplicates always
+    share every hyperplane bucket, so all injected dup pairs are found."""
+    from lightlane_spark.operators.similarity import cosine_neardup_lsh
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dups = emb.filter("vec_id < 5").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    out = cosine_neardup_lsh(emb.unionByName(dups), dims=64, threshold=0.999)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert {(i, i + 10_000) for i in range(5)} <= pairs
+    # blocking is real: candidate pairs are far below the all-pairs count
+    n = emb.count() + 5
+    assert out.count() < n * (n - 1) / 20
