@@ -377,6 +377,7 @@ _DEFERRED = [
     "quota_sample",
     "weighted_sample",
     "pack_sequences",
+    "span_dedup",
     "embedding_neardup",
     "embedding_neardup_lsh",
     "embedding_quantize",

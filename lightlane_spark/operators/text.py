@@ -429,3 +429,67 @@ def pack_sequences(
         (F.greatest(seq_lo, F.col("__cum_before")) - F.col("__cum_before")).alias("doc_start"),
         (F.least(seq_hi, F.col("__cum_end")) - F.col("__cum_before")).alias("doc_end"),
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 16,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style span-level exact dedup: split every
+    document into non-overlapping ``span``-token windows, keep only the
+    corpus-wide FIRST occurrence of each distinct span (first = lowest
+    (id, span_idx)), and reassemble each document from its surviving
+    spans. Boilerplate paragraphs repeated across pages vanish while
+    the unique remainder of each page survives — finer-grained than
+    whole-document dedup. On corpora with natural paragraph breaks,
+    split on the break instead of fixed windows; the rest of the plan
+    is identical.
+
+    Returns (id, text_deduped, n_spans, n_spans_kept); documents whose
+    every span was seen earlier come back with ``text_deduped = ''``
+    (count filterable downstream).
+
+    Scale shape: two linear shuffles — one keyed by the span's md5
+    (the first-occurrence window; 128-bit key keeps shuffle rows
+    narrow and collision-free, never the span text itself at scale),
+    one keyed by id (reassembly). No pair expansion anywhere; skew on
+    a mega-duplicated span is bounded because a window min only
+    streams the partition, it never materializes pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    spans = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(__t) / {span}.0) AS INT) - 1), "
+                f"i -> array_join(slice(__t, i * {span} + 1, {span}), ' '))"
+            )
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy(F.md5(F.col("span"))).orderBy(id_col, "span_idx")
+    kept = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_spans_kept"),
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return totals.join(reassembled, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        "n_spans",
+        F.coalesce("n_spans_kept", F.lit(0)).cast("bigint").alias("n_spans_kept"),
+    )

@@ -266,44 +266,55 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bow_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text→vector→similarity chain, fully oracle-checked: hashed-BoW
-    vectors in sparse (doc, dim, weight) form, probe docs (every
-    100th) joined to the corpus ON DIM (sparse dot product — only
-    co-occurring dims multiply), cosine top-3 per probe. Integer dots
-    and norms are exact, so the whole chain is engine-deterministic.
+    vectors pivoted to dense 64-dim arrays (one shuffle keyed by
+    doc_id), probe docs (every 100th) BROADCAST against the corpus,
+    cosine top-3 per probe. Integer dots and norms are exact, so the
+    whole chain is engine-deterministic (oracle computes the same
+    numbers via a sparse dim-join in DuckDB).
 
-    Scale note: the dim-join is exact brute force scaled by 1/dims,
-    and 64 join keys cap shuffle parallelism — right for a probe
-    set vs corpus at moderate scale, but 100 TB top-k similarity
-    should go through the ANN operators (ann_topk_lsh / ivf_topk);
-    this query's value is the exact, fully-SQL-checkable chain."""
+    Scale shape: the corpus is never shuffled after the pivot — the
+    probe set rides along broadcast and each corpus partition scores
+    its rows map-side (same broadcast-probe plan as
+    ``similarity.topk_bruteforce``). ``dot > 0`` keeps parity with
+    the sparse oracle's inner dim-join (weights are non-negative, so
+    dot > 0 ⇔ at least one co-occurring dim). The previous exact
+    dim-join form (64 join keys capping shuffle parallelism, 8
+    exchanges) survives only in the oracle SQL; at 100 TB use the
+    ANN operators (ann_topk_lsh / ivf_topk) for huge probe sets."""
     from pyspark.sql import Window
 
+    from lightlane_spark.operators.similarity import dot as vec_dot
     from lightlane_spark.operators.text import hashed_bow
 
     docs = read_table(spark, sf_dir, "documents")
     bow = hashed_bow(docs, dims=64)
-    norms = bow.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("nrm")
-    )
-    probes = bow.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("query_id"), "dim", F.col("weight").alias("wq")
-    )
-    dots = (
-        probes.join(bow.filter(F.col("doc_id") % 100 != 0), on="dim")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.col("wq") * F.col("weight")).alias("dot"))
-    )
-    sims = (
-        dots.join(
-            norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("nq")),
-            on="query_id",
+    vecs = (
+        bow.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("dim", "weight"))).alias("m"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 63), d -> CAST(coalesce(element_at(m, d), 0) AS DOUBLE))"
+            ).alias("v"),
         )
-        .join(norms, on="doc_id")
+        .withColumn(
+            "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+        )
+    )
+    probes = vecs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("nq")
+    )
+    corpus = vecs.filter(F.col("doc_id") % 100 != 0)
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .withColumn("dot", vec_dot(F.col("qv"), F.col("v")))
+        .filter(F.col("dot") > 0)
         .withColumn("sim", F.round(F.col("dot") / (F.col("nq") * F.col("nrm")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("doc_id"))
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("query_id", "doc_id", "sim", "rank")
     )
@@ -693,6 +704,17 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(w, "weight").select("doc_id", "n_chars")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style span-level exact dedup over the planted-duplicate
+    corpus: 16-token windows, corpus-wide first occurrence survives,
+    documents reassembled from surviving spans. The verbatim
+    re-uploads (+1e6 ids) lose every span; the drop-first-word
+    variants (+2e6) keep their shifted spans."""
+    from lightlane_spark.operators.text import span_dedup
+
+    return span_dedup(_docs_with_dups(spark, sf_dir), span=16)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: docs concatenated (id order, 8
     sharded streams) and cut every 256 tokens; one row per doc×seq
@@ -712,6 +734,7 @@ QUERIES = {
     "quota_sample": q_quota_sample,
     "weighted_sample": q_weighted_sample,
     "pack_sequences": q_pack_sequences,
+    "span_dedup": q_span_dedup,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1114,6 +1137,37 @@ ORACLE = {
         )
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM kept
+    """,
+    "span_dedup": f"""
+        WITH {_CORPUS_CTE},
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        spans AS (
+            SELECT doc_id, CAST(i AS INT) AS span_idx,
+                   array_to_string(t[i * 16 + 1 : i * 16 + 16], ' ') AS span
+            FROM toks, LATERAL (
+                SELECT unnest(range(0, CAST(ceil(len(t) / 16.0) AS BIGINT))) AS i
+            ) ix
+        ),
+        ranked AS (
+            SELECT doc_id, span_idx, span,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(span) ORDER BY doc_id, span_idx
+                   ) AS rn
+            FROM spans
+        ),
+        kept AS (SELECT doc_id, span_idx, span FROM ranked WHERE rn = 1),
+        reassembled AS (
+            SELECT doc_id,
+                   array_to_string(list(span ORDER BY span_idx), ' ') AS text_deduped,
+                   count(*) AS n_spans_kept
+            FROM kept GROUP BY doc_id
+        ),
+        totals AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+        SELECT t.doc_id,
+               coalesce(r.text_deduped, '') AS text_deduped,
+               CAST(t.n_spans AS BIGINT) AS n_spans,
+               CAST(coalesce(r.n_spans_kept, 0) AS BIGINT) AS n_spans_kept
+        FROM totals t LEFT JOIN reassembled r ON r.doc_id = t.doc_id
     """,
     "dedup_exact": f"""
         WITH {_CORPUS_CTE},

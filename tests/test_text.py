@@ -157,3 +157,26 @@ def test_pack_sequences_invariants(spark, sf_dir):
         assert tok <= W
         if s < last_seq[b]:
             assert tok == W, (b, s, tok)
+
+
+def test_span_dedup_semantics(spark):
+    from lightlane_spark.operators.text import span_dedup
+
+    a = " ".join(f"w{i}" for i in range(8))          # span A
+    b = " ".join(f"x{i}" for i in range(8))          # span B
+    c = " ".join(f"y{i}" for i in range(8))          # span C
+    df = spark.createDataFrame(
+        [
+            (1, f"{a} {b}"),   # doc 1 owns A and B
+            (2, f"{a} {c}"),   # doc 2: A is a repeat, C unique
+            (3, a),            # doc 3: fully duplicate -> emptied
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(df, span=8).collect()}
+    assert out[1].text_deduped == f"{a} {b}"
+    assert (out[1].n_spans, out[1].n_spans_kept) == (2, 2)
+    assert out[2].text_deduped == c
+    assert (out[2].n_spans, out[2].n_spans_kept) == (2, 1)
+    assert out[3].text_deduped == ""
+    assert (out[3].n_spans, out[3].n_spans_kept) == (1, 0)
