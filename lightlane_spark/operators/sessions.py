@@ -37,8 +37,10 @@ def sessionize(
     prev_ts = F.lag(ts_col).over(w)
     # Microsecond-exact gap: unix_timestamp truncates to whole seconds,
     # which would merge a 3600.5s gap that a fractional-second engine
-    # (e.g. DuckDB's epoch_us) splits. Compare in integer microseconds.
-    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+    # (e.g. DuckDB's epoch_us) splits. timestamp_diff compares in integer
+    # microseconds and (unlike unix_micros) accepts TIMESTAMP_NTZ — the
+    # type parquet event times load as — as well as TIMESTAMP.
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
     opens = F.when(
         prev_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
     ).otherwise(0)
