@@ -77,7 +77,11 @@ def apply_changes(
     return kept.unionByName(ups)
 
 
-OPEN_END = "9999-12-31 00:00:00"
+# Sentinel "open row" end timestamp. 2200-01-01 rather than the
+# conventional 9999-12-31: pandas/Arrow nanosecond timestamps overflow
+# past 2262-04-11, so a 9999 sentinel breaks any toPandas()/Arrow hop
+# (including oracle comparisons) while 2200 survives every engine.
+OPEN_END = "2200-01-01 00:00:00"
 
 
 def scd2_apply(
@@ -89,8 +93,9 @@ def scd2_apply(
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: apply ``updates`` to a
     versioned ``history`` table (attribute columns + ``valid_from`` /
-    ``valid_to``; open rows carry valid_to = 9999-12-31 rather than
-    NULL so downstream BETWEEN predicates need no null handling).
+    ``valid_to``; open rows carry valid_to = OPEN_END (2200-01-01)
+    rather than NULL so downstream BETWEEN predicates need no null
+    handling).
 
     Per update key with a real attribute change: the open version is
     closed out (valid_to = effective_ts) and a new open version is

@@ -82,9 +82,12 @@ def asof_join(
     )
     matched = F.last("__r", ignorenulls=True).over(w)
     if tolerance_seconds is not None:
-        gap = F.abs(
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(matched["__asof_ts"])
-        ) / 1e6
+        # timestamp_diff (not unix_micros) so TIMESTAMP_NTZ — the type
+        # naive parquet event times load as — works as well as TIMESTAMP.
+        gap = (
+            F.abs(F.timestamp_diff("MICROSECOND", matched["__asof_ts"], F.col(ts_col)))
+            / 1e6
+        )
         matched = F.when(gap <= tolerance_seconds, matched)
     out = (
         unioned.withColumn("__m", matched)

@@ -113,9 +113,18 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inclusive) at each event — sliding-window analytics without a
     self-join; one shuffle keyed by user."""
     ev = read_table(spark, sf_dir, "events")
+    # RANGE frames need a numeric sort key; TIMESTAMP_NTZ (what naive
+    # parquet timestamps load as in Spark 4) cannot cast to BIGINT, so
+    # compute epoch seconds with timestamp_diff, which accepts both
+    # TIMESTAMP and TIMESTAMP_NTZ.
+    epoch_s = F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts").cast("timestamp_ntz"),
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_s)
         .rangeBetween(-3600, Window.currentRow)
     )
     return ev.select(
@@ -985,7 +994,7 @@ ORACLE = {
         WITH base AS (SELECT o_orderkey, o_totalprice FROM orders)
         SELECT o_orderkey, o_totalprice,
                TIMESTAMP '2020-01-01' AS valid_from,
-               TIMESTAMP '9999-12-31' AS valid_to
+               TIMESTAMP '2200-01-01' AS valid_to
         FROM base WHERE o_orderkey % 10 <> 0
         UNION ALL
         SELECT o_orderkey, o_totalprice,
@@ -993,7 +1002,7 @@ ORACLE = {
         FROM base WHERE o_orderkey % 10 = 0
         UNION ALL
         SELECT o_orderkey, o_totalprice * 2,
-               TIMESTAMP '2024-06-01', TIMESTAMP '9999-12-31'
+               TIMESTAMP '2024-06-01', TIMESTAMP '2200-01-01'
         FROM base WHERE o_orderkey % 10 = 0
     """,
     "join_right_outer": """

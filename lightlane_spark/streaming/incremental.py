@@ -45,6 +45,17 @@ def stream_from_directory(
     return reader.load(path)
 
 
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    on TIMESTAMP_NTZ — the type naive parquet timestamps load as in
+    Spark 4). Cast NTZ event-time columns to TIMESTAMP; with the UTC
+    session timezone (session.py default) the cast is a stable UTC
+    interpretation of the naive wall-clock."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_counts(
     df: DataFrame,
     ts_col: str = "ts",
@@ -65,6 +76,7 @@ def windowed_counts(
         if slide
         else F.window(F.col(ts_col), window)
     )
+    df = _as_event_time(df, ts_col)
     grouped = df.withWatermark(ts_col, watermark).groupBy(
         win.alias("win"),
         *[F.col(c) for c in (group_cols or [])],
@@ -87,6 +99,7 @@ def streaming_dedup(
     watermark horizon (``dropDuplicatesWithinWatermark``) — state per
     live key, evicted as the watermark advances. The streaming face of
     OP-30/dedup_exact for at-least-once sources."""
+    stream_df = _as_event_time(stream_df, ts_col)
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
@@ -112,8 +125,8 @@ def stream_stream_join(
     stream-stream joins (outer rows emit only after the watermark
     passes their eviction bound).
     """
-    l_ = left.withWatermark(left_ts, watermark).alias("l")
-    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    l_ = _as_event_time(left, left_ts).withWatermark(left_ts, watermark).alias("l")
+    r_ = _as_event_time(right, right_ts).withWatermark(right_ts, watermark).alias("r")
     cond = F.lit(True)
     for k in keys:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))

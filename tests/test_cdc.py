@@ -54,7 +54,7 @@ def test_scd2_apply_versions(spark):
     from lightlane_spark.operators.cdc import OPEN_END, scd2_apply
     import datetime as dt
 
-    open_end = "9999-12-31 00:00:00"
+    open_end = "2200-01-01 00:00:00"
     hist = spark.createDataFrame(
         [
             (1, "a", "2020-01-01 00:00:00", open_end),     # open, will change

@@ -120,9 +120,11 @@ def test_session_window_streaming(spark, sf_dir, tmp_path):
     matches the batch rollup for sessions the watermark has closed."""
     from lightlane_spark.operators.sessions import session_window_stats
 
+    from lightlane_spark.streaming.incremental import _as_event_time
+
     land = str(tmp_path / "landing_sess")
     schema, ev = _stage_event_files(spark, sf_dir, land)
-    stream = stream_from_directory(spark, land, schema)
+    stream = _as_event_time(stream_from_directory(spark, land, schema), "ts")
     agg = (
         stream.withWatermark("ts", "0 seconds")
         .groupBy(
