@@ -83,6 +83,120 @@ def topk_bruteforce(
     )
 
 
+def topk_bruteforce_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    positive_dot_only: bool = False,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact top-k, Arrow-vectorized: the numpy form of
+    ``topk_bruteforce`` for when the interpreted ``zip_with`` /
+    ``aggregate`` lambdas become the bottleneck (higher-order
+    functions are NOT whole-stage-codegen'd — each pair walks the
+    array through an interpreted closure; a Q×B float64 matmul per
+    Arrow batch is orders of magnitude cheaper).
+
+    Scale shape: the probe set is collected (it must be broadcast-small
+    by contract, exactly as in ``topk_bruteforce``) and closed over by
+    a ``mapInPandas`` scan of the corpus — the corpus is never
+    shuffled. Each batch emits only rows whose sim reaches the batch's
+    per-query k-th best minus a rounding guard, so the final exact
+    window sees ~batches × Q × k candidate rows instead of Q × N.
+
+    Determinism: emitted ``dot``/norm values are float64; when vector
+    components are integer-valued (hashed-BoW weights) every partial
+    sum is exact, so results are bit-identical to a sequential-order
+    JVM or SQL evaluation and the output stays oracle-hashable. The
+    final ``sim`` (and its rounding, when ``round_digits`` is given)
+    is computed JVM-side from the emitted exact components so
+    numpy's round-half-even never touches the output.
+
+    Returns (query_id, id, rank, sim) — same contract as
+    ``topk_bruteforce``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        queries.select(
+            F.col(id_col).cast("long").alias("qid"),
+            _vec_double(vec_col).alias("qv"),
+        )
+        .collect()
+    )
+    if not rows:
+        empty = corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, rank int, sim double"
+        )
+        return empty
+    qids = np.array([r.qid for r in rows], dtype=np.int64)
+    qm = np.array([r.qv for r in rows], dtype=np.float64)  # Q×D
+    qn = np.sqrt((qm * qm).sum(axis=1))
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("cid"), _vec_double(vec_col).alias("cv")
+    )
+    # guard: a kept/dropped pair can swap order after round_digits
+    # rounding only if their sims are within half an ulp of the
+    # rounding grid — keep everything within one grid step of the cut
+    guard = 10.0 ** (-round_digits) if round_digits is not None else 0.0
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.array(pdf["cv"].tolist(), dtype=np.float64)  # B×D
+            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            dots = qm @ cm.T  # Q×B
+            valid = np.isfinite(dots)
+            if positive_dot_only:
+                valid &= dots > 0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dots / (qn[:, None] * cn[None, :])
+            valid &= np.isfinite(sims)  # zero-norm vectors score nothing
+            sims = np.where(valid, sims, -np.inf)
+            B = sims.shape[1]
+            if B > k:
+                kth = -np.partition(-sims, k - 1, axis=1)[:, k - 1]
+            else:
+                kth = sims.min(axis=1)
+            keep = sims >= (kth[:, None] - guard)
+            keep &= valid
+            qi, ci = np.nonzero(keep)
+            if qi.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "qid": qids[qi],
+                    "cid": cids[ci],
+                    "dot": dots[qi, ci],
+                    "qn": qn[qi],
+                    "cn": cn[ci],
+                }
+            )
+
+    cand = c.mapInPandas(score, "qid long, cid long, dot double, qn double, cn double")
+    sim = F.col("dot") / (F.col("qn") * F.col("cn"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = cand.select(
+        F.col("qid").alias(query_id_col),
+        F.col("cid").alias(id_col),
+        sim.alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "sim")
+    )
+
+
 def _hyperplane_bits_sql(vec_sql: str, dims: int, num_bits: int = 8, salt: str = "hp") -> str:
     """SQL text for the hyperplane bucket id (see ``hyperplane_bits``).
 

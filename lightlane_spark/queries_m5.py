@@ -272,52 +272,54 @@ def q_bow_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chain is engine-deterministic (oracle computes the same
     numbers via a sparse dim-join in DuckDB).
 
-    Scale shape: the corpus is never shuffled after the pivot — the
-    probe set rides along broadcast and each corpus partition scores
-    its rows map-side (same broadcast-probe plan as
-    ``similarity.topk_bruteforce``). ``dot > 0`` keeps parity with
-    the sparse oracle's inner dim-join (weights are non-negative, so
-    dot > 0 ⇔ at least one co-occurring dim). The previous exact
-    dim-join form (64 join keys capping shuffle parallelism, 8
-    exchanges) survives only in the oracle SQL; at 100 TB use the
-    ANN operators (ann_topk_lsh / ivf_topk) for huge probe sets."""
-    from pyspark.sql import Window
-
-    from lightlane_spark.operators.similarity import dot as vec_dot
+    Scale shape: probe vectors are collected (broadcast-small by
+    contract) and scored against the corpus by an Arrow-batched numpy
+    matmul (``similarity.topk_bruteforce_arrow``) — the corpus is
+    never shuffled and each batch pre-truncates to its local top-k, so
+    the exact final window sees ~batches × probes × k rows instead of
+    probes × corpus. Integer BoW weights make the float64 matmul
+    exact, so the result is bit-identical to the sparse dim-join the
+    DuckDB oracle runs. ``dot > 0`` keeps parity with the oracle's
+    inner dim-join (weights are non-negative, so dot > 0 ⇔ at least
+    one co-occurring dim). At 100 TB use the ANN operators
+    (ann_topk_lsh / ivf_topk) for huge probe sets."""
+    from lightlane_spark.operators.similarity import topk_bruteforce_arrow
     from lightlane_spark.operators.text import hashed_bow
 
     docs = read_table(spark, sf_dir, "documents")
-    bow = hashed_bow(docs, dims=64)
-    vecs = (
-        bow.groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("dim", "weight"))).alias("m"))
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(sequence(0, 63), d -> CAST(coalesce(element_at(m, d), 0) AS DOUBLE))"
-            ).alias("v"),
+
+    def vecs_of(d):
+        # hashed_bow is purely per-document (no corpus statistics), so
+        # vectorizing a filtered slice equals filtering the vectorized
+        # corpus — and the probe-side filter pushes down to the scan,
+        # so collecting 1% of probes never tokenizes the other 99%.
+        bow = hashed_bow(d, dims=64)
+        return (
+            bow.groupBy("doc_id")
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("dim", "weight"))).alias("m")
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(sequence(0, 63), d -> CAST(coalesce(element_at(m, d), 0) AS DOUBLE))"
+                ).alias("v"),
+            )
         )
-        .withColumn(
-            "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-        )
+
+    probes = vecs_of(docs.filter(F.col("doc_id") % 100 == 0))
+    corpus = vecs_of(docs.filter(F.col("doc_id") % 100 != 0))
+    out = topk_bruteforce_arrow(
+        corpus,
+        probes,
+        k=3,
+        id_col="doc_id",
+        vec_col="v",
+        query_id_col="query_id",
+        positive_dot_only=True,
+        round_digits=6,
     )
-    probes = vecs.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("nq")
-    )
-    corpus = vecs.filter(F.col("doc_id") % 100 != 0)
-    scored = (
-        F.broadcast(probes)
-        .crossJoin(corpus)
-        .withColumn("dot", vec_dot(F.col("qv"), F.col("v")))
-        .filter(F.col("dot") > 0)
-        .withColumn("sim", F.round(F.col("dot") / (F.col("nq") * F.col("nrm")), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("query_id", "doc_id", "sim", "rank")
-    )
+    return out.select("query_id", "doc_id", "sim", "rank")
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
