@@ -80,6 +80,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; component = min
     node id in the node's connected component.
@@ -89,11 +90,20 @@ def connected_components(
     materializes via ``localCheckpoint`` — required for any iterative
     DataFrame algorithm: it cuts the exponentially-growing lineage and
     gives AQE true sizes to re-plan from.
+
+    ``assume_canonical=True`` skips the canonicalization shuffle for
+    edge lists already distinct with id_a < id_b (what every pair
+    operator in fuzzy_dedup/similarity emits).
     """
     # eager=False: the fingerprint action right below materializes the
     # checkpoint anyway, so the eager materialization job per round is
     # pure overhead (one job/round saved; lineage still truncated).
-    e = _canonical_edges(edges, id_a, id_b).localCheckpoint(eager=False)
+    if assume_canonical:
+        e = edges.select(
+            F.col(id_a).alias("u"), F.col(id_b).alias("v")
+        ).localCheckpoint(eager=False)
+    else:
+        e = _canonical_edges(edges, id_a, id_b).localCheckpoint(eager=False)
     prev = None
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).distinct().localCheckpoint(eager=False)
@@ -121,6 +131,7 @@ def assign_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     broadcast: bool | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Attach a ``component`` column to every row of ``df``; rows whose
     id is in no edge become singleton components (component = own id).
@@ -131,7 +142,9 @@ def assign_components(
     crawl: 30%+ of docs in some pair) makes the map far too large to
     broadcast even though it is tiny on clean corpora.
     """
-    cc = connected_components(edges, id_a, id_b).withColumnRenamed("id", id_col)
+    cc = connected_components(
+        edges, id_a, id_b, assume_canonical=assume_canonical
+    ).withColumnRenamed("id", id_col)
     if broadcast:
         cc = F.broadcast(cc)
     return df.join(cc, on=id_col, how="left").withColumn(
@@ -143,10 +156,11 @@ def dedup_by_components(
     df: DataFrame,
     edges: DataFrame,
     id_col: str = "doc_id",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Keep one canonical row (min id) per near-dup cluster: the
     end-to-end fuzzy-dedup contract — pairs in, deduped corpus out."""
-    labeled = assign_components(df, edges, id_col)
+    labeled = assign_components(df, edges, id_col, assume_canonical=assume_canonical)
     return labeled.filter(F.col(id_col) == F.col("component")).drop("component")
 
 

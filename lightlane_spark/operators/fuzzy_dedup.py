@@ -268,10 +268,10 @@ def jaccard_verify(
     happens inside collect_set, so map-only (``shingles_distinct=
     False``) input costs nothing extra.
     """
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # no .distinct(): left-semi probes dedupe by construction, and the
+    # distinct would cost an exchange just to shrink a broadcast list
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
     )
     doc_sets = (
         shingles.join(F.broadcast(cand_ids), on=id_col, how="left_semi")

@@ -442,7 +442,9 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _docs_with_dups(spark, sf_dir)
     pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
-    return assign_components(corpus, pairs).select("doc_id", "component")
+    return assign_components(corpus, pairs, assume_canonical=True).select(
+        "doc_id", "component"
+    )
 
 
 def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,7 +455,7 @@ def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _docs_with_dups(spark, sf_dir)
     pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
-    return dedup_by_components(corpus, pairs).select("doc_id")
+    return dedup_by_components(corpus, pairs, assume_canonical=True).select("doc_id")
 
 
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
