@@ -379,7 +379,11 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
-    feat = c.withColumn("__feat", array_to_vector(F.col("__cv")))
+    # cached: the k-means fit passes over the features once per
+    # iteration (plus init) — uncached it would re-read and re-project
+    # the corpus every pass. At 100 TB you fit on a cached sample
+    # instead; the full corpus is only assigned (one pass) below.
+    feat = c.withColumn("__feat", array_to_vector(F.col("__cv"))).persist()
     km = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter,
         featuresCol="__feat", predictionCol="__cluster",
