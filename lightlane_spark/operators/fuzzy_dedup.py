@@ -226,6 +226,33 @@ def _pairs_from_buckets(buckets: DataFrame, max_bucket_size: int | None) -> Data
     )
 
 
+def lsh_buckets(band_keys: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(band, band_sig, ids): each bucket's sorted member-id array —
+    the shared intermediate for pair expansion AND candidate-id
+    derivation (persist it to pay the bucket shuffle once)."""
+    return band_keys.groupBy("band", "band_sig").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
+    )
+
+
+def bucket_candidate_ids(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Ids of every doc appearing in a qualifying (≥2-member, uncapped)
+    bucket — a superset-free candidate-doc list WITHOUT an exchange:
+    each doc occurs at most ``bands`` times (once per band bucket),
+    so the list is bands×|candidate docs| regardless of how dense the
+    duplicate cliques are. The pairs-derived alternative is 2×|pairs|
+    rows — quadratic in clique size, catastrophic to broadcast on a
+    dup-dense corpus."""
+    b = buckets.filter(F.size("ids") >= 2)
+    if max_bucket_size is not None:
+        b = b.filter(F.size("ids") <= max_bucket_size)
+    return b.select(F.explode("ids").alias(id_col))
+
+
 def lsh_candidate_pairs(
     band_keys: DataFrame,
     id_col: str = "doc_id",
@@ -240,10 +267,7 @@ def lsh_candidate_pairs(
     buckets are the recall/robustness tradeoff, and the cap should
     exceed any real duplicate-cluster size.
     """
-    buckets = band_keys.groupBy("band", "band_sig").agg(
-        F.array_sort(F.collect_list(F.col(id_col))).alias("ids")
-    )
-    return _pairs_from_buckets(buckets, max_bucket_size)
+    return _pairs_from_buckets(lsh_buckets(band_keys, id_col), max_bucket_size)
 
 
 def jaccard_verify(
@@ -252,6 +276,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     shingles_distinct: bool = True,
+    cand_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs only → (id_a, id_b, jaccard).
 
@@ -267,12 +292,20 @@ def jaccard_verify(
     arrays are bounded by document length. The multiset→set collapse
     happens inside collect_set, so map-only (``shingles_distinct=
     False``) input costs nothing extra.
+
+    ``cand_ids``: optional pre-built candidate-doc id list (may contain
+    bounded duplicates — the semi-join's build side dedupes keys). Pass
+    ``bucket_candidate_ids`` output when you have the buckets: it is
+    bands×|docs| worst case with no exchange. The fallback derives ids
+    from the pairs themselves and must pay a distinct — broadcasting
+    2×|pairs| rows raw would be quadratic in duplicate-clique size.
     """
-    # no .distinct(): left-semi probes dedupe by construction, and the
-    # distinct would cost an exchange just to shrink a broadcast list
-    cand_ids = pairs.select(F.col("id_a").alias(id_col)).unionByName(
-        pairs.select(F.col("id_b").alias(id_col))
-    )
+    if cand_ids is None:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
     doc_sets = (
         shingles.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
         .groupBy(id_col)
@@ -324,10 +357,15 @@ def dedup_minhash(
     sh = shingle(df, text_col, id_col, k, distinct=False).persist()
     sig = minhash_signature_arrays(sh, id_col, num_hashes)
     keys = lsh_band_keys(sig, id_col, bands, num_hashes // bands)
-    # Candidate pairs feed the verifier twice (candidate-doc semi-join
-    # + the pair join) — persist so banding/bucketing runs once.
-    cand = lsh_candidate_pairs(keys, id_col).persist()
-    return jaccard_verify(cand, sh, id_col, threshold, shingles_distinct=False)
+    # Buckets feed pair expansion AND the candidate-id list — persist
+    # so the bucket shuffle runs once; candidate ids come straight off
+    # the cached arrays (bands×|docs| bound, no extra exchange).
+    buckets = lsh_buckets(keys, id_col).persist()
+    cand = _pairs_from_buckets(buckets, max_bucket_size=1000).persist()
+    ids = bucket_candidate_ids(buckets, id_col, max_bucket_size=1000)
+    return jaccard_verify(
+        cand, sh, id_col, threshold, shingles_distinct=False, cand_ids=ids
+    )
 
 
 # ---------------------------------------------------------------------------
