@@ -389,6 +389,8 @@ _NEVER_CHECKED = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "approx_distinct",
+    # new in round 3
+    "zorder_key",
 ]
 
 

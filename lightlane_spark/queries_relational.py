@@ -763,7 +763,37 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_SPECS_SPARK = [
+    (
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))",
+        1577836800,  # 2020-01-01
+        1893456000,  # 2030-01-01
+    ),
+    ("user_id", 0, 1000000),
+]
+_Z_SPECS_DUCK = [
+    ("CAST(floor(epoch(ts)) AS BIGINT)", 1577836800, 1893456000),
+    ("user_id", 0, 1000000),
+]
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (event time, user) — the
+    layout that lets parquet min/max stats prune scans on BOTH
+    dimensions (operators/layout.py). Pure integer arithmetic, so the
+    key is engine-exact; the oracle renders the identical expression
+    in DuckDB via the same generator."""
+    from lightlane_spark.operators.layout import zorder_key
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", zorder_key(_Z_SPECS_SPARK, bits=16).alias("zkey")
+    )
+
+
 QUERIES = {
+    "zorder_key": q_zorder_key,
     "variant_extract": q_variant_extract,
     "salted_join": q_salted_join,
     "table_profile": q_table_profile,
@@ -808,6 +838,16 @@ QUERIES = {
     "exists_subquery": q_exists_subquery,
     "json_sink_roundtrip": q_json_sink_roundtrip,
 }
+
+def _zorder_oracle_sql() -> str:
+    from lightlane_spark.operators.layout import zorder_sql
+
+    return (
+        "SELECT event_id, "
+        + zorder_sql(_Z_SPECS_DUCK, bits=16, idiv="//")
+        + " AS zkey FROM events"
+    )
+
 
 ORACLE = {
     "small_order_revenue": """
@@ -1159,3 +1199,5 @@ ORACLE = {
     """,
     "json_sink_roundtrip": "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 }
+
+ORACLE["zorder_key"] = _zorder_oracle_sql()
