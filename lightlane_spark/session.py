@@ -35,6 +35,12 @@ _DEFAULT_CONF = {
     # Dimension tables (region/nation/customer at any SF that fits)
     # should broadcast; 32 MB is a safe executor-memory-friendly cap.
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # Runtime Bloom-filter join pruning: when a selective join's build
+    # side is small, inject a Bloom filter on the probe side's scan so
+    # most non-matching rows die at the source — the 100 TB fact⋈dim
+    # shape. Default-on in Spark 4; pinned because the engine's join
+    # strategy counts on it.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Parquet footer-stats pruning + vectorized reader are on by
     # default in Spark 4 but we pin them: the engine depends on them.
     "spark.sql.parquet.filterPushdown": "true",
