@@ -1,0 +1,106 @@
+"""Declarative job specs compile onto Pipeline and reproduce the
+reference's dump / load job shapes end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lightlane_spark.jobspec import build_pipeline, run_job
+from lightlane_spark.loaders.text_sinks import read_csv
+from lightlane_spark.sources.parquet import read_table
+
+
+def test_dump_job_spec(spark, sf_dir, tmp_path):
+    """Reference SQLDumper shape: table + columns + where + range split
+    → CSV sink (dumper/sql.py:31-47 kwargs as data)."""
+    out = str(tmp_path / "dump_csv")
+    spec = {
+        "extract": {
+            "kind": "parquet",
+            "sf_dir": sf_dir,
+            "table": "lineitem",
+            "columns": ["l_orderkey", "l_linenumber", "l_quantity"],
+            "where": "l_quantity > 30",
+            "splitby": "l_orderkey",
+            "splits": 4,
+        },
+        "sinks": [{"kind": "csv", "path": out}],
+    }
+    metrics = run_job(spark, spec)
+    assert metrics["extracted"]["rows"] > 0
+    back = read_csv(
+        spark, out, "l_orderkey bigint, l_linenumber int, l_quantity double"
+    )
+    expect = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter("l_quantity > 30")
+        .count()
+    )
+    assert back.count() == expect
+
+
+def test_transform_and_merge_load_spec(spark, sf_dir, tmp_path):
+    """Transforms + quarantine + MERGE load — the HiveLoader shape."""
+    target = str(tmp_path / "orders_t")
+    base = {
+        "extract": {"kind": "parquet", "sf_dir": sf_dir, "table": "orders"},
+        "load": {"path": target, "mode": "overwrite"},
+    }
+    run_job(spark, base)
+    spec = {
+        "extract": {"kind": "parquet", "sf_dir": sf_dir, "table": "orders"},
+        "transforms": [
+            {"op": "filter", "predicate": "o_orderkey % 3 = 0"},
+            {"op": "with_column", "name": "o_orderpriority", "expr": "'MERGED'"},
+            {"op": "dedup", "keys": ["o_orderkey"], "orderby": ["o_orderdate DESC"]},
+        ],
+        "load": {
+            "path": target,
+            "mode": "merge",
+            "primary_keys": ["o_orderkey"],
+        },
+    }
+    run_job(spark, spec)
+    merged = spark.read.parquet(target)
+    n_merged = merged.filter("o_orderpriority = 'MERGED'").count()
+    expect = (
+        read_table(spark, sf_dir, "orders").filter("o_orderkey % 3 = 0").count()
+    )
+    assert n_merged == expect
+    assert merged.count() == read_table(spark, sf_dir, "orders").count()
+
+
+def test_sql_and_quarantine_spec(spark, sf_dir, tmp_path):
+    spec = {
+        "extract": {"kind": "parquet", "sf_dir": sf_dir, "table": "orders"},
+        "transforms": [
+            {"op": "sql", "query": "SELECT o_orderkey, o_totalprice FROM __this__"},
+        ],
+        "quarantine": {
+            "good_predicate": "o_totalprice > 1000",
+            "bad_path": str(tmp_path / "bad"),
+        },
+        "sinks": [{"kind": "parquet", "path": str(tmp_path / "good")}],
+    }
+    m = run_job(spark, spec)
+    good = spark.read.parquet(str(tmp_path / "good"))
+    bad = spark.read.parquet(str(tmp_path / "bad"))
+    total = read_table(spark, sf_dir, "orders").count()
+    assert good.count() + bad.count() == total
+    assert m["good"]["rows"] == good.count()
+    assert good.columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_spec_rejects_unknown_ops(spark, sf_dir):
+    with pytest.raises(ValueError, match="unknown transform op"):
+        build_pipeline(
+            spark,
+            {
+                "extract": {"kind": "parquet", "sf_dir": sf_dir, "table": "orders"},
+                "transforms": [{"op": "exec_python", "code": "boom"}],
+            },
+        )
+    with pytest.raises(ValueError, match="extract"):
+        build_pipeline(spark, {})
