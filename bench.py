@@ -60,6 +60,8 @@ HEADLINE = [
     "window_range_frame",
     "tfidf_topk",
     "bow_similarity",
+    # scale infrastructure
+    "zorder_key",
 ]
 
 
