@@ -222,6 +222,40 @@ def _hyperplane_bits_sql(vec_sql: str, dims: int, num_bits: int = 8, salt: str =
     return "(" + " + ".join(terms) + ")"
 
 
+def hyperplane_bits_duckdb_sql(
+    vec_sql: str, dims: int, num_bits: int = 8, salt: str = "hp"
+) -> str:
+    """DuckDB rendering of the SAME hyperplane bucket id — the oracle
+    side of ``hyperplane_bits``.
+
+    Portability argument (why the float projections hash-match):
+    Spark computes each plane's projection as a sequential left fold
+    ``aggregate(zip_with(w, v, (w,x) -> w*x), 0D, (acc,t) -> acc+t)``
+    = ((0 + w₀v₀) + w₁v₁) + …; this renders the unrolled
+    left-associated chain ``w₀*v[1] + w₁*v[2] + …`` which evaluates in
+    the identical order (and 0 + w₀v₀ ≡ w₀v₀ exactly in IEEE 754).
+    The weight literals are shortest-repr Python floats parsed to the
+    same doubles by both engines, and the vector elements are the same
+    float32→double widenings — so every intermediate double is
+    bit-identical and the ``> 0`` sign test can never disagree.
+    ``vec_sql`` must be a DOUBLE[] expression (e.g.
+    ``embedding::DOUBLE[]``); DuckDB lists are 1-indexed.
+    """
+    from lightlane_spark.functions.hashing import H32_SPACE
+    import hashlib
+
+    terms = []
+    for p in range(num_bits):
+        prods = []
+        for d in range(dims):
+            hx = hashlib.md5(f"{salt}:{p}:{d}".encode()).hexdigest()[:8]
+            w = int(hx, 16) / H32_SPACE - 0.5
+            prods.append(f"{w!r} * ({vec_sql})[{d + 1}]")
+        proj = " + ".join(prods)
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 def hyperplane_bits(
     vec: Column | str, dims: int, num_bits: int = 8, salt: str = "hp"
 ) -> Column:

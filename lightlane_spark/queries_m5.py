@@ -511,10 +511,13 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate variant, recall-tuned (4 hash tables → measured
-    recall@5 ≥ 0.95 vs brute force) — no SQL oracle (bucket recall is
-    the tested contract, tests/test_similarity_multimodal.py); driver
-    records the rows-only check. This is the benched similarity
-    headline: candidate count, not corpus size, scales the work."""
+    recall@5 ≥ 0.95 vs brute force). Fully oracle-checked since round
+    3 (``_ann_lsh_oracle_sql`` reproduces buckets, multiprobe
+    expansion, and ranking in DuckDB — hyperplane sign tests are
+    bit-portable); the recall contract stays in
+    tests/test_similarity_multimodal.py. This is the benched
+    similarity headline: candidate count, not corpus size, scales the
+    work."""
     emb = read_table(spark, sf_dir, "embeddings")
     out = ann_topk_lsh(
         emb, emb.filter("vec_id < 10"), dims=64, k=5, num_bits=4, num_tables=4
@@ -538,9 +541,11 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-blocked (hyperplane-bucket) embedding near-dup — the scale
-    shape with no label crutch. Rows-only driver check (float
-    projection signs aren't portable to SQL); the dup-recovery
-    contract lives in tests/test_similarity_multimodal.py."""
+    shape with no label crutch. Fully oracle-checked since round 3:
+    the hyperplane sign tests are bit-portable (sequential-fold
+    projection rendered as a left-associated chain in DuckDB —
+    ``_embedding_neardup_lsh_oracle_sql``); the dup-recovery contract
+    also lives in tests/test_similarity_multimodal.py."""
     from lightlane_spark.operators.similarity import cosine_neardup_lsh
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -777,6 +782,72 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
 }
+
+def _ann_lsh_oracle_sql() -> str:
+    """Exact oracle for q_ann_topk_lsh (dims=64, k=5, num_bits=4,
+    num_tables=4, multiprobe=1). The hyperplane bucket ids are
+    bit-identical across engines (see
+    ``similarity.hyperplane_bits_duckdb_sql``), so the candidate sets
+    match exactly; sims use list_dot_product, same precedent as the
+    ann_topk_bruteforce oracle."""
+    from lightlane_spark.operators.similarity import (
+        _table_salt,
+        hyperplane_bits_duckdb_sql,
+    )
+
+    c_parts, q_parts = [], []
+    for t in range(4):
+        b = hyperplane_bits_duckdb_sql("v", 64, 4, salt=_table_salt(t))
+        c_parts.append(f"SELECT vec_id, v, {t} AS tbl, {b} AS b FROM e")
+        q_parts.append(
+            f"SELECT vec_id AS query_id, v AS qv, {t} AS tbl, {b} AS b "
+            "FROM e WHERE vec_id < 10"
+        )
+    c_sql = " UNION ALL ".join(c_parts)
+    q_sql = " UNION ALL ".join(q_parts)
+    probes = "[b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]"
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS ({c_sql}),
+        q AS ({q_sql}),
+        probes AS (
+            SELECT query_id, qv, tbl, u.bucket
+            FROM q CROSS JOIN unnest({probes}) AS u(bucket)
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, c.vec_id,
+                   list_dot_product(p.qv, c.v) /
+                   (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+            FROM probes p JOIN c ON c.tbl = p.tbl AND c.b = p.bucket
+        )
+        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+            FROM cand
+        ) WHERE rank <= 5
+    """
+
+
+def _embedding_neardup_lsh_oracle_sql() -> str:
+    """Exact oracle for q_embedding_neardup_lsh (self-blocked
+    hyperplane buckets, num_bits=6, salt='nd', threshold=0.999)."""
+    from lightlane_spark.operators.similarity import hyperplane_bits_duckdb_sql
+
+    blk = hyperplane_bits_duckdb_sql("v", 64, 6, salt="nd")
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 5
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM base),
+        blocked AS (SELECT vec_id, v, {blk} AS blk FROM e)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+    """
+
 
 _SW = "('the','a','of','and','to','in','is','it')"
 _SW_DE = "('der','die','das','und','ist','ein','zu','von')"
@@ -1397,3 +1468,9 @@ ORACLE = {
         FROM documents
     """,
 }
+
+# Generated oracles (hyperplane bucket expressions are rendered from
+# the same md5-derived weights the Spark side uses — bit-identical
+# sign tests, see similarity.hyperplane_bits_duckdb_sql).
+ORACLE["ann_topk_lsh"] = _ann_lsh_oracle_sql()
+ORACLE["embedding_neardup_lsh"] = _embedding_neardup_lsh_oracle_sql()
