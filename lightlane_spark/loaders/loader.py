@@ -48,11 +48,37 @@ class LoadMode(str, Enum):
     MERGE = "merge"
 
 
+def align_schemas(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution: give both frames the union of their columns,
+    filling each side's missing columns with typed NULLs (types taken
+    from the side that has the column). Column order = a's columns
+    then b's additions, both sides identical — so unionByName and
+    parquet writes see one schema. Raises if a shared column name has
+    conflicting types (silent cast would corrupt data)."""
+    ta = {f.name: f.dataType for f in a.schema.fields}
+    tb = {f.name: f.dataType for f in b.schema.fields}
+    conflicts = {c for c in ta.keys() & tb.keys() if ta[c] != tb[c]}
+    if conflicts:
+        raise ValueError(
+            f"schema evolution cannot reconcile conflicting types for {sorted(conflicts)}"
+        )
+    ordered = list(a.columns) + [c for c in b.columns if c not in ta]
+    types = {**tb, **ta}
+    def conform(df, have):
+        cols = [
+            F.col(c) if c in have else F.lit(None).cast(types[c]).alias(c)
+            for c in ordered
+        ]
+        return df.select(*cols)
+    return conform(a, ta), conform(b, tb)
+
+
 def merge_upsert(
     target: DataFrame,
     staging: DataFrame,
     primary_keys: list[str],
     broadcast_staging: bool | None = None,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """OP-27 MERGE semantics: anti-join target on PKs, union staging.
 
@@ -61,9 +87,18 @@ def merge_upsert(
     decide; ``True`` forces a broadcast hash anti-join (the common
     case — a small incremental batch against a huge target avoids
     shuffling the target entirely).
+
+    ``schema_evolution=True`` reconciles drifted schemas first
+    (``align_schemas``): columns added to the staging batch appear
+    NULL on retained target rows, columns dropped from staging stay
+    NULL on upserted rows — where the reference's rigid
+    INSERT-by-position load simply breaks on drift. Default off: an
+    unannounced schema change should fail loudly.
     """
     if not primary_keys:
         raise ValueError("MERGE mode requires primary_keys")  # hive_loader.py:67-69
+    if schema_evolution:
+        target, staging = align_schemas(target, staging)
     stg = F.broadcast(staging) if broadcast_staging else staging
     kept = target.join(stg, on=primary_keys, how="left_anti")
     return kept.unionByName(staging)
@@ -91,6 +126,7 @@ class Loader:
     pre_sql: list[str] = field(default_factory=list)
     post_sql: list[str] = field(default_factory=list)
     analyze: bool = False
+    schema_evolution: bool = False
 
     def __post_init__(self):
         self.mode = LoadMode(self.mode)
@@ -136,7 +172,12 @@ class Loader:
             staging.write.mode("overwrite").parquet(self.table_path)
             return
         target = self.spark.read.parquet(self.table_path)
-        merged = merge_upsert(target, staging, self.primary_keys)
+        merged = merge_upsert(
+            target,
+            staging,
+            self.primary_keys,
+            schema_evolution=self.schema_evolution,
+        )
         reconcile = self._sibling_tmp_path()
         _, rec = self._fs_path(reconcile)
         try:

@@ -1,0 +1,161 @@
+"""Versioned table loads: immutable version directories + an atomic
+latest-pointer — time travel, rollback, and audit on plain parquet.
+
+The reference's MERGE commit is a destructive rename swap
+(``mysql_loader.py:119-123``, ``hive_loader.py:166-179``): the prior
+table state is deleted the moment the new one lands, so a bad batch
+is unrecoverable without re-extracting. Here every load writes a NEW
+immutable directory ``v=N`` and then flips a one-line pointer file —
+readers never see a partial table, any historical version stays
+readable until vacuumed, and rollback is a pointer flip, not a data
+rewrite. This is the Delta/Iceberg snapshot idea reduced to its
+format-agnostic core (works on file://, HDFS, S3A via the Hadoop FS
+API — no table-format jar needed).
+
+Concurrency note: the pointer write is last-writer-wins (rename-based
+atomic replace); concurrent writers need an external lock, same as
+the reference's rename dance. Readers are always consistent: they
+resolve the pointer once, then read an immutable directory.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lightlane_spark.loaders.loader import merge_upsert
+
+_POINTER = "_LATEST"
+
+
+class VersionedTable:
+    """A parquet table with numbered immutable versions under
+    ``base_path/v=N`` and a ``_LATEST`` pointer file."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+
+    # -- write --------------------------------------------------------
+
+    def write_version(self, df: DataFrame) -> int:
+        """Write ``df`` as the next version and flip the pointer.
+        Returns the new version number."""
+        n = (self.latest_version() or 0) + 1
+        path = self._version_path(n)
+        df.write.mode("errorifexists").parquet(path)
+        self._write_pointer(n)
+        return n
+
+    def merge_version(
+        self,
+        staging: DataFrame,
+        primary_keys: list[str],
+        schema_evolution: bool = False,
+    ) -> int:
+        """MERGE ``staging`` into the latest version → a NEW version
+        (the reference's upsert, but the pre-merge state survives)."""
+        latest = self.latest_version()
+        if latest is None:
+            return self.write_version(staging)
+        target = self.read(latest)
+        merged = merge_upsert(
+            target, staging, primary_keys, schema_evolution=schema_evolution
+        )
+        return self.write_version(merged)
+
+    # -- read ---------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read a specific version (time travel) or the latest."""
+        v = version if version is not None else self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no versions at {self.base_path}")
+        return self.spark.read.parquet(self._version_path(v))
+
+    def versions(self) -> list[int]:
+        """All version numbers present on storage, ascending."""
+        fs, base = self._fs_path(self.base_path)
+        if not fs.exists(base):
+            return []
+        out = []
+        for st in fs.listStatus(base):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        fs, ptr = self._fs_path(f"{self.base_path}/{_POINTER}")
+        if not fs.exists(ptr):
+            return None
+        stream = fs.open(ptr)
+        try:
+            # byte-at-a-time via the no-arg read() overload — the only
+            # FSDataInputStream.read signature py4j can call without a
+            # Java byte[]; the pointer is a handful of ASCII digits.
+            data = bytearray()
+            b = stream.read()
+            while b != -1 and len(data) < 64:
+                data.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        return int(bytes(data).decode("ascii").strip())
+
+    # -- manage -------------------------------------------------------
+
+    def rollback(self, version: int) -> None:
+        """Point the table back at ``version`` — no data movement; the
+        bad versions stay on storage for forensics until vacuumed."""
+        if version not in self.versions():
+            raise ValueError(f"version {version} does not exist at {self.base_path}")
+        self._write_pointer(version)
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Delete all but the newest ``keep_last`` versions (never the
+        pointer target). Returns the versions removed."""
+        current = self.latest_version()
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) | ({current} if current is not None else set())
+        removed = []
+        fs, _ = self._fs_path(self.base_path)
+        for v in vs:
+            if v not in keep:
+                _, p = self._fs_path(self._version_path(v))
+                fs.delete(p, True)
+                removed.append(v)
+        return removed
+
+    # -- plumbing -----------------------------------------------------
+
+    def _version_path(self, n: int) -> str:
+        return f"{self.base_path}/v={n}"
+
+    def _write_pointer(self, n: int) -> None:
+        """Atomic pointer flip: write a temp file, rename over the old
+        pointer (rename replaces atomically on HDFS/local; on S3A it
+        is copy+delete — pair with a lock there)."""
+        fs, ptr = self._fs_path(f"{self.base_path}/{_POINTER}")
+        _, tmp = self._fs_path(
+            f"{self.base_path}/.{_POINTER}.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(str(n).encode("ascii")))
+        finally:
+            out.close()
+        if fs.exists(ptr):
+            fs.delete(ptr, False)
+        if not fs.rename(tmp, ptr):
+            raise IOError(f"could not update {_POINTER} at {self.base_path}")
+
+    def _fs_path(self, path_str: str):
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        return path.getFileSystem(hconf), path
