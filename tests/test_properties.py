@@ -113,3 +113,40 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a: bigint, id_b: bigint")
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == expected
+
+
+def _py_zorder(vals, specs, bits):
+    top = (1 << bits) - 1
+    d = len(specs)
+    z = 0
+    for j, (v, (lo, hi)) in enumerate(zip(vals, specs)):
+        v = min(max(v, lo), hi)
+        u = (v - lo) * top // (hi - lo)
+        for b in range(bits):
+            z += ((u >> b) & 1) << (b * d + j)
+    return z
+
+
+@given(
+    x=st.integers(min_value=-(10**6), max_value=2 * 10**6),
+    y=st.integers(min_value=-(10**6), max_value=2 * 10**6),
+    bits=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=300)
+def test_zorder_key_bounds_and_monotone_scaling(x, y, bits):
+    """The python model of the SQL generator (pinned equal to both
+    engines in test_layout.py) stays within the bit budget and is
+    monotone per dimension after clamping."""
+    specs = [(0, 10**6), (0, 10**6)]
+    z = _py_zorder((x, y), specs, bits)
+    assert 0 <= z < (1 << (2 * bits))
+    # clamping: out-of-range values key identically to the boundary
+    assert _py_zorder((min(max(x, 0), 10**6), y), specs, bits) == z
+    # interleave round-trip: de-interleaving recovers the scaled cells
+    ux = sum(((z >> (b * 2)) & 1) << b for b in range(bits))
+    uy = sum(((z >> (b * 2 + 1)) & 1) << b for b in range(bits))
+    cx = min(max(x, 0), 10**6)
+    cy = min(max(y, 0), 10**6)
+    top = (1 << bits) - 1
+    assert ux == cx * top // 10**6
+    assert uy == cy * top // 10**6
