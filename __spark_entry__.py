@@ -195,6 +195,21 @@ def q_merge_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(*_ORDER_COLS)
 
 
+def q_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned MERGE (loaders/versioned.py): v1 = full orders, v2 =
+    MERGE of the repriced staging batch; reads back v2 while v1 stays
+    readable (time travel asserted in tests/test_versioned.py). The
+    oracle is plain MERGE semantics — versioning must not change the
+    reconciled content."""
+    from lightlane_spark.loaders.versioned import VersionedTable
+
+    base = os.path.join(tempfile.mkdtemp(prefix="llspark_vt_"), "orders_vt")
+    vt = VersionedTable(spark, base)
+    vt.write_version(read_table(spark, sf_dir, "orders"))
+    vt.merge_version(_orders_staging(spark, sf_dir), ["o_orderkey"])
+    return vt.read().select(*_ORDER_COLS)
+
+
 def q_append_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-26: APPEND load pipeline, read back."""
     path = os.path.join(tempfile.mkdtemp(prefix="llspark_append_"), "orders_t")
@@ -391,6 +406,7 @@ _NEVER_CHECKED = [
     "approx_distinct",
     # new in round 3
     "zorder_key",
+    "versioned_merge",
 ]
 
 
@@ -419,6 +435,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all": q_union_all,
         "dedup_window": q_dedup_window,
         "merge_load": q_merge_load,
+        "versioned_merge": q_versioned_merge,
         "append_load": q_append_load,
         "partitioned_load": q_partitioned_load,
         "csv_roundtrip": q_csv_roundtrip,
@@ -495,6 +512,18 @@ _ORACLE: dict[str, str] = {
         ) WHERE rnk = 1
     """,
     "merge_load": """
+        WITH staging AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, 'MERGED' AS o_orderpriority
+            FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT * FROM staging
+    """,
+    "versioned_merge": """
         WITH staging AS (
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                    o_orderdate, 'MERGED' AS o_orderpriority
