@@ -51,6 +51,36 @@ def test_zorder_sql_validates():
         zorder_sql([("x", 10, 10)])
 
 
+def test_zorder_write_gives_prunable_file_stats(spark, tmp_path):
+    """The point of the layout: after a z-ordered write, EVERY parquet
+    file's min/max footer stats are tight on BOTH dimensions, so
+    row-group pruning works for predicates on either column."""
+    import pyarrow.parquet as pq
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    specs = [("x", 0, n - 1), ("y", 0, n - 1)]
+    path = str(tmp_path / "zordered")
+    zorder_repartition(grid, specs, 16, bits=6).write.parquet(path)
+
+    import glob
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.read_metadata(f)
+        lo_x = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi_x = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        lo_y = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi_y = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        spans_x.append(hi_x - lo_x)
+        spans_y.append(hi_y - lo_y)
+    assert len(spans_x) >= 8
+    assert sum(spans_x) / len(spans_x) < (n - 1) / 2
+    assert sum(spans_y) / len(spans_y) < (n - 1) / 2
+
+
 def test_zorder_repartition_tightens_both_dims(spark):
     # 64×64 grid: after z-order range partitioning into 16 parts, the
     # average per-partition span of BOTH x and y must be far below the

@@ -111,3 +111,43 @@ def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
     ps = plan_summary(back)
     assert "PartitionFilters" in ps.text
     assert "event_type" in ps.text.split("PartitionFilters", 1)[1][:200]
+
+
+def test_zorder_repartition_single_exchange(spark, sf_dir):
+    """Z-order layout costs exactly one range-partitioning exchange —
+    the same class as any global sort, nothing extra."""
+    from lightlane_spark.operators.layout import zorder_repartition
+    from lightlane_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    specs = [("user_id", 0, 1000000), ("event_id", 0, 10**9)]
+    out = zorder_repartition(ev, specs, 8, bits=12)
+    ps = plan_summary(out)
+    assert ps.exchanges == 1, ps.text[:600]
+
+
+def test_dedup_minhash_candidate_ids_no_extra_exchange(spark, sf_dir):
+    """The verifier's candidate-id list derives from the cached bucket
+    arrays: adding it to the plan must not add an exchange beyond the
+    pair path itself (a pairs-derived distinct would)."""
+    from lightlane_spark.operators.fuzzy_dedup import (
+        _pairs_from_buckets,
+        bucket_candidate_ids,
+        jaccard_verify,
+        lsh_band_keys,
+        lsh_buckets,
+        minhash_signature_arrays,
+        shingle,
+    )
+    from lightlane_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle(docs, distinct=False)
+    buckets = lsh_buckets(lsh_band_keys(minhash_signature_arrays(sh)))
+    cand = _pairs_from_buckets(buckets, 1000)
+    ids = bucket_candidate_ids(buckets)
+    with_ids = plan_summary(
+        jaccard_verify(cand, sh, threshold=0.7, cand_ids=ids)
+    ).exchanges
+    fallback = plan_summary(jaccard_verify(cand, sh, threshold=0.7)).exchanges
+    assert with_ids < fallback, (with_ids, fallback)
