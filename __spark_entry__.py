@@ -407,6 +407,7 @@ _NEVER_CHECKED = [
     # new in round 3
     "zorder_key",
     "versioned_merge",
+    "quality_topp",
 ]
 
 

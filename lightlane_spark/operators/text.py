@@ -337,6 +337,38 @@ def fuzzy_join(
     ).filter(F.col("edit_distance") <= max_distance)
 
 
+def select_top_quality(
+    df: DataFrame,
+    p: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    approx: bool = False,
+) -> DataFrame:
+    """Corpus curation: keep documents in the top (1-p) quality band —
+    ``quality_score >= the p-quantile`` of the corpus's scores.
+    Returns (id, quality) for the keepers.
+
+    Shape: the threshold is a single scalar aggregate broadcast back
+    over the corpus (one aggregation pass + one map-side filter — no
+    global sort, the same 1-row-broadcast shape as a HAVING-against-
+    aggregate query). Exact ``percentile`` keeps the SQL oracle
+    (DuckDB ``quantile_cont`` shares interpolation semantics — see
+    q_quantile_summary); its aggregation buffer holds the score
+    column, so at 100 TB pass ``approx=True`` for the fixed-size
+    t-digest sketch (±ε on the cut line only).
+    """
+    scored = df.select(
+        F.col(id_col), quality_score(F.col(text_col)).alias("quality")
+    )
+    fn = "approx_percentile" if approx else "percentile"
+    thr = scored.agg(F.expr(f"{fn}(quality, {p!r})").alias("__thr"))
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

@@ -178,6 +178,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
 
+def q_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p quality selection: keep docs scoring at or above the
+    corpus's exact 0.8-quantile quality — the curation cut of corpus
+    prep, as a 1-row broadcast threshold (no global sort)."""
+    from lightlane_spark.operators.text import select_top_quality
+
+    docs = read_table(spark, sf_dir, "documents")
+    return select_top_quality(docs, p=0.8)
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", language_id("text").alias("lang_guess"))
@@ -746,6 +756,7 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
+    "quality_topp": q_quality_topp,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_clean": q_text_clean,
@@ -964,6 +975,27 @@ ORACLE = {
              + 0.25 * (CASE WHEN (n_chars / n_toks) >= 2 AND (n_chars / n_toks) <= 12 THEN 1.0 ELSE 0.0 END)
                AS quality
         FROM m
+    """,
+    "quality_topp": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+                   CAST(length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS DOUBLE) AS n_alpha,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN {_SW})) AS DOUBLE) AS n_sw
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id,
+                   0.25 * (CASE WHEN n_toks >= 10 AND n_toks <= 100000 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (n_alpha / n_chars)
+                 + 0.25 * (CASE WHEN (n_sw / n_toks) > 0.01 THEN 1.0 ELSE 0.0 END)
+                 + 0.25 * (CASE WHEN (n_chars / n_toks) >= 2 AND (n_chars / n_toks) <= 12 THEN 1.0 ELSE 0.0 END)
+                   AS quality
+            FROM m
+        )
+        SELECT doc_id, quality FROM scored
+        WHERE quality >= (SELECT quantile_cont(quality, 0.8) FROM scored)
     """,
     "text_langid": f"""
         WITH m AS (

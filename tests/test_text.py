@@ -180,3 +180,23 @@ def test_span_dedup_semantics(spark):
     assert (out[2].n_spans, out[2].n_spans_kept) == (2, 1)
     assert out[3].text_deduped == ""
     assert (out[3].n_spans, out[3].n_spans_kept) == (1, 0)
+
+
+def test_select_top_quality_threshold_semantics(spark, sf_dir):
+    """Keepers are exactly the docs at/above the corpus p-quantile;
+    the approx variant agrees within its rank tolerance."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.text import quality_score, select_top_quality
+    from lightlane_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_score("text").alias("q"))
+    thr = scored.agg(F.expr("percentile(q, 0.8)")).first()[0]
+    expect = scored.filter(F.col("q") >= thr).count()
+    exact = select_top_quality(docs, p=0.8)
+    assert exact.count() == expect
+    assert exact.filter(F.col("quality") < thr).count() == 0
+    # approx keeps a similar band (tolerance: 10% of corpus size)
+    approx = select_top_quality(docs, p=0.8, approx=True).count()
+    assert abs(approx - expect) <= 0.1 * docs.count()
