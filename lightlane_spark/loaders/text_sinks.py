@@ -34,7 +34,16 @@ HIVE_NULL = r"\N"  # reference const.py:13
 
 def serialize_complex_columns(df: DataFrame) -> DataFrame:
     """OP-15: JSON-encode nested columns for a text sink
-    (reference ``csv_handler.py:74-75`` / ``utils/json.py:12-14``)."""
+    (reference ``csv_handler.py:74-75`` / ``utils/json.py:12-14``).
+
+    Parity notes: the reference's ``const.py:10-12`` declares Hive
+    collection delimiters (``\\x02``/``\\x03``) but never uses them —
+    its handlers JSON-encode nested values, exactly as here. Documented
+    deviation: its ``json_dumps`` returns None for EMPTY containers
+    (``utils/json.py:12-13``), which then bypasses the null-token path
+    ('' in CSV cells, the literal string "None" in Hive text,
+    ``csv_handler.py:71-78,119-121``); we emit the faithful ``[]`` /
+    ``{}`` instead of reproducing that falsy-coercion quirk."""
     out = df
     for f in df.schema.fields:
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
