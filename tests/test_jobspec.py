@@ -104,3 +104,33 @@ def test_spec_rejects_unknown_ops(spark, sf_dir):
         )
     with pytest.raises(ValueError, match="extract"):
         build_pipeline(spark, {})
+
+
+def test_cli_run_and_explain(spark, sf_dir, tmp_path):
+    """`python -m lightlane_spark run|explain spec.json` — in-process
+    (reusing the session fixture; get_spark getOrCreate's it)."""
+    import json as _json
+
+    from lightlane_spark.__main__ import main
+
+    out = str(tmp_path / "cli_out")
+    spec = {
+        "extract": {
+            "kind": "parquet",
+            "sf_dir": sf_dir,
+            "table": "orders",
+            "columns": ["o_orderkey", "o_totalprice"],
+            "where": "o_totalprice > 100000",
+        },
+        "sinks": [{"kind": "parquet", "path": out}],
+    }
+    spec_path = str(tmp_path / "job.json")
+    with open(spec_path, "w") as f:
+        _json.dump(spec, f)
+
+    assert main(["explain", spec_path]) == 0
+    assert main(["run", spec_path]) == 0
+    back = spark.read.parquet(out)
+    assert back.count() == (
+        read_table(spark, sf_dir, "orders").filter("o_totalprice > 100000").count()
+    )
