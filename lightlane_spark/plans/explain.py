@@ -47,6 +47,61 @@ class PlanSummary:
         return True
 
 
+def lint_plan(df: DataFrame) -> list[str]:
+    """Scale-smell linter: inspect the physical plan for the patterns
+    that hurt at 100 TB and return human-readable warnings (empty list
+    = clean). The rules are the ones this engine's own operators are
+    tested against — run it on ad-hoc pipelines before burning cluster
+    hours (``python -m lightlane_spark explain job.json`` prints the
+    raw plan; this distills it).
+
+    Rules:
+      - CartesianProduct / BroadcastNestedLoopJoin: a non-equi or
+        keyless join degenerated to all-pairs.
+      - BatchEvalPython: row-at-a-time Python UDF in the plan (Arrow
+        forms show as ArrowEvalPython / MapInPandas instead).
+      - Unfiltered scan feeding a Filter: a filter that should have
+        pushed into the parquet scan but didn't (non-deterministic or
+        post-projection predicates).
+      - Expand with a wide projection list: multi-count-distinct style
+        row multiplication (use approx sketches at scale).
+    """
+    text = dry_run(df, "formatted")
+    warnings: list[str] = []
+    if re.search(r"\(\d+\) CartesianProduct", text):
+        warnings.append(
+            "CartesianProduct: all-pairs join — add an equi-join key, "
+            "block/bucket the pair space, or broadcast a genuinely tiny side"
+        )
+    if re.search(r"\(\d+\) BroadcastNestedLoopJoin", text):
+        warnings.append(
+            "BroadcastNestedLoopJoin: non-equi join replays one side per row — "
+            "bin range predicates to an equi-join (operators/temporal.py) "
+            "unless the broadcast side is tiny by contract"
+        )
+    if re.search(r"\(\d+\) BatchEvalPython", text):
+        warnings.append(
+            "BatchEvalPython: row-at-a-time Python UDF — rewrite with built-in "
+            "expressions or an Arrow-batched pandas UDF/mapInPandas"
+        )
+    for m in re.finditer(r"PushedFilters: \[\]", text):
+        # only a smell if the plan also contains a Filter over a scan
+        if re.search(r"\(\d+\) Filter", text):
+            warnings.append(
+                "Filter present but PushedFilters empty on a scan — the "
+                "predicate did not reach parquet (cast/UDF on the filter "
+                "column?); at 100 TB that is a full-table read"
+            )
+        break
+    expand = re.search(r"\(\d+\) Expand", text)
+    if expand and len(re.findall(r"count\(distinct", text, re.IGNORECASE)) >= 2:
+        warnings.append(
+            "Expand + multiple COUNT(DISTINCT): input rows multiply per "
+            "distinct aggregate — use approx_count_distinct sketches at scale"
+        )
+    return warnings
+
+
 def plan_summary(df: DataFrame) -> PlanSummary:
     text = dry_run(df, "formatted")
     return PlanSummary(

@@ -141,3 +141,34 @@ def test_jdbc_merge_end_state_against_duckdb(spark):
     # staging + reconcile + bak all cleaned up
     left = {t[0] for t in con.execute("SHOW TABLES").fetchall()}
     assert left == {"tgt"}
+
+
+def test_lint_plan_flags_scale_smells(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from lightlane_spark.plans.explain import lint_plan
+    from lightlane_spark.sources.parquet import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    nation = read_table(spark, sf_dir, "nation")
+
+    # clean declarative plan → no warnings
+    clean = orders.filter("o_totalprice > 1000").select("o_orderkey")
+    assert lint_plan(clean) == []
+
+    # keyless join → cartesian warning
+    cart = orders.crossJoin(nation)
+    assert any("CartesianProduct" in w or "NestedLoop" in w for w in lint_plan(cart))
+
+    # row-at-a-time Python UDF → BatchEvalPython warning
+    py = F.udf(lambda x: x + 1, LongType())
+    slow = orders.select(py(F.col("o_orderkey")).alias("k"))
+    assert any("BatchEvalPython" in w for w in lint_plan(slow))
+
+    # multi count-distinct Expand → sketch suggestion
+    md = orders.agg(
+        F.countDistinct("o_orderkey"), F.countDistinct("o_custkey"),
+        F.countDistinct("o_orderstatus"),
+    )
+    assert any("Expand" in w for w in lint_plan(md))
