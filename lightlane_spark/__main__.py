@@ -45,9 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     pipeline = build_pipeline(spark, spec)
     if args.cmd == "explain":
-        from lightlane_spark.plans.explain import dry_run
+        from lightlane_spark.plans.explain import dry_run, lint_plan
 
-        print(dry_run(pipeline.dataframe(), "formatted"))
+        df = pipeline.dataframe()
+        print(dry_run(df, "formatted"))
+        for w in lint_plan(df):
+            print(f"WARNING: {w}", file=sys.stderr)
         return 0
     metrics = pipeline.run()
     print(json.dumps(metrics, default=str))
