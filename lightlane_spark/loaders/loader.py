@@ -127,6 +127,12 @@ class Loader:
     post_sql: list[str] = field(default_factory=list)
     analyze: bool = False
     schema_evolution: bool = False
+    # Sink format — the reference's HIVE_FILE_FORMATS (const.py:19-26)
+    # minus the container-unavailable ones: parquet/orc/json here;
+    # text goes through loaders/text_sinks.py (its own delimiter
+    # contract); SEQUENCEFILE/RCFILE/AVRO need jars this runtime lacks
+    # (documented environment limitation).
+    fmt: str = "parquet"
 
     def __post_init__(self):
         self.mode = LoadMode(self.mode)
@@ -152,10 +158,10 @@ class Loader:
         if self.mode is LoadMode.MERGE:
             self._merge(staging)
         else:
-            writer = staging.write.mode(self.mode.value)
+            writer = staging.write.mode(self.mode.value).format(self.fmt)
             if self.partition_by:  # OP-24 dynamic partitioned insert
                 writer = writer.partitionBy(*self.partition_by)
-            writer.parquet(self.table_path)
+            writer.save(self.table_path)
         for q in self.post_sql:  # OP-31
             self.spark.sql(q)
         if self.analyze:  # OP-32 — stats for downstream planning
@@ -169,9 +175,9 @@ class Loader:
         the driver-local filesystem."""
         fs, table = self._fs_path(self.table_path)
         if not fs.exists(table):
-            staging.write.mode("overwrite").parquet(self.table_path)
+            staging.write.mode("overwrite").format(self.fmt).save(self.table_path)
             return
-        target = self.spark.read.parquet(self.table_path)
+        target = self.spark.read.format(self.fmt).load(self.table_path)
         merged = merge_upsert(
             target,
             staging,
@@ -181,7 +187,7 @@ class Loader:
         reconcile = self._sibling_tmp_path()
         _, rec = self._fs_path(reconcile)
         try:
-            merged.write.mode("overwrite").parquet(reconcile)
+            merged.write.mode("overwrite").format(self.fmt).save(reconcile)
             # Swap, mirroring the reference's rename dance
             # (mysql_loader.py:119-123): retire the old dir, move the
             # reconcile dir into place, drop the old. If the second

@@ -115,3 +115,27 @@ def test_pre_post_sql_hooks(spark, tmp_path):
     ).execute(df)
     assert spark.table("_pre_hook").first().ok == 1
     assert spark.table("_post_hook").first().ok == 2
+
+
+def test_loader_orc_and_json_formats(spark, sf_dir, tmp_path):
+    """OP-23 format breadth: the same mode machinery (incl. MERGE's
+    reconcile-and-swap) works on ORC and JSON sinks, not just parquet
+    (reference HIVE_FILE_FORMATS, const.py:19-26)."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.loaders.loader import Loader
+    from lightlane_spark.sources.parquet import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    staging = orders.filter("o_orderkey % 3 = 0").withColumn(
+        "o_orderpriority", F.lit("MERGED")
+    )
+    for fmt in ("orc", "json"):
+        path = str(tmp_path / f"orders_{fmt}")
+        Loader(spark, path, "overwrite", fmt=fmt).execute(orders)
+        Loader(
+            spark, path, "merge", primary_keys=["o_orderkey"], fmt=fmt
+        ).execute(staging)
+        back = spark.read.format(fmt).load(path)
+        assert back.count() == orders.count()
+        assert back.filter("o_orderpriority = 'MERGED'").count() == staging.count()
