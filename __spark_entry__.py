@@ -408,6 +408,7 @@ _NEVER_CHECKED = [
     "zorder_key",
     "versioned_merge",
     "quality_topp",
+    "cdc_apply",
 ]
 
 

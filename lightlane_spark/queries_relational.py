@@ -467,6 +467,38 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round-trip: extract-diff-apply must reconstruct the new
+    snapshot exactly — the pattern that moves only the changed 0.1%
+    of a 100 TB table across the wire. Same deterministic mutation as
+    q_snapshot_diff; the oracle is simply the mutated snapshot."""
+    from lightlane_spark.operators.cdc import apply_changes, snapshot_diff
+
+    old = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        old.filter("o_orderkey % 11 != 0")
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            old.filter("o_orderkey % 13 = 0").select(
+                (F.col("o_orderkey") + 9_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"])
+    return apply_changes(old, diff, ["o_orderkey"]).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 def q_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate: plant deterministic defects in orders, route
     the violating rows with their failed rule names (OP-17 pattern
@@ -815,6 +847,7 @@ QUERIES = {
     "unpivot": q_unpivot,
     "quantile_summary": q_quantile_summary,
     "snapshot_diff": q_snapshot_diff,
+    "cdc_apply": q_cdc_apply,
     "orc_roundtrip": q_orc_roundtrip,
     "xml_roundtrip": q_xml_roundtrip,
     "revenue_by_part_type": q_revenue_by_part_type,
@@ -925,6 +958,14 @@ ORACLE = {
                quantile_cont(l_extendedprice, 0.9) AS p90,
                quantile_cont(l_extendedprice, 0.99) AS p99
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "cdc_apply": """
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 11 != 0
+        UNION ALL
+        SELECT o_orderkey + 9000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 13 = 0
     """,
     "snapshot_diff": """
         WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
