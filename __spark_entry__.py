@@ -409,6 +409,7 @@ _NEVER_CHECKED = [
     "versioned_merge",
     "quality_topp",
     "cdc_apply",
+    "corr_matrix",
 ]
 
 

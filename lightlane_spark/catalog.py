@@ -139,3 +139,63 @@ def profile_columns(
         ]
     )
     return wide.select(F.explode(row_structs).alias("p")).select("p.*")
+
+
+def corr_matrix(df: DataFrame, columns: list[str], scale: int = 4) -> DataFrame:
+    """Pairwise Pearson correlations, engine-exact: (col_a, col_b,
+    corr) for every column pair — the relationship half of profiling
+    (``profile_columns`` covers per-column shape).
+
+    Exactness design: the five moment sums (n, Σx, Σy, Σx², Σxy) are
+    accumulated in DECIMAL at ``2·scale`` fractional digits — exact,
+    summation-order-independent — then converted to DOUBLE once for
+    the closed-form r = (n·Σxy − Σx·Σy) / √((n·Σx²−Σx²̄)(n·Σy²−Σȳ²)).
+    Identical decimal→double conversions + identical double arithmetic
+    ⇒ bit-identical r in any engine (built-in ``corr`` streams in
+    partition order and cannot cross-check). One pass, one agg row,
+    pairs unpivoted in-plan; shuffle carries k + k + C(k,2) decimals.
+    At 100 TB this is a single partial-aggregated scan.
+    """
+    from pyspark.sql import functions as F
+
+    if len(columns) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    # Operands at DECIMAL(19, scale) so a product is DECIMAL(38, 2·scale)
+    # — exactly the 38-digit cap, hence EXACT in every engine; width
+    # 19 also forces int128 storage in DuckDB, whose int64-backed
+    # DECIMAL(18) multiplication overflows. Wider operands would push
+    # products past 38 digits, where Spark silently drops fractional
+    # digits (allowPrecisionLoss) and DuckDB errors.
+    dec = f"decimal(38,{2 * scale})"
+
+    def d(c):
+        return F.col(c).cast(f"decimal(19,{scale})")
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in columns:
+        aggs.append(F.sum(d(c).cast(dec)).cast("double").alias(f"__s_{c}"))
+        aggs.append(F.sum((d(c) * d(c)).cast(dec)).cast("double").alias(f"__q_{c}"))
+    for i, a in enumerate(columns):
+        for b in columns[i + 1 :]:
+            aggs.append(
+                F.sum((d(a) * d(b)).cast(dec)).cast("double").alias(f"__p_{a}_{b}")
+            )
+    wide = df.agg(*aggs)
+
+    def r(a, b):
+        n = F.col("__n")
+        cov = n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+        va = n * F.col(f"__q_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+        vb = n * F.col(f"__q_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+        return cov / F.sqrt(va * vb)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), r(a, b).alias("corr")
+            )
+            for i, a in enumerate(columns)
+            for b in columns[i + 1 :]
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("p")).select("p.*")

@@ -467,6 +467,17 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact pairwise Pearson correlations over lineitem
+    measures: moment sums in exact DECIMAL, closed form in double —
+    bit-identical across engines (catalog.corr_matrix), unlike the
+    built-in streaming ``corr``."""
+    from lightlane_spark.catalog import corr_matrix
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC round-trip: extract-diff-apply must reconstruct the new
     snapshot exactly — the pattern that moves only the changed 0.1%
@@ -848,6 +859,7 @@ QUERIES = {
     "quantile_summary": q_quantile_summary,
     "snapshot_diff": q_snapshot_diff,
     "cdc_apply": q_cdc_apply,
+    "corr_matrix": q_corr_matrix,
     "orc_roundtrip": q_orc_roundtrip,
     "xml_roundtrip": q_xml_roundtrip,
     "revenue_by_part_type": q_revenue_by_part_type,
@@ -958,6 +970,32 @@ ORACLE = {
                quantile_cont(l_extendedprice, 0.9) AS p90,
                quantile_cont(l_extendedprice, 0.99) AS p99
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "corr_matrix": """
+        WITH s AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_q,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS q_q,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_e,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS q_e,
+                   CAST(SUM(CAST(CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s_d,
+                   CAST(SUM(CAST(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS q_d,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS p_qe,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS p_qd,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS p_ed
+            FROM lineitem
+        )
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               (n * p_qe - s_q * s_e) / sqrt((n * q_q - s_q * s_q) * (n * q_e - s_e * s_e)) AS corr
+        FROM s
+        UNION ALL
+        SELECT 'l_quantity', 'l_discount',
+               (n * p_qd - s_q * s_d) / sqrt((n * q_q - s_q * s_q) * (n * q_d - s_d * s_d))
+        FROM s
+        UNION ALL
+        SELECT 'l_extendedprice', 'l_discount',
+               (n * p_ed - s_e * s_d) / sqrt((n * q_e - s_e * s_e) * (n * q_d - s_d * s_d))
+        FROM s
     """,
     "cdc_apply": """
         SELECT o_orderkey, o_orderstatus,

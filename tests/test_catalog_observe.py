@@ -83,3 +83,23 @@ def test_profile_columns_approx_no_expand(spark, sf_dir):
         assert abs(r.n_distinct - e.n_distinct) <= max(0.05 * e.n_distinct, 2), (
             r.column, r.n_distinct, e.n_distinct,
         )
+
+
+def test_corr_matrix_matches_builtin_and_validates(spark, sf_dir):
+    """Exact-decimal Pearson r agrees with Spark's streaming corr to
+    float tolerance (the decimal form exists for cross-engine
+    bit-exactness, not different math)."""
+    import pytest
+
+    from lightlane_spark.catalog import corr_matrix
+    from lightlane_spark.sources.parquet import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in corr_matrix(li, ["l_quantity", "l_extendedprice"]).collect()
+    }
+    builtin = li.stat.corr("l_quantity", "l_extendedprice")
+    assert abs(got[("l_quantity", "l_extendedprice")] - builtin) < 1e-9
+    with pytest.raises(ValueError):
+        corr_matrix(li, ["l_quantity"])
