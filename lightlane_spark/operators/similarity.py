@@ -400,36 +400,53 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     max_iter: int = 20,
+    fit_fraction: float = 0.5,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means-partition the corpus, probe
     only the ``n_probe`` nearest centroids per query.
 
-    ``max_iter`` bounds the k-means fit (each iteration is a full
-    corpus pass); with a generous ``n_probe`` the recall is insensitive
-    to centroid convergence, so a handful of iterations suffices.
+    ``max_iter`` bounds the k-means fit; ``fit_fraction`` bounds WHAT
+    it passes over — the fit runs on a seeded ``df.sample`` of the
+    corpus that is cached for the iterations, and the full corpus is
+    touched exactly once afterwards, for assignment. Centroid quality
+    degrades only as the sample stops representing the density
+    (k-means centers are means — a few thousand points per centroid
+    estimate them tightly), and with a generous ``n_probe`` recall is
+    insensitive to centroid convergence anyway. ``fit_fraction >= 1``
+    fits on the full corpus (small-data/debug mode; the full set is
+    cached in that case since the iterations re-read it).
 
     The scale path when hyperplane buckets are too coarse: centroids
     adapt to the data distribution, and the corpus is scanned
     ~n_probe/n_centroids of the time per query. Centroids come from
     ``pyspark.ml`` KMeans (seeded, deterministic given partitioning);
-    at 100 TB you fit on a sample and broadcast the centers — exactly
-    what this does. Returns (query_id, vec_id, rank, sim).
+    at 100 TB: sample-fit, broadcast the centers, one assignment pass.
+    Returns (query_id, vec_id, rank, sim).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
-    # cached: the k-means fit passes over the features once per
-    # iteration (plus init) — uncached it would re-read and re-project
-    # the corpus every pass. At 100 TB you fit on a cached sample
-    # instead; the full corpus is only assigned (one pass) below.
-    feat = c.withColumn("__feat", array_to_vector(F.col("__cv"))).persist()
+    feat = c.withColumn("__feat", array_to_vector(F.col("__cv")))
+    # cached: the k-means fit passes over its input once per iteration
+    # (plus init) — uncached it would re-read and re-project every
+    # pass. Only the fit SAMPLE is cached; the full corpus is never
+    # persisted and is scanned once, for assignment.
+    if fit_fraction < 1.0:
+        fit_feat = feat.sample(fraction=fit_fraction, seed=seed).persist()
+    else:
+        fit_feat = feat.persist()
     km = KMeans(
         k=n_centroids, seed=seed, maxIter=max_iter,
         featuresCol="__feat", predictionCol="__cluster",
     )
-    model = km.fit(feat)
-    assigned = model.transform(feat).select(id_col, "__cv", "__cluster")
+    model = km.fit(fit_feat)
+    if fit_fraction < 1.0:
+        # centers are materialized in the model; the sample cache is done
+        fit_feat.unpersist()
+        assigned = model.transform(feat).select(id_col, "__cv", "__cluster")
+    else:
+        assigned = model.transform(fit_feat).select(id_col, "__cv", "__cluster")
 
     centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
     centers_df = queries.sparkSession.createDataFrame(

@@ -536,21 +536,40 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN variant, recall-tuned (7/8 probes on the near-uniform
-    synthetic embeddings → measured recall@5 ≥ 0.95; clustered real
-    corpora need a far lower probe fraction) — no SQL oracle (k-means
-    model dependent); the recall contract lives in tests/test_ivf.py."""
+    """IVF ANN recall contract, driver-checkable: the IVF top-5 set is
+    k-means-model dependent (not SQL-expressible), so the query emits
+    the CONTRACT instead — per-probe and overall recall@5 vs the exact
+    ``topk_bruteforce`` twin, reduced to booleans the DuckDB oracle
+    states as literals. A recall regression flips a row to false and
+    hash-mismatches. Measured with the sample fit (fit_fraction=0.5,
+    max_iter=4 — probe-dominated recall at n_probe=7/8): overall
+    0.96-0.98, per-probe min 0.8 at sf0.01 / 0.6 at sf0.001, so the
+    thresholds (0.9 overall, 0.6 per-probe) hold with margin."""
     from lightlane_spark.operators.similarity import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
-    out = ivf_topk(
-        # max_iter=4: recall is probe-dominated at n_probe=7/8 —
-        # measured 0.96 at 4 and 8 iterations alike; fewer fit passes
-        # is also the honest 100 TB default (fit on a sample, probe
-        # generously).
-        emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=7, max_iter=4
+    probes = emb.filter("vec_id < 10")
+    ivf = ivf_topk(emb, probes, k=5, n_centroids=8, n_probe=7, max_iter=4)
+    bf = topk_bruteforce(emb, probes, k=5)
+    hits = ivf.select("query_id", "vec_id").join(
+        bf.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )
-    return out.select("query_id", "vec_id", "rank")
+    per = (
+        probes.select(F.col("vec_id").alias("query_id"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / 5.0).alias("recall5"),
+        )
+    )
+    overall = per.agg((F.avg("recall5") >= 0.9).alias("overall_ok"))
+    return per.crossJoin(F.broadcast(overall)).select(
+        "query_id", (F.col("recall5") >= 0.6).alias("probe_ok"), "overall_ok"
+    )
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,8 +652,11 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal → embedding → similarity chain: extract (stub-fake)
     features from binary payloads, then each probe's nearest neighbor.
-    Rows-only driver check (float32 vectors don't hash cross-engine);
-    unit tests pin determinism and self-match."""
+    Exact-oracled since round 4: the fake extractor and the
+    topk_bruteforce folds are order-pinned IEEE float64 ops, so
+    ``_multimodal_features_oracle_sql`` replays them (including the
+    float32 store) bit-for-bit in DuckDB; unit tests additionally pin
+    determinism and self-match."""
     from lightlane_spark.operators.multimodal import extract_features
     from lightlane_spark.operators.similarity import topk_bruteforce
 
@@ -1505,8 +1527,73 @@ ORACLE = {
     """,
 }
 
+def _multimodal_features_oracle_sql(dim: int = 16, k: int = 3) -> str:
+    """Exact DuckDB twin of q_multimodal_features: the fake extractor
+    derives the vector from md5(payload) with plain IEEE float64 ops
+    (byte/255.0 - 0.5, left-fold norm, divide, float32 store), and
+    topk_bruteforce folds dot/norm sequentially in float64 — every
+    step is order-pinned, so rendering the SAME left-associated chains
+    in SQL reproduces the similarities bit-for-bit. dim must be ≤ 16
+    (the XOR spread term is zero there, as in the extractor)."""
+    assert dim <= 16
+
+    def chain(terms: list[str]) -> str:
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = f"({expr} + {t})"
+        return expr
+
+    raw = ",\n               ".join(
+        f"(CAST('0x' || substr(h, {2 * i + 1}, 2) AS INT) / 255.0 - 0.5) AS r{i}"
+        for i in range(dim)
+    )
+    nrm = chain([f"r{i} * r{i}" for i in range(dim)])
+    e_cols = ",\n               ".join(
+        f"CAST(CAST(r{i} / nn AS REAL) AS DOUBLE) AS e{i}" for i in range(dim)
+    )
+    vn = chain([f"e{i} * e{i}" for i in range(dim)])
+    dot_expr = chain([f"q.e{i} * c.e{i}" for i in range(dim)])
+    return f"""
+        WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+        v AS (
+            SELECT doc_id,
+               {raw}
+            FROM b
+        ),
+        n AS (SELECT *, sqrt({nrm}) AS nn FROM v),
+        e AS (
+            SELECT doc_id,
+               {e_cols}
+            FROM n
+        ),
+        en AS (SELECT *, sqrt({vn}) AS vnorm FROM e),
+        pairs AS (
+            SELECT q.doc_id AS query_id, c.doc_id AS vec_id,
+                   ({dot_expr}) / (q.vnorm * c.vnorm) AS sim
+            FROM en q, en c
+            WHERE q.doc_id % 50 = 0
+        )
+        SELECT query_id, vec_id, CAST(rnk AS INTEGER) AS rank, round(sim, 6) AS sim
+        FROM (
+            SELECT query_id, vec_id, sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, vec_id
+                   ) AS rnk
+            FROM pairs
+        ) WHERE rnk <= {k}
+    """
+
+
 # Generated oracles (hyperplane bucket expressions are rendered from
 # the same md5-derived weights the Spark side uses — bit-identical
 # sign tests, see similarity.hyperplane_bits_duckdb_sql).
 ORACLE["ann_topk_lsh"] = _ann_lsh_oracle_sql()
 ORACLE["embedding_neardup_lsh"] = _embedding_neardup_lsh_oracle_sql()
+ORACLE["multimodal_features"] = _multimodal_features_oracle_sql()
+# ann_topk_ivf emits its recall CONTRACT (see q_ann_topk_ivf): the
+# oracle states the expected booleans as literals, so any recall
+# regression hash-mismatches.
+ORACLE["ann_topk_ivf"] = """
+    SELECT vec_id AS query_id, TRUE AS probe_ok, TRUE AS overall_ok
+    FROM embeddings WHERE vec_id < 10
+"""

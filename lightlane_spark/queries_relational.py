@@ -597,14 +597,28 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct users per event type — the sketch
     path for 100 TB cardinality (fixed-size state, one pass, no
-    count-distinct shuffle explosion). No SQL oracle: sketch estimates
-    are engine-specific; the ±5%-of-exact tolerance contract lives in
-    tests/test_quality.py, and the exact-count twin is
-    ``distinct_agg``."""
+    count-distinct shuffle explosion). Sketch estimates are
+    engine-specific, so the driver row checks the TOLERANCE CONTRACT:
+    the query emits |approx − exact|/exact ≤ 0.05 as a boolean per
+    group (exact computed alongside, for the harness only — the
+    production shape is the sketch alone) and the oracle states the
+    expected booleans plus the exact counts as literals/SQL. A sketch
+    regression beyond ±5% hash-mismatches."""
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_tol"),
     )
 
 
@@ -917,6 +931,13 @@ ORACLE = {
             GROUP BY c_custkey
         )
         SELECT c_count, count(*) AS custdist FROM per GROUP BY c_count
+    """,
+    "approx_distinct": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               COUNT(*) AS n_events,
+               TRUE AS within_tol
+        FROM events GROUP BY event_type
     """,
     "having_filter": """
         WITH per AS (
