@@ -160,16 +160,19 @@ def corr_matrix(df: DataFrame, columns: list[str], scale: int = 4) -> DataFrame:
 
     if len(columns) < 2:
         raise ValueError("corr_matrix needs at least two columns")
-    # Operands at DECIMAL(19, scale) so a product is DECIMAL(38, 2·scale)
-    # — exactly the 38-digit cap, hence EXACT in every engine; width
-    # 19 also forces int128 storage in DuckDB, whose int64-backed
-    # DECIMAL(18) multiplication overflows. Wider operands would push
-    # products past 38 digits, where Spark silently drops fractional
-    # digits (allowPrecisionLoss) and DuckDB errors.
+    # Operands at DECIMAL(18, scale) so a product is DECIMAL(37, 2·scale)
+    # — strictly below the 38-digit cap, so Spark's allowPrecisionLoss
+    # adjustment never fires and every product keeps all 2·scale
+    # fractional digits EXACTLY. (DECIMAL(19) operands looked safe but
+    # their product is DECIMAL(39,2·scale) pre-cap, which Spark trims
+    # to DECIMAL(38,2·scale−1) — rounding the last fractional digit
+    # whenever an input uses the full ``scale`` digits. The DuckDB
+    # oracle must cast ITS operands to a hugeint-backed width ≥ 19:
+    # its int64-backed DECIMAL(18) multiply can overflow.)
     dec = f"decimal(38,{2 * scale})"
 
     def d(c):
-        return F.col(c).cast(f"decimal(19,{scale})")
+        return F.col(c).cast(f"decimal(18,{scale})")
 
     aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
     for c in columns:

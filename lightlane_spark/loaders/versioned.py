@@ -41,8 +41,14 @@ class VersionedTable:
 
     def write_version(self, df: DataFrame) -> int:
         """Write ``df`` as the next version and flip the pointer.
-        Returns the new version number."""
-        n = (self.latest_version() or 0) + 1
+        Returns the new version number.
+
+        The next number comes from the directories on storage, not the
+        pointer: after ``rollback(v)`` the pointer is behind versions
+        that still exist (deliberately — forensics), and pointer+1
+        would collide with one of them and wedge the table on the
+        ``errorifexists`` write."""
+        n = max(self.versions(), default=0) + 1
         path = self._version_path(n)
         df.write.mode("errorifexists").parquet(path)
         self._write_pointer(n)
@@ -90,9 +96,15 @@ class VersionedTable:
         return sorted(out)
 
     def latest_version(self) -> int | None:
+        """Resolve the pointer; if it is missing but version
+        directories exist (the delete→rename window of a concurrent
+        ``_write_pointer``, or a crash between those two calls), fall
+        back to the newest version on storage — readers must never see
+        an intact table as missing."""
         fs, ptr = self._fs_path(f"{self.base_path}/{_POINTER}")
         if not fs.exists(ptr):
-            return None
+            vs = self.versions()
+            return vs[-1] if vs else None
         stream = fs.open(ptr)
         try:
             # byte-at-a-time via the no-arg read() overload — the only

@@ -63,17 +63,22 @@ def zorder_sql(
         if hi <= lo:
             raise ValueError(f"spec {col_sql!r}: hi must exceed lo")
         span = hi - lo
+        # The clamped value is cast to BIGINT BEFORE the ``* top``
+        # scaling: on a 32-bit INT column the multiply would otherwise
+        # run in int32 and overflow (silent wraparound in non-ANSI
+        # Spark, a runtime error in DuckDB) for values above
+        # ~2^31/top. All arithmetic after the cast is 64-bit in both
+        # engines.
         u = (
-            f"((CASE WHEN ({col_sql}) < {lo} THEN {lo} "
+            f"(CAST(CASE WHEN ({col_sql}) < {lo} THEN {lo} "
             f"WHEN ({col_sql}) > {hi} THEN {hi} "
-            f"ELSE ({col_sql}) END) - {lo}) * {top} {idiv} {span}"
+            f"ELSE ({col_sql}) END AS BIGINT) - {lo}) * {top} {idiv} {span}"
         )
-        # CAST once per dimension, reuse via arithmetic on the casted
-        # value: (u DIV 2^b) % 2 << (b*d + j)
+        # bit b of dimension j: (u DIV 2^b) % 2 << (b*d + j)
         for b in range(bits):
             shift = 1 << (b * d + j)
             terms.append(
-                f"((CAST({u} AS BIGINT) {idiv} {1 << b}) % 2) * {shift}"
+                f"((({u}) {idiv} {1 << b}) % 2) * {shift}"
             )
     return "(" + " + ".join(terms) + ")"
 

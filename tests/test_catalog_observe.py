@@ -103,3 +103,42 @@ def test_corr_matrix_matches_builtin_and_validates(spark, sf_dir):
     assert abs(got[("l_quantity", "l_extendedprice")] - builtin) < 1e-9
     with pytest.raises(ValueError):
         corr_matrix(li, ["l_quantity"])
+
+
+def test_corr_matrix_exact_at_full_scale_digits(spark):
+    """Summation-exactness regression: inputs that use ALL ``scale``
+    fractional digits (products carry 2·scale digits — e.g.
+    1.2345 × 1.1111 = 1.37165295). With DECIMAL(19,scale) operands
+    Spark's allowPrecisionLoss trimmed the product to 2·scale−1 digits
+    and the moment sums silently rounded; DECIMAL(18) operands keep
+    the product at DECIMAL(37,2·scale), exact. Compare against
+    r computed from exact rational moment sums."""
+    from fractions import Fraction
+
+    from lightlane_spark.catalog import corr_matrix
+
+    rows = [
+        (1.2345, 1.1111),
+        (2.6789, 3.9999),
+        (0.0001, 9.8765),
+        (7.5557, 0.0203),
+        (5.5555, 5.5555),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = corr_matrix(df, ["x", "y"], scale=4).first().corr
+
+    fx = [Fraction(str(x)) for x, _ in rows]
+    fy = [Fraction(str(y)) for _, y in rows]
+    n = len(rows)
+    sx, sy = sum(fx), sum(fy)
+    qx, qy = sum(v * v for v in fx), sum(v * v for v in fy)
+    pxy = sum(a * b for a, b in zip(fx, fy))
+    # mirror the operator: each exact decimal moment → double, then
+    # double closed form
+    import math
+
+    nd, sxd, syd, qxd, qyd, pd_ = (float(v) for v in (n, sx, sy, qx, qy, pxy))
+    want = (nd * pd_ - sxd * syd) / math.sqrt(
+        (nd * qxd - sxd * sxd) * (nd * qyd - syd * syd)
+    )
+    assert got == want, (got, want)

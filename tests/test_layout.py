@@ -42,6 +42,22 @@ def test_zorder_key_clamps_out_of_range(spark):
     assert z == _py_zkey((0, 1000), [(0, 1000), (0, 1000)], bits=10)
 
 
+def test_zorder_key_int32_column_no_overflow(spark):
+    """Overflow regression: on a 32-bit INT column the ``* 65535``
+    scaling must run in 64-bit — pre-fix it multiplied in int32 and
+    silently wrapped (non-ANSI Spark), corrupting keys for values
+    above ~2^31/65535 ≈ 32k."""
+    vals = [0, 40_000, 1_000_000_000, 2_000_000_000]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    hi = 2_000_000_000
+    got = {
+        r.x: r.z
+        for r in df.withColumn("z", zorder_key([("x", 0, hi)], bits=16)).collect()
+    }
+    for v in vals:
+        assert got[v] == _py_zkey((v,), [(0, hi)], bits=16), v
+
+
 def test_zorder_sql_validates():
     with pytest.raises(ValueError):
         zorder_sql([], bits=8)

@@ -52,6 +52,40 @@ def test_versioned_rollback_and_vacuum(spark, sf_dir, tmp_path):
     assert vt.read().count() == 10
 
 
+def test_rollback_then_merge_allocates_fresh_version(spark, tmp_path):
+    """After rollback(v) the later version DIRECTORIES still exist
+    (deliberately); the next write must allocate past them, not
+    pointer+1 — which would collide with v+1 and wedge the table on
+    the errorifexists write."""
+    vt = VersionedTable(spark, str(tmp_path / "rb"))
+    base = spark.createDataFrame([(1, 10), (2, 20)], "pk bigint, val bigint")
+    vt.write_version(base)
+    vt.write_version(base.withColumn("val", F.col("val") + 1))
+    vt.rollback(1)
+
+    staging = spark.createDataFrame([(2, 99), (3, 30)], "pk bigint, val bigint")
+    v3 = vt.merge_version(staging, ["pk"])
+    assert v3 == 3 and vt.versions() == [1, 2, 3]
+    # merged onto the ROLLED-BACK state (v1), not the abandoned v2
+    got = {r.pk: r.val for r in vt.read().collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+
+
+def test_latest_version_survives_missing_pointer(spark, tmp_path):
+    """A reader in the delete→rename window of a pointer flip (or
+    after a crash between the two calls) must still resolve an intact
+    table: latest_version() falls back to the newest directory."""
+    vt = VersionedTable(spark, str(tmp_path / "mp"))
+    vt.write_version(spark.range(5))
+    vt.write_version(spark.range(7))
+    fs, ptr = vt._fs_path(f"{vt.base_path}/_LATEST")
+    fs.delete(ptr, False)
+    assert vt.latest_version() == 2
+    assert vt.read().count() == 7
+    # the next write after the lost pointer continues the sequence
+    assert vt.write_version(spark.range(3)) == 3
+
+
 def test_merge_schema_evolution(spark, tmp_path):
     target = spark.createDataFrame(
         [(1, "a"), (2, "b")], "pk bigint, val string"
