@@ -69,14 +69,17 @@ def shingle(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
-    distinct: bool = True,
+    distinct: bool | str = True,
 ) -> DataFrame:
     """Word k-gram shingles per document → (id, sh).
 
     ``distinct=True`` gives set semantics (needed for Jaccard) at the
-    cost of a full shuffle; ``distinct=False`` is map-only — enough
-    for MinHash signatures, where min over the multiset equals min
-    over the set.
+    cost of a full shuffle; ``distinct="inrow"`` gives the SAME set
+    semantics with NO shuffle — ``array_distinct`` dedups each doc's
+    gram array before the explode (per-doc sets never span rows, so
+    in-row dedup is exact; prefer this form in new code);
+    ``distinct=False`` is map-only without dedup — enough for MinHash
+    signatures, where min over the multiset equals min over the set.
 
     DuckDB oracle shape: unnest over ``range(len(tokens)-k+1)`` with
     ``array_to_string(tokens[i:i+k], ' ')``.
@@ -98,8 +101,10 @@ def shingle(
         f"transform(sequence(0, size({tok_col}) - {k}),"
         f" i -> concat_ws(' ', slice({tok_col}, i + 1, {k})))"
     )
+    if distinct == "inrow":
+        grams = F.array_distinct(grams)
     out = d.select(F.col(id_col), F.explode(grams).alias("sh"))
-    return out.distinct() if distinct else out
+    return out.distinct() if distinct is True else out
 
 
 # ---------------------------------------------------------------------------
@@ -475,28 +480,34 @@ def ngram_jaccard_pairs(
     no longer generate cross-pairs. ``None`` keeps exact full-universe
     semantics (verifier-only shape; MinHash-LSH is the discovery path).
     """
-    sh = shingle(df, text_col, id_col, k)
+    # Set semantics via in-row array_distinct — NO distinct shuffle
+    # (a doc's gram set never spans rows).
+    sh = shingle(df, text_col, id_col, k, distinct="inrow")
     if max_doc_freq is not None:
         # Document frequency via a count window on the shingle key:
-        # one exchange on `sh`, and the self-join below joins on the
-        # same key, so the partitioning is computed once and reused.
+        # one exchange on `sh`.
         w = Window.partitionBy("sh")
         sh = (
             sh.withColumn("__df", F.count("*").over(w))
             .filter(F.col("__df") <= max_doc_freq)
             .drop("__df")
         )
-    pairs = (
-        sh.select(F.col(id_col).alias("id_a"), "sh")
-        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), on="sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    # Per-doc retained-gram count attached as a window column and
+    # CARRIED THROUGH the self-join (grouped along with the pair key):
+    # the two pairs↔sizes re-joins of the naive plan — and their three
+    # exchanges — disappear. The annotated relation is persisted so
+    # the scan→explode→window chain runs once, not once per join side.
+    sh = (
+        sh.withColumn("__n", F.count("*").over(Window.partitionBy(id_col)))
+        .persist()
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"), "sh")
     return (
-        pairs.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), on="id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), on="id_b")
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
