@@ -405,6 +405,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _RECHECK = [
     # brand new this round
     "avro_roundtrip",
+    "streaming_stateful_counts",
     # new oracles (were no_oracle in r03)
     "ann_topk_ivf",
     "approx_distinct",
@@ -457,7 +458,6 @@ _RECHECK = [
     "intersect_except",
     "join_3way",
     "join_full_outer",
-    "join_left_semi",
 ]
 
 

@@ -707,6 +707,47 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("window_start", "event_type", "n")
 
 
+def q_streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState)
+    driven end-to-end: per-event-type running counts whose state
+    crosses micro-batch boundaries (events staged as 3 files,
+    maxFilesPerTrigger=1 forces 3 batches). Running totals are
+    monotone, so MAX(n) per key at completion equals the batch
+    aggregate — the exact SQL oracle."""
+    import tempfile
+    import uuid
+
+    from lightlane_spark.streaming.incremental import (
+        run_to_completion,
+        stateful_running_counts,
+        stream_from_directory,
+    )
+
+    base = tempfile.mkdtemp(prefix="llspark_state_")
+    land = f"{base}/landing"
+    ev = read_table(spark, sf_dir, "events")
+    ev.withColumn("__p", F.col("event_id") % 3).repartitionByRange(3, "__p").drop(
+        "__p"
+    ).write.mode("overwrite").parquet(land)
+    stream = stream_from_directory(spark, land, ev.schema, max_files_per_trigger=1)
+    counts = stateful_running_counts(stream, ["event_type"])
+    name = "llsq_" + uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ck")
+        .start()
+    )
+    run_to_completion(q)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n_events"))
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization (gaps-and-islands): per-user sessions with
     a 60-minute gap over the events table."""
@@ -774,6 +815,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
+    "streaming_stateful_counts": q_streaming_stateful_counts,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
     "quota_sample": q_quota_sample,
@@ -977,6 +1019,10 @@ ORACLE = {
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                event_type, count(*) AS n
         FROM events GROUP BY 1, 2
+    """,
+    "streaming_stateful_counts": """
+        SELECT event_type, count(*) AS n_events
+        FROM events GROUP BY event_type
     """,
     "text_stats": """
         SELECT doc_id,

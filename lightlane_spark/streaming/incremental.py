@@ -172,6 +172,58 @@ def streaming_merge(
     return writer.start()
 
 
+def stateful_running_counts(
+    stream: DataFrame,
+    key_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """CUSTOM stateful streaming operator via ``applyInPandasWithState``:
+    a per-key running event count whose state (one long per key)
+    persists in the state store ACROSS micro-batches — the skeleton
+    every bespoke stateful op (counters, rate limiters, incremental
+    sketches, per-key models) builds on when ``dropDuplicates`` /
+    windowed aggs can't express the logic.
+
+    Each micro-batch emits one updated (key, running_total) row per
+    key seen in that batch (output mode ``update``); totals are
+    monotone, so the final value per key equals the batch
+    ``groupBy().count()`` — which is exactly how the oracle checks it.
+
+    Scale: state is O(distinct keys) longs, hash-partitioned by key
+    across executors by the streaming aggregation exchange; an
+    unbounded key universe needs a TTL — switch ``NoTimeout`` to
+    ``ProcessingTimeTimeout`` and drop idle keys in the timeout
+    branch.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    dtypes = dict(stream.dtypes)
+    out_schema = (
+        ", ".join(f"{k} {dtypes[k]}" for k in key_cols) + f", {count_col} bigint"
+    )
+    state_schema = "n bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        row = {k: [v] for k, v in zip(key_cols, key)}
+        row[count_col] = [n]
+        yield pd.DataFrame(row)
+
+    grouped = stream.select(*key_cols).groupBy(*key_cols)
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_completion(query, timeout_sec: int = 120) -> None:
     """Await an availableNow query; raises on streaming failure."""
     if not query.awaitTermination(timeout_sec):

@@ -16,11 +16,14 @@ from lightlane_spark.streaming.incremental import (
 
 
 def _stage_event_files(spark, sf_dir, out_dir, parts=3):
-    """Split events into N parquet files to simulate arriving batches."""
+    """Split events into N parquet files to simulate arriving batches.
+    repartitionByRange (not hash repartition): N distinct bucket
+    values hash-collide into fewer than N partitions often enough that
+    multi-batch tests would flake."""
     ev = read_table(spark, sf_dir, "events")
-    ev.withColumn("__p", F.col("event_id") % parts).repartition("__p").write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    ev.withColumn("__p", F.col("event_id") % parts).repartitionByRange(
+        parts, "__p"
+    ).drop("__p").write.mode("overwrite").parquet(out_dir)
     return ev.schema, ev
 
 
@@ -50,6 +53,41 @@ def test_windowed_counts_matches_batch(spark, sf_dir, tmp_path):
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
+    }
+    assert got == exp
+
+
+def test_stateful_running_counts_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: per-key state must persist ACROSS
+    micro-batches (maxFilesPerTrigger=1 forces several), and the final
+    running total per key must equal the batch groupBy count."""
+    from lightlane_spark.streaming.incremental import stateful_running_counts
+
+    land = str(tmp_path / "landing")
+    schema, ev = _stage_event_files(spark, sf_dir, land)
+    stream = stream_from_directory(spark, land, schema, max_files_per_trigger=1)
+    counts = stateful_running_counts(stream, ["event_type"])
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("run_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    run_to_completion(q)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "state never crossed a batch boundary"
+    got = {
+        (r.event_type, r.n)
+        for r in spark.table("run_counts")
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    exp = {
+        (r.event_type, r.n)
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == exp
 
