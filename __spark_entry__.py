@@ -406,6 +406,7 @@ _RECHECK = [
     # brand new this round
     "avro_roundtrip",
     "streaming_stateful_counts",
+    "pq_topk",
     # new oracles (were no_oracle in r03)
     "ann_topk_ivf",
     "approx_distinct",
@@ -457,7 +458,6 @@ _RECHECK = [
     "having_filter",
     "intersect_except",
     "join_3way",
-    "join_full_outer",
 ]
 
 

@@ -49,6 +49,7 @@ HEADLINE = [
     # queries() as the oracle anchor; recall contracts pin LSH/IVF)
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "pq_topk",
     "embedding_neardup",
     "text_quality",
     "dedup_exact",
@@ -67,11 +68,13 @@ HEADLINE = [
 
 def _bench_only_overrides():
     """Shapes benched in place of their queries() twin. The declared
-    ``ann_topk_ivf`` is a correctness-contract query that embeds its
-    own brute-force verifier (recall booleans for the driver oracle);
-    benching that would time the verifier, not the operator — so the
-    bench times the raw IVF probe chain, comparable with prior rounds.
+    ``ann_topk_ivf`` / ``pq_topk`` are correctness-contract queries
+    that embed their own brute-force verifier (recall booleans for the
+    driver oracle); benching those would time the verifier, not the
+    operator — so the bench times the raw probe chains, comparable
+    with prior rounds.
     """
+    from lightlane_spark.operators.pq import pq_topk
     from lightlane_spark.operators.similarity import ivf_topk
     from lightlane_spark.sources.parquet import read_table
 
@@ -81,7 +84,13 @@ def _bench_only_overrides():
             emb, emb.filter("vec_id < 10"), k=5, n_centroids=8, n_probe=7, max_iter=4
         ).select("query_id", "vec_id", "rank")
 
-    return {"ann_topk_ivf": ivf_raw}
+    def pq_raw(spark, sf_dir):
+        emb = read_table(spark, sf_dir, "embeddings")
+        return pq_topk(emb, emb.filter("vec_id < 10"), k=5).select(
+            "query_id", "vec_id", "rank"
+        )
+
+    return {"ann_topk_ivf": ivf_raw, "pq_topk": pq_raw}
 
 
 def main() -> None:

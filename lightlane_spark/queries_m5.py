@@ -535,24 +535,16 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank")
 
 
-def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN recall contract, driver-checkable: the IVF top-5 set is
-    k-means-model dependent (not SQL-expressible), so the query emits
-    the CONTRACT instead — per-probe and overall recall@5 vs the exact
-    ``topk_bruteforce`` twin, reduced to booleans the DuckDB oracle
-    states as literals. A recall regression flips a row to false and
-    hash-mismatches. Measured with the sample fit (fit_fraction=0.5,
-    max_iter=4 — probe-dominated recall at n_probe=7/8): overall
-    0.96-0.98, per-probe min 0.8 at sf0.01 / 0.6 at sf0.001, so the
-    thresholds (0.9 overall, 0.6 per-probe) hold with margin."""
-    from lightlane_spark.operators.similarity import ivf_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    probes = emb.filter("vec_id < 10")
-    ivf = ivf_topk(emb, probes, k=5, n_centroids=8, n_probe=7, max_iter=4)
-    bf = topk_bruteforce(emb, probes, k=5)
-    hits = ivf.select("query_id", "vec_id").join(
-        bf.select("query_id", "vec_id"), ["query_id", "vec_id"]
+def _recall_contract(
+    probes: DataFrame, approx: DataFrame, exact: DataFrame, k: int = 5
+) -> DataFrame:
+    """Reduce an approximate top-k result to driver-checkable recall
+    booleans vs its exact twin: (query_id, probe_ok, overall_ok) with
+    thresholds 0.6 per-probe / 0.9 overall — a recall regression flips
+    a row to false and hash-mismatches against the literal-TRUE
+    oracle."""
+    hits = approx.select("query_id", "vec_id").join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )
     per = (
         probes.select(F.col("vec_id").alias("query_id"))
@@ -563,13 +555,46 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "query_id",
-            (F.coalesce(F.col("n_hit"), F.lit(0)) / 5.0).alias("recall5"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / float(k)).alias("recall"),
         )
     )
-    overall = per.agg((F.avg("recall5") >= 0.9).alias("overall_ok"))
+    overall = per.agg((F.avg("recall") >= 0.9).alias("overall_ok"))
     return per.crossJoin(F.broadcast(overall)).select(
-        "query_id", (F.col("recall5") >= 0.6).alias("probe_ok"), "overall_ok"
+        "query_id", (F.col("recall") >= 0.6).alias("probe_ok"), "overall_ok"
     )
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN recall contract, driver-checkable: the IVF top-5 set is
+    k-means-model dependent (not SQL-expressible), so the query emits
+    the CONTRACT instead (``_recall_contract``) vs the exact
+    ``topk_bruteforce`` twin. Measured with the sample fit
+    (fit_fraction=0.5, max_iter=4 — probe-dominated recall at
+    n_probe=7/8): overall 0.96-0.98, per-probe min 0.8 at sf0.01 /
+    0.6 at sf0.001, so the thresholds hold with margin."""
+    from lightlane_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter("vec_id < 10")
+    ivf = ivf_topk(emb, probes, k=5, n_centroids=8, n_probe=7, max_iter=4)
+    bf = topk_bruteforce(emb, probes, k=5)
+    return _recall_contract(probes, ivf, bf, k=5)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN recall contract (operators/pq.py):
+    64-bit PQ codes (m=16 × 4-bit) + ADC shortlist + exact re-rank,
+    checked as recall booleans vs brute force. Measured recall 1.0 at
+    sf0.001 and sf0.01 (shortlist=200 dominates quantization error on
+    the near-uniform synthetic embeddings); thresholds 0.6/0.9 as in
+    the IVF twin."""
+    from lightlane_spark.operators.pq import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter("vec_id < 10")
+    pq = pq_topk(emb, probes, k=5)
+    bf = topk_bruteforce(emb, probes, k=5)
+    return _recall_contract(probes, pq, bf, k=5)
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +877,7 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "pq_topk": q_pq_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "embedding_quantize": q_embedding_quantize,
@@ -1640,6 +1666,11 @@ ORACLE["multimodal_features"] = _multimodal_features_oracle_sql()
 # oracle states the expected booleans as literals, so any recall
 # regression hash-mismatches.
 ORACLE["ann_topk_ivf"] = """
+    SELECT vec_id AS query_id, TRUE AS probe_ok, TRUE AS overall_ok
+    FROM embeddings WHERE vec_id < 10
+"""
+# pq_topk: same recall-contract shape as ann_topk_ivf.
+ORACLE["pq_topk"] = """
     SELECT vec_id AS query_id, TRUE AS probe_ok, TRUE AS overall_ok
     FROM embeddings WHERE vec_id < 10
 """
