@@ -151,3 +151,27 @@ def test_dedup_minhash_candidate_ids_no_extra_exchange(spark, sf_dir):
     ).exchanges
     fallback = plan_summary(jaccard_verify(cand, sh, threshold=0.7)).exchanges
     assert with_ids < fallback, (with_ids, fallback)
+
+
+def test_pq_encode_map_only(spark, sf_dir):
+    """PQ encode must be a pure Arrow projection over the scan — zero
+    Exchanges (codes are written in one linear pass at any scale)."""
+    from lightlane_spark.operators.pq import pq_encode, pq_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=16, k=16)
+    ps = plan_summary(pq_encode(emb, books))
+    assert ps.exchanges == 0, ps.text[:800]
+
+
+def test_pq_topk_no_cartesian_and_broadcast_rerank(spark, sf_dir):
+    """The ADC scan is map-only over codes; the only joins in the
+    re-rank are broadcasts of the Q×shortlist candidate set — no
+    CartesianProduct, no shuffle of the corpus."""
+    from lightlane_spark.operators.pq import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = pq_topk(emb, emb.filter("vec_id < 10"), k=5)
+    ps = plan_summary(out)
+    assert "CartesianProduct" not in ps.text
+    assert ps.broadcast_joins >= 2, ps.text[:800]
