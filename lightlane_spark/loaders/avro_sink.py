@@ -173,6 +173,12 @@ def write_avro(df: DataFrame, path: str) -> int:
     task streams its Arrow batches through the encoder straight to its
     own file. The sync marker is derived from (schema, partition), so
     output bytes are deterministic for deterministic input order."""
+    # the encoder closures reference module-level codec functions,
+    # which cloudpickle ships BY REFERENCE — workers must be able to
+    # import lightlane_spark (shipping.py zips it onto their sys.path)
+    from lightlane_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
     schema = df.schema
     sj = avro_schema_json(schema)
     os.makedirs(path, exist_ok=True)
@@ -329,6 +335,9 @@ def read_avro(spark: SparkSession, path: str, ddl_schema: str) -> DataFrame:
     container files of matching shape) into a DataFrame. One task per
     file; ``ddl_schema`` fixes the output schema (the embedded writer
     schema is validated structurally during decode)."""
+    from lightlane_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     schema = T.StructType.fromDDL(ddl_schema)
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
