@@ -23,7 +23,9 @@ from lightlane_spark.operators.extract import (
     range_partitioned_read,
 )
 from lightlane_spark.loaders.loader import Loader, LoadMode
+from lightlane_spark.loaders.avro_sink import read_avro, write_avro
 from lightlane_spark.operators.dedup import dedup_keep_first
+from lightlane_spark.operators.pq import pq_encode, pq_fit, pq_topk
 
 __all__ = [
     "get_spark",
@@ -37,6 +39,11 @@ __all__ = [
     "Loader",
     "LoadMode",
     "dedup_keep_first",
+    "read_avro",
+    "write_avro",
+    "pq_fit",
+    "pq_encode",
+    "pq_topk",
 ]
 
 __version__ = "0.1.0"

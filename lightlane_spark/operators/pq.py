@@ -255,6 +255,7 @@ def pq_topk(
             dot(F.col("__qv"), F.col("__cv"))
             / (norm(F.col("__qv")) * norm(F.col("__cv"))),
         )
+        .filter(~F.isnan(F.col("sim")))  # zero-norm vectors score nothing
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (

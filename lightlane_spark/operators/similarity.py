@@ -76,8 +76,16 @@ def topk_bruteforce(
     c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv")).withColumn(
         "__cn", norm(F.col("__cv"))
     )
-    scored = F.broadcast(q).crossJoin(c).withColumn(
-        "sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+        )
+        # zero-norm vectors score nothing (same contract as the Arrow
+        # variant): NaN compares greater-than-everything in Spark SQL,
+        # so an unguarded desc sort would rank them first
+        .filter(~F.isnan(F.col("sim")))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("sim").desc(), F.col(id_col)
@@ -474,6 +482,7 @@ def ivf_topk(
         .withColumn(
             "sim", dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
         )
+        .filter(~F.isnan(F.col("sim")))  # zero-norm vectors score nothing
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -560,5 +569,5 @@ def cosine_neardup_pairs(
     return (
         blocks.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), F.col("p.sim").alias("sim"))
-        .filter(F.col("sim") >= threshold)
+        .filter((F.col("sim") >= threshold) & ~F.isnan(F.col("sim")))
     )
