@@ -413,50 +413,54 @@ def ivf_topk(
     """IVF (inverted-file) ANN: k-means-partition the corpus, probe
     only the ``n_probe`` nearest centroids per query.
 
-    ``max_iter`` bounds the k-means fit; ``fit_fraction`` bounds WHAT
-    it passes over — the fit runs on a seeded ``df.sample`` of the
-    corpus that is cached for the iterations, and the full corpus is
-    touched exactly once afterwards, for assignment. Centroid quality
-    degrades only as the sample stops representing the density
-    (k-means centers are means — a few thousand points per centroid
-    estimate them tightly), and with a generous ``n_probe`` recall is
+    ``max_iter`` bounds the k-means refinement; ``fit_fraction`` and
+    the 100k-row cap bound WHAT it sees — a seeded sample collected to
+    the driver and fit with numpy k-means++/Lloyd (the FAISS
+    discipline, shared with ``operators/pq.pq_fit``: centroid quality
+    saturates at thousands of points per centroid, so the fit input
+    stays bounded at any corpus size and costs ONE Spark job — the
+    previous ``pyspark.ml`` fit scheduled ~15 jobs of init+iteration
+    passes). The full corpus is touched exactly once, for assignment
+    (map-only Arrow argmin). With a generous ``n_probe`` recall is
     insensitive to centroid convergence anyway. ``fit_fraction >= 1``
-    fits on the full corpus (small-data/debug mode; the full set is
-    cached in that case since the iterations re-read it).
+    fits on everything up to the row cap (small-data/debug mode).
 
     The scale path when hyperplane buckets are too coarse: centroids
     adapt to the data distribution, and the corpus is scanned
-    ~n_probe/n_centroids of the time per query. Centroids come from
-    ``pyspark.ml`` KMeans (seeded, deterministic given partitioning);
-    at 100 TB: sample-fit, broadcast the centers, one assignment pass.
-    Returns (query_id, vec_id, rank, sim).
+    ~n_probe/n_centroids of the time per query. Deterministic: seeded
+    sample, seeded init. At 100 TB: sample-fit, broadcast the centers,
+    one assignment pass. Returns (query_id, vec_id, rank, sim).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    import numpy as np
+    import pandas as pd
+
+    from lightlane_spark.operators.pq import _kmeans_pp_lloyd
 
     c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
-    feat = c.withColumn("__feat", array_to_vector(F.col("__cv")))
-    # cached: the k-means fit passes over its input once per iteration
-    # (plus init) — uncached it would re-read and re-project every
-    # pass. Only the fit SAMPLE is cached; the full corpus is never
-    # persisted and is scanned once, for assignment.
+    fit_src = c.select("__cv")
     if fit_fraction < 1.0:
-        fit_feat = feat.sample(fraction=fit_fraction, seed=seed).persist()
-    else:
-        fit_feat = feat.persist()
-    km = KMeans(
-        k=n_centroids, seed=seed, maxIter=max_iter,
-        featuresCol="__feat", predictionCol="__cluster",
+        fit_src = fit_src.sample(fraction=fit_fraction, seed=seed)
+    X = np.array(
+        [r["__cv"] for r in fit_src.limit(100_000).collect()], dtype=np.float64
     )
-    model = km.fit(fit_feat)
-    if fit_fraction < 1.0:
-        # centers are materialized in the model; the sample cache is done
-        fit_feat.unpersist()
-        assigned = model.transform(feat).select(id_col, "__cv", "__cluster")
-    else:
-        assigned = model.transform(fit_feat).select(id_col, "__cv", "__cluster")
+    rng = np.random.default_rng(seed)
+    C = _kmeans_pp_lloyd(X, n_centroids, max_iter, rng)
 
-    centers = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (vm @ C.T)
+            out = pdf[[id_col, "__cv"]].copy()
+            out["__cluster"] = d2.argmin(axis=1).astype(np.int32)
+            yield out
+
+    assigned = c.mapInPandas(
+        assign, schema=f"{id_col} bigint, __cv array<double>, __cluster int"
+    )
+
+    centers = [list(map(float, ctr)) for ctr in C]
     centers_df = queries.sparkSession.createDataFrame(
         [(i, centers[i]) for i in range(len(centers))],
         f"__cluster int, __center array<double>",
