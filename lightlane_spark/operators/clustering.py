@@ -75,35 +75,86 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(rows) -> list[tuple[int, int]]:
+    """Union-find with union-by-min root: the root of every tree stays
+    the minimum id of its component (attaching the larger root under
+    the smaller preserves the invariant), so find() yields exactly the
+    distributed algorithm's min-id component labels."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
     assume_canonical: bool = False,
+    driver_edge_cap: int | None = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; component = min
     node id in the node's connected component.
 
-    One large-star + small-star contraction per round, converging when
-    the edge set's (count, checksum) fingerprint is stable. Each round
-    materializes via ``localCheckpoint`` — required for any iterative
-    DataFrame algorithm: it cuts the exponentially-growing lineage and
-    gives AQE true sizes to re-plan from.
+    Two regimes, chosen by the canonical edge COUNT (one cheap action
+    over the persisted edge set):
+
+    - ``<= driver_edge_cap`` edges: collect and union-find on the
+      driver (a bounded-size contract like the broadcast-small probe
+      sets — 1M edges ≈ 16 MB). A near-dup graph that small would
+      otherwise pay 2-3 contraction rounds of pure job-scheduling
+      overhead; union-by-min root reproduces the identical min-id
+      labels. Pass ``driver_edge_cap=None`` (or 0) to force the
+      distributed path.
+    - larger: alternating large-star/small-star contraction, one
+      large+small round per iteration, converging when the edge set's
+      (count, checksum) fingerprint is stable. Each round materializes
+      via ``localCheckpoint`` — required for any iterative DataFrame
+      algorithm: it cuts the exponentially-growing lineage and gives
+      AQE true sizes to re-plan from. At 100 TB (billions of pairs)
+      this is the only regime that runs; driver state stays two
+      scalars per round.
 
     ``assume_canonical=True`` skips the canonicalization shuffle for
     edge lists already distinct with id_a < id_b (what every pair
     operator in fuzzy_dedup/similarity emits).
     """
+    if assume_canonical:
+        canon = edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    else:
+        canon = _canonical_edges(edges, id_a, id_b)
+    if driver_edge_cap:
+        canon = canon.persist()
+        n_edges = canon.count()
+        if n_edges <= driver_edge_cap:
+            pairs = _driver_union_find(canon.collect())
+            canon.unpersist()
+            return edges.sparkSession.createDataFrame(
+                pairs, "id bigint, component bigint"
+            )
     # eager=False: the fingerprint action right below materializes the
     # checkpoint anyway, so the eager materialization job per round is
     # pure overhead (one job/round saved; lineage still truncated).
-    if assume_canonical:
-        e = edges.select(
-            F.col(id_a).alias("u"), F.col(id_b).alias("v")
-        ).localCheckpoint(eager=False)
-    else:
-        e = _canonical_edges(edges, id_a, id_b).localCheckpoint(eager=False)
+    e = canon.localCheckpoint(eager=False)
     prev = None
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).distinct().localCheckpoint(eager=False)
@@ -115,6 +166,8 @@ def connected_components(
         if cur == prev:
             break
         prev = cur
+    if driver_edge_cap:
+        canon.unpersist()  # round-1 checkpoint has materialized by now
     # Fixpoint edges are stars (root=u < leaf=v). Component of a leaf
     # is its root; roots (and only roots) never appear as v.
     leaves = e.select(F.col("v").alias("id"), F.col("u").alias("component"))

@@ -105,14 +105,22 @@ def _union_find_components(edges):
 )
 @settings(max_examples=15, deadline=None)
 def test_connected_components_matches_union_find(spark, edges):
-    """Star-contraction CC must agree with a union-find oracle on
-    arbitrary small graphs (self-loops and duplicate edges included)."""
+    """BOTH regimes — the driver union-find fast path (default for
+    small edge sets) and the distributed star contraction
+    (driver_edge_cap=None) — must agree with an independent union-find
+    oracle on arbitrary small graphs (self-loops and duplicate edges
+    included)."""
     from lightlane_spark.operators.clustering import connected_components
 
     expected = _union_find_components([(a, b) for a, b in edges if a != b])
     df = spark.createDataFrame(edges, "id_a: bigint, id_b: bigint")
-    got = {r.id: r.component for r in connected_components(df).collect()}
-    assert got == expected
+    got_fast = {r.id: r.component for r in connected_components(df).collect()}
+    got_dist = {
+        r.id: r.component
+        for r in connected_components(df, driver_edge_cap=None).collect()
+    }
+    assert got_fast == expected
+    assert got_dist == expected
 
 
 def _py_zorder(vals, specs, bits):
