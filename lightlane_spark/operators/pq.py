@@ -45,6 +45,15 @@ def _kmeans_pp_lloyd(X, k: int, iters: int, rng):
     import numpy as np
 
     n = X.shape[0]
+    if n == 0:
+        raise ValueError("k-means fit sample is empty")
+    if n < k:
+        # fewer points than centers: every point is its own center,
+        # remainder cycles — codes stay in [0, k) and assignment is
+        # still nearest-point-exact
+        import numpy as _np
+
+        return _np.stack([X[i % n] for i in range(k)]).astype(float)
     # k-means++ seeding
     centers = [X[int(rng.integers(n))]]
     d2 = ((X - centers[0]) ** 2).sum(axis=1)
@@ -98,6 +107,8 @@ def pq_fit(
         frac = min(1.0, 1.2 * max_fit_rows / n_total)
         v = v.sample(fraction=frac, seed=seed).limit(max_fit_rows)
     X = np.array([r["__v"] for r in v.collect()], dtype=np.float64)
+    if X.size == 0:
+        raise ValueError("pq_fit: corpus sample is empty")
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -443,6 +443,8 @@ def ivf_topk(
     X = np.array(
         [r["__cv"] for r in fit_src.limit(100_000).collect()], dtype=np.float64
     )
+    if X.size == 0:
+        raise ValueError("ivf_topk: corpus sample is empty")
     rng = np.random.default_rng(seed)
     C = _kmeans_pp_lloyd(X, n_centroids, max_iter, rng)
 

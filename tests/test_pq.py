@@ -61,3 +61,15 @@ def test_pq_fit_rejects_indivisible_dims(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit(emb, m=7)
+
+
+def test_pq_fit_tiny_and_empty_inputs(spark, sf_dir):
+    """Fewer sample rows than centers must still produce k valid
+    centers (cycled points); an empty corpus raises clearly."""
+    import pytest as _pytest
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb.filter("vec_id < 3"), m=16, k=16)
+    assert len(books) == 16 and all(len(b) == 16 for b in books)
+    with _pytest.raises(Exception, match="empty"):
+        pq_fit(emb.filter("vec_id < 0"), m=16, k=16)
