@@ -407,6 +407,7 @@ _RECHECK = [
     "avro_roundtrip",
     "streaming_stateful_counts",
     "pq_topk",
+    "resample_fill",
     # new oracles (were no_oracle in r03)
     "ann_topk_ivf",
     "approx_distinct",
@@ -457,7 +458,6 @@ _RECHECK = [
     "hash_sample",
     "having_filter",
     "intersect_except",
-    "join_3way",
 ]
 
 

@@ -1,5 +1,6 @@
 """Temporal operators Spark lacks natively: as-of join, range
-(interval) join, and hypertable-style multi-granularity time rollup.
+(interval) join, hypertable-style multi-granularity time rollup, and
+gap-filling resample (densify + zero/forward fill).
 
 These are the classic "custom operator" cases from the build brief —
 each is expressed as a composition of DataFrame ops (no Python UDFs),
@@ -131,6 +132,55 @@ def range_join_binned(
         .filter(F.col(value_col).between(F.col(lo_col), F.col(hi_col)))
         .drop("__bin")
     )
+
+
+def resample_fill(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    aggs: Sequence[Column],
+    freq: str = "day",
+    zero_fill: Sequence[str] = (),
+    forward_fill: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-filling resample: aggregate to a ``freq`` grid per key,
+    then DENSIFY — every key gets one row per bucket between its first
+    and last observation, with missing buckets filled (``zero_fill``
+    columns → 0, ``forward_fill`` columns → last seen value, others →
+    NULL). The classic time-series feature-prep step Spark has no
+    native operator for (TimescaleDB ``time_bucket_gapfill`` /
+    pandas ``resample().ffill()``).
+
+    Returns (*key_cols, bucket, *agg_cols). Scale shape: one shuffle
+    to the (key, bucket) aggregate, one to the per-key span, one
+    equi-join of the exploded grid back onto the aggregate, one
+    window pass for the forward fill — all linear; grid size is
+    Σ_key span/freq rows (bounded by time span, not event count; a
+    key observed once contributes one row). Skew follows the hottest
+    key's span, not its event volume.
+    """
+    bucket = F.date_trunc(freq, F.col(ts_col)).alias("bucket")
+    agg = df.groupBy(*key_cols, bucket).agg(*aggs)
+    span = agg.groupBy(*key_cols).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"interval 1 {freq}"))
+        ).alias("bucket"),
+    )
+    out = grid.join(agg, on=[*key_cols, "bucket"], how="left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in zero_fill:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    for c in forward_fill:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
 
 
 def time_rollup(

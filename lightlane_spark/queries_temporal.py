@@ -115,11 +115,40 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling daily resample (operators/temporal.py::resample_fill):
+    a sparse event subset (~1%, deterministic) aggregated per
+    event_type per day, densified to every day in each type's span —
+    counts zero-filled, the running sum forward-filled. Exact SQL
+    oracle (generate_series + IGNORE NULLS window in DuckDB)."""
+    from lightlane_spark.operators.temporal import resample_fill
+
+    ev = read_table(spark, sf_dir, "events").filter("event_id % 97 = 0")
+    out = resample_fill(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+        freq="day",
+        zero_fill=["n_events"],
+        forward_fill=["sum_value"],
+    )
+    return out.select(
+        "event_type", "bucket", "n_events", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
     "range_join": q_range_join,
     "time_rollup": q_time_rollup,
+    "resample_fill": q_resample_fill,
 }
 
 
@@ -172,5 +201,32 @@ ORACLE = {
         SELECT 'week', CAST(date_trunc('week', ts) AS TIMESTAMP),
                COUNT(*), CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE)
         FROM events GROUP BY 2
+    """,
+    "resample_fill": """
+        WITH ev AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, value
+            FROM events WHERE event_id % 97 = 0
+        ),
+        agg AS (
+            SELECT event_type, bucket, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+            FROM ev GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+            FROM agg GROUP BY 1
+        ),
+        grid AS (
+            SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+            FROM span
+        )
+        SELECT g.event_type, g.bucket,
+               COALESCE(a.n_events, 0) AS n_events,
+               round(last_value(a.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 6) AS sum_value
+        FROM grid g LEFT JOIN agg a
+          ON a.event_type = g.event_type AND a.bucket = g.bucket
     """,
 }

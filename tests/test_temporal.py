@@ -206,3 +206,39 @@ def test_asof_matches_pandas_merge_asof(spark):
                 for r in exp_pd.itertuples()
             }
             assert got == exp, f"case {case} direction {direction}"
+
+
+def test_resample_fill_densifies_and_fills(spark):
+    """Gaps inside each key's span appear with zero-filled counts and
+    forward-filled values; the grid never extends beyond the span."""
+    import datetime as dt
+
+    from lightlane_spark.operators.temporal import resample_fill
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 9), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 17), 20.0),
+        ("a", dt.datetime(2024, 1, 4, 12), 5.0),   # 2-day gap before
+        ("b", dt.datetime(2024, 1, 2, 0), 7.0),    # single observation
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp_ntz, v double")
+    out = resample_fill(
+        df,
+        "ts",
+        ["k"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+        ],
+        freq="day",
+        zero_fill=["n"],
+        forward_fill=["sv"],
+    ).orderBy("k", "bucket")
+    got = [(r.k, r.bucket.day, r.n, r.sv) for r in out.collect()]
+    assert got == [
+        ("a", 1, 2, 30.0),
+        ("a", 2, 0, 30.0),   # gap: count 0, sum forward-filled
+        ("a", 3, 0, 30.0),
+        ("a", 4, 1, 5.0),
+        ("b", 2, 1, 7.0),    # span is one day — no padding beyond
+    ]
