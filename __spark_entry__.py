@@ -408,6 +408,7 @@ _RECHECK = [
     "streaming_stateful_counts",
     "pq_topk",
     "resample_fill",
+    "hll_rollup",
     # new oracles (were no_oracle in r03)
     "ann_topk_ivf",
     "approx_distinct",
@@ -457,7 +458,6 @@ _RECHECK = [
     "grouped_topk_pandas",
     "hash_sample",
     "having_filter",
-    "intersect_except",
 ]
 
 

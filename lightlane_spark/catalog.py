@@ -141,6 +141,42 @@ def profile_columns(
     return wide.select(F.explode(row_structs).alias("p")).select("p.*")
 
 
+def hll_rollup(
+    df: DataFrame,
+    fine_key,
+    coarse_key,
+    col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """MERGEABLE distinct-count rollup (Datasketches HLL, built into
+    Spark 4): sketch ``col`` once per ``fine_key`` bucket, then merge
+    sketches — never raw values — up to ``coarse_key``.
+
+    This is the pre-aggregated-cube pattern that makes distinct counts
+    tractable at 100 TB: daily sketches are built once at ingest
+    (linear scan, fixed 2^lg_k state per bucket), and ANY coarser
+    rollup (week, month, ad-hoc ranges) is a merge of a handful of
+    KB-sized sketches instead of a re-scan of raw data — the property
+    plain ``approx_count_distinct`` state does not expose and exact
+    COUNT(DISTINCT) fundamentally cannot have.
+
+    Returns (coarse, approx_distinct). ``fine_key``/``coarse_key`` are
+    Column expressions; coarse must be a function of fine for the
+    rollup to be meaningful (e.g. week of day).
+    """
+    from pyspark.sql import functions as F
+
+    daily = df.groupBy(fine_key.alias("__fine")).agg(
+        F.expr(f"hll_sketch_agg({col}, {lg_k})").alias("__sk"),
+        # coarse is a function of fine — max() is deterministic and
+        # avoids a second per-row grouping column in the shuffle key
+        F.max(coarse_key).alias("__coarse"),
+    )
+    return daily.groupBy(F.col("__coarse").alias("coarse")).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(__sk))").alias("approx_distinct")
+    )
+
+
 def corr_matrix(df: DataFrame, columns: list[str], scale: int = 4) -> DataFrame:
     """Pairwise Pearson correlations, engine-exact: (col_a, col_b,
     corr) for every column pair — the relationship half of profiling

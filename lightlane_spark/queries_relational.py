@@ -622,6 +622,37 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (catalog.hll_rollup): daily Datasketches
+    HLL sketches of user_id merged — sketches, not raw values — up to
+    weekly distinct estimates; the pre-aggregated-cube pattern that
+    replaces a raw re-scan at 100 TB. Driver row checks the tolerance
+    CONTRACT (|approx−exact|/exact ≤ 0.05 per week; measured 0.0 at
+    sf0.001/sf0.01 — the sketch is still in exact sparse mode at these
+    cardinalities) against a literal-TRUE oracle plus exact counts."""
+    from lightlane_spark.catalog import hll_rollup
+
+    ev = read_table(spark, sf_dir, "events")
+    roll = hll_rollup(
+        ev,
+        F.date_trunc("day", F.col("ts")),
+        F.date_trunc("week", F.col("ts")),
+        "user_id",
+    )
+    exact = ev.groupBy(F.date_trunc("week", F.col("ts")).alias("coarse")).agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(roll, "coarse").select(
+        F.col("coarse").alias("week"),
+        "exact_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_tol"),
+    )
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured querying via the VARIANT type (Spark 4):
     parse_json once, typed variant_get extraction, then relational agg
@@ -864,6 +895,7 @@ QUERIES = {
     "returned_items": q_returned_items,
     "date_functions": q_date_functions,
     "approx_distinct": q_approx_distinct,
+    "hll_rollup": q_hll_rollup,
     "small_order_revenue": q_small_order_revenue,
     "customer_order_counts": q_customer_order_counts,
     "having_filter": q_having_filter,
@@ -938,6 +970,12 @@ ORACLE = {
                COUNT(*) AS n_events,
                TRUE AS within_tol
         FROM events GROUP BY event_type
+    """,
+    "hll_rollup": """
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_tol
+        FROM events GROUP BY 1
     """,
     "having_filter": """
         WITH per AS (

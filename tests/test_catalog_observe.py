@@ -142,3 +142,31 @@ def test_corr_matrix_exact_at_full_scale_digits(spark):
         (nd * qxd - sxd * sxd) * (nd * qyd - syd * syd)
     )
     assert got == want, (got, want)
+
+
+def test_hll_rollup_merges_daily_sketches(spark, sf_dir):
+    """The weekly estimate from MERGED daily sketches must land within
+    HLL tolerance of exact (and of a direct weekly sketch): merging
+    sketch state, never raw values, is the whole point."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.catalog import hll_rollup
+    from lightlane_spark.sources.parquet import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    merged = {
+        r.coarse: r.approx_distinct
+        for r in hll_rollup(
+            ev, F.date_trunc("day", F.col("ts")), week, "user_id"
+        ).collect()
+    }
+    exact = {
+        r.coarse: r.n
+        for r in ev.groupBy(week.alias("coarse"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged.keys() == exact.keys()
+    for wk, n in exact.items():
+        assert abs(merged[wk] - n) / n <= 0.05, (wk, merged[wk], n)
