@@ -409,6 +409,7 @@ _RECHECK = [
     "pq_topk",
     "resample_fill",
     "hll_rollup",
+    "gopher_rules",
     # new oracles (were no_oracle in r03)
     "ann_topk_ivf",
     "approx_distinct",
@@ -457,7 +458,6 @@ _RECHECK = [
     "groupby_rollup",
     "grouped_topk_pandas",
     "hash_sample",
-    "having_filter",
 ]
 
 

@@ -97,6 +97,78 @@ def quality_score(text: Column | str) -> Column:
     return 0.25 * len_ok + 0.25 * alpha_ratio + 0.25 * sw_ok + 0.25 * wlen_ok
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The Gopher quality-filter rule battery (Rae et al. 2021, §A1.1;
+    the filter set reused by MassiveText/Dolma/RefinedWeb) as per-rule
+    boolean columns plus the combined ``keep``:
+
+    - ``wc_ok``: word count in [min_words, max_words]
+    - ``mwl_ok``: mean word length in [3, 10] characters
+    - ``symbol_ok``: (# + ellipsis) to word ratio ≤ 0.1
+    - ``bullet_ok``: ≤ 90% of lines start with a bullet
+    - ``ellipsis_ok``: ≤ 30% of lines end with an ellipsis
+    - ``alpha_ok``: ≥ 80% of words contain an alphabetic character
+    - ``stopword_ok``: ≥ 2 distinct stopwords present (``stopwords``
+      defaults to the paper's 8-word English list; pass a
+      corpus-appropriate lexicon for other languages/domains)
+
+    Every ratio test is rendered as INTEGER cross-multiplication
+    (e.g. ``10·symbols ≤ words``), so the output is engine-exact —
+    no float thresholds to diverge on. Pure ``pyspark.sql.functions``:
+    scan → project, linear at 100 TB.
+    """
+    c = F.col(text_col)
+    words = F.split(c, " ")
+    n_words = F.size(words)
+    # total word characters = length minus separators
+    n_wchars = F.length(c) - (n_words - F.lit(1))
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    # each non-overlapping match removes exactly 3 chars → exact int
+    n_ell = ((F.length(c) - F.length(F.regexp_replace(c, r"\.\.\.", ""))) / 3).cast(
+        "long"
+    )
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    n_ell_lines = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+    n_alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    sw = F.array(*[F.lit(w) for w in (stopwords or GOPHER_STOPWORDS)])
+    n_sw = F.size(F.array_intersect(F.array_distinct(words), sw))
+
+    wc_ok = (n_words >= min_words) & (n_words <= max_words)
+    mwl_ok = (n_wchars >= 3 * n_words) & (n_wchars <= 10 * n_words)
+    symbol_ok = 10 * (n_hash + n_ell) <= n_words
+    bullet_ok = 10 * n_bullet <= 9 * n_lines
+    ellipsis_ok = 10 * n_ell_lines <= 3 * n_lines
+    alpha_ok = 5 * n_alpha_words >= 4 * n_words
+    stopword_ok = n_sw >= 2
+    keep = (
+        wc_ok & mwl_ok & symbol_ok & bullet_ok & ellipsis_ok & alpha_ok & stopword_ok
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        keep.alias("keep"),
+    )
+
+
 def fingerprint_md5(text: Column | str) -> Column:
     """Exact-duplicate key: md5 of whitespace-normalized lowercase text."""
     c = F.col(text) if isinstance(text, str) else text

@@ -732,6 +732,20 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("window_start", "event_type", "n")
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher quality rule battery (operators/text.py::gopher_rules)
+    over documents — every ratio threshold rendered as integer
+    cross-multiplication, so the per-rule booleans and keep flag have
+    an exact DuckDB oracle. The stopword lexicon is the engine's
+    English list (the synthetic vocabulary contains only one of the
+    paper's 8 words, which would make stopword_ok constant-false —
+    the corpus-appropriate lexicon keeps the rule discriminative)."""
+    from lightlane_spark.operators.text import STOPWORDS, gopher_rules
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_rules(docs, stopwords=STOPWORDS["en"])
+
+
 def q_streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM stateful streaming operator (applyInPandasWithState)
     driven end-to-end: per-event-type running counts whose state
@@ -841,6 +855,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_stateful_counts": q_streaming_stateful_counts,
+    "gopher_rules": q_gopher_rules,
     "sessionize": q_sessionize,
     "session_window": q_session_window,
     "quota_sample": q_quota_sample,
@@ -1049,6 +1064,44 @@ ORACLE = {
     "streaming_stateful_counts": """
         SELECT event_type, count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "gopher_rules": """
+        WITH d AS (
+            SELECT doc_id, text,
+                   string_split(text, ' ') AS w,
+                   string_split(text, chr(10)) AS l
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   length(text) - (len(w) - 1) AS n_wchars,
+                   length(text) - length(replace(text, '#', '')) AS n_hash,
+                   (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS n_ell,
+                   len(l) AS n_lines,
+                   len(list_filter(l, x -> regexp_matches(x, '^\\s*[-*•]'))) AS n_bullet,
+                   len(list_filter(l, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS n_ell_lines,
+                   len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                   len(list_intersect(list_distinct(w),
+                       ['the','a','of','and','to','in','is','it'])) AS n_sw
+            FROM d
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               n_words >= 50 AND n_words <= 100000 AS wc_ok,
+               n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words AS mwl_ok,
+               10 * (n_hash + n_ell) <= n_words AS symbol_ok,
+               10 * n_bullet <= 9 * n_lines AS bullet_ok,
+               10 * n_ell_lines <= 3 * n_lines AS ellipsis_ok,
+               5 * n_alpha >= 4 * n_words AS alpha_ok,
+               n_sw >= 2 AS stopword_ok,
+               (n_words >= 50 AND n_words <= 100000)
+                   AND (n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words)
+                   AND (10 * (n_hash + n_ell) <= n_words)
+                   AND (10 * n_bullet <= 9 * n_lines)
+                   AND (10 * n_ell_lines <= 3 * n_lines)
+                   AND (5 * n_alpha >= 4 * n_words)
+                   AND (n_sw >= 2) AS keep
+        FROM m
     """,
     "text_stats": """
         SELECT doc_id,

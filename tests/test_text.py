@@ -200,3 +200,31 @@ def test_select_top_quality_threshold_semantics(spark, sf_dir):
     # approx keeps a similar band (tolerance: 10% of corpus size)
     approx = select_top_quality(docs, p=0.8, approx=True).count()
     assert abs(approx - expect) <= 0.1 * docs.count()
+
+
+def test_gopher_rules_battery(spark):
+    """Each rule trips on its designed pathology; clean prose keeps."""
+    from lightlane_spark.operators.text import gopher_rules
+
+    clean = "the quick brown fox jumps over and over to find all of " + " ".join(
+        ["word"] * 50
+    )
+    rows = [
+        (1, clean),                                         # keeps
+        (2, "the of short"),                                # wc_ok fails
+        (3, "the of " + " ".join(["x"] * 60)),              # mwl (mean<3) fails
+        (4, "the of " + " ".join(["####"] * 30) + " " + " ".join(["word"] * 30)),  # symbol
+        (5, "\n".join(["- item the of"] * 10) + "\n" + " ".join(["word"] * 50)),   # bullet ok (1 non-bullet of 11)
+        (6, "the of " + " ".join(["123"] * 60)),            # alpha fails
+        (7, " ".join(["word"] * 60)),                       # stopword fails
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in gopher_rules(df, min_words=20).collect()}
+    assert got[1].keep
+    assert not got[2].wc_ok
+    assert not got[3].mwl_ok
+    assert not got[4].symbol_ok
+    assert not got[6].alpha_ok
+    assert not got[7].stopword_ok
+    # bullet rule: 10 of 11 lines bulleted (90.9% > 90%) → fails
+    assert not got[5].bullet_ok
