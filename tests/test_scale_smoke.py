@@ -80,3 +80,29 @@ def test_ann_lsh_at_100k_vectors(spark):
     assert n_results > 0
     assert wall < 300, f"ANN smoke too slow: {wall:.0f}s"
     print(f"ANN_SMOKE corpus={n} probes=10 results={n_results} wall={wall:.1f}s")
+
+
+def test_pq_at_100k_vectors(spark):
+    import pyspark.sql.functions as F
+
+    from lightlane_spark.operators.pq import pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = spark.range(50).withColumnRenamed("id", "copy")
+    corpus = emb.crossJoin(copies).select(
+        (F.col("vec_id") * 100 + F.col("copy")).alias("vec_id"), "embedding"
+    )
+    probes = corpus.filter(F.col("vec_id") < 1000)
+    t0 = time.monotonic()
+    out = pq_topk(corpus, probes, k=5)
+    rows = out.collect()
+    wall = time.monotonic() - t0
+    assert len(rows) == 500 * 5
+    # every probe has 49 identical copies in the corpus: its top hit
+    # must be an exact (sim ~ 1.0) match
+    top = [r for r in rows if r.rank == 1]
+    assert all(r.sim > 0.999 for r in top)
+    assert wall < 300, f"PQ smoke too slow: {wall:.0f}s"
+    print(f"PQ_SMOKE corpus=100000 probes=500 results={len(rows)} wall={wall:.1f}s")
