@@ -410,6 +410,7 @@ _RECHECK = [
     "resample_fill",
     "hll_rollup",
     "gopher_rules",
+    "group_zscore",
     # new oracles (were no_oracle in r03)
     "ann_topk_ivf",
     "approx_distinct",
@@ -457,7 +458,6 @@ _RECHECK = [
     "groupby_cube",
     "groupby_rollup",
     "grouped_topk_pandas",
-    "hash_sample",
 ]
 
 

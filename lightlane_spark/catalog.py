@@ -141,6 +141,41 @@ def profile_columns(
     return wide.select(F.explode(row_structs).alias("p")).select("p.*")
 
 
+def group_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    col: str,
+    out_col: str = "z",
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group z-score normalization (the feature-scaling step of a
+    training-data pipeline), engine-exact: group mean and sample
+    stddev are derived from DECIMAL moment sums (n, Σx, Σx² — exact,
+    order-independent; DECIMAL(18,scale) operands keep the squared
+    terms inside the 38-digit cap, see ``corr_matrix``), converted to
+    DOUBLE once, then applied per row with plain IEEE arithmetic.
+    A pandas ``(v - mean)/std`` per group would depend on within-group
+    float summation ORDER — not reproducible across engines or even
+    across partitionings.
+
+    One window shuffle on ``key_cols``; zero-variance groups get z=0.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dec = f"decimal(38,{2 * scale})"
+    d = F.col(col).cast(f"decimal(18,{scale})")
+    w = Window.partitionBy(*key_cols)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    s = F.sum(d.cast(dec)).over(w).cast("double")
+    q = F.sum((d * d).cast(dec)).over(w).cast("double")
+    mean = s / n
+    var = (n * q - s * s) / (n * (n - F.lit(1.0)))
+    sd = F.sqrt(var)
+    z = F.when(sd > 0, (F.col(col) - mean) / sd).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, z)
+
+
 def hll_rollup(
     df: DataFrame,
     fine_key,

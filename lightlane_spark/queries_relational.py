@@ -622,6 +622,19 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact per-group z-score (catalog.group_zscore): events'
+    value normalized within each event_type from decimal-exact
+    moments. Exact SQL oracle (same moment formulas in DuckDB)."""
+    from lightlane_spark.catalog import group_zscore
+
+    ev = read_table(spark, sf_dir, "events")
+    out = group_zscore(ev, ["event_type"], "value")
+    return out.select(
+        "event_id", "event_type", F.round(F.col("z"), 6).alias("z")
+    )
+
+
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (catalog.hll_rollup): daily Datasketches
     HLL sketches of user_id merged — sketches, not raw values — up to
@@ -896,6 +909,7 @@ QUERIES = {
     "date_functions": q_date_functions,
     "approx_distinct": q_approx_distinct,
     "hll_rollup": q_hll_rollup,
+    "group_zscore": q_group_zscore,
     "small_order_revenue": q_small_order_revenue,
     "customer_order_counts": q_customer_order_counts,
     "having_filter": q_having_filter,
@@ -976,6 +990,21 @@ ORACLE = {
                COUNT(DISTINCT user_id) AS exact_users,
                TRUE AS within_tol
         FROM events GROUP BY 1
+    """,
+    "group_zscore": """
+        WITH m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS q
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               round(CASE WHEN sqrt((m.n * m.q - m.s * m.s) / (m.n * (m.n - 1.0))) > 0
+                          THEN (e.value - m.s / m.n)
+                               / sqrt((m.n * m.q - m.s * m.s) / (m.n * (m.n - 1.0)))
+                          ELSE 0.0 END, 6) AS z
+        FROM events e JOIN m USING (event_type)
     """,
     "having_filter": """
         WITH per AS (

@@ -170,3 +170,20 @@ def test_hll_rollup_merges_daily_sketches(spark, sf_dir):
     assert merged.keys() == exact.keys()
     for wk, n in exact.items():
         assert abs(merged[wk] - n) / n <= 0.05, (wk, merged[wk], n)
+
+
+def test_group_zscore_moments(spark):
+    """z-scores match a scipy-free closed form and zero-variance
+    groups normalize to 0."""
+    import math
+
+    from lightlane_spark.catalog import group_zscore
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {(r.k, r.v): r.z for r in group_zscore(df, ["k"], "v").collect()}
+    # group a: mean 2, sample sd 1
+    assert got[("a", 1.0)] == -1.0 and got[("a", 3.0)] == 1.0
+    assert got[("a", 2.0)] == 0.0
+    # zero variance → z = 0, not NaN
+    assert got[("b", 5.0)] == 0.0
