@@ -61,6 +61,11 @@ HEADLINE = [
     "window_range_frame",
     "tfidf_topk",
     "bow_similarity",
+    # round-4 additions
+    "gopher_rules",
+    "group_zscore",
+    "resample_fill",
+    "hll_rollup",
     # scale infrastructure
     "zorder_key",
 ]
