@@ -163,6 +163,10 @@ def build_pipeline(spark: SparkSession, spec: dict) -> Pipeline:
             p = p.to_parquet(**s)
         elif kind == "jdbc":
             p = p.to_jdbc(**s)
+        elif kind == "json":
+            p = p.to_json(**s)
+        elif kind == "avro":
+            p = p.to_avro(**s)
         else:
             raise ValueError(f"unknown sink kind {kind!r}")
 

@@ -144,6 +144,18 @@ class Pipeline:
         self._sinks.append(lambda df: write_jdbc(df, url, table, mode, **opts))
         return self
 
+    def to_json(self, path: str) -> "Pipeline":
+        from lightlane_spark.loaders.text_sinks import write_json
+
+        self._sinks.append(lambda df: write_json(df, path))
+        return self
+
+    def to_avro(self, path: str) -> "Pipeline":
+        from lightlane_spark.loaders.avro_sink import write_avro
+
+        self._sinks.append(lambda df: write_avro(df, path))
+        return self
+
     def bad_to_parquet(self, path: str) -> "Pipeline":
         self._bad_sink = lambda df: df.write.mode("overwrite").parquet(path)
         return self

@@ -134,3 +134,30 @@ def test_cli_run_and_explain(spark, sf_dir, tmp_path):
     assert back.count() == (
         read_table(spark, sf_dir, "orders").filter("o_totalprice > 100000").count()
     )
+
+
+def test_avro_and_json_sink_specs(spark, sf_dir, tmp_path):
+    """Declarative fan-out to the round-4 sink kinds: one extract,
+    avro + json sinks, both read back row-complete."""
+    from lightlane_spark.loaders.avro_sink import read_avro
+    from lightlane_spark.loaders.text_sinks import read_json
+
+    avro_out = str(tmp_path / "sink_avro")
+    json_out = str(tmp_path / "sink_json")
+    spec = {
+        "extract": {
+            "kind": "parquet",
+            "sf_dir": sf_dir,
+            "table": "lineitem",
+            "columns": ["l_orderkey", "l_linenumber", "l_quantity"],
+        },
+        "sinks": [
+            {"kind": "avro", "path": avro_out},
+            {"kind": "json", "path": json_out},
+        ],
+    }
+    run_job(spark, spec)
+    ddl = "l_orderkey bigint, l_linenumber int, l_quantity double"
+    n = read_table(spark, sf_dir, "lineitem").count()
+    assert read_avro(spark, avro_out, ddl).count() == n
+    assert read_json(spark, json_out, ddl).count() == n
