@@ -270,6 +270,36 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_avro(spark, path, _LI_CSV_SCHEMA)
 
 
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-01/OP-22 LIVE: write orders into an embedded Derby database
+    (a real JDBC endpoint — Derby ships in Spark's own jars), read the
+    table back over a 4-way range-partitioned JDBC scan (real per-task
+    predicates). Oracle = the plain source table: a faithful
+    write+read must be the identity."""
+    from lightlane_spark.sources.jdbc import probe_bounds, read_jdbc, write_jdbc
+
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    base = tempfile.mkdtemp(prefix="llspark_derby_")
+    url = f"jdbc:derby:{base}/db;create=true"
+    orders = read_table(spark, sf_dir, "orders")
+    write_jdbc(
+        orders,
+        url,
+        "orders_t",
+        mode="append",
+        properties={
+            **props,
+            "createTableColumnTypes": "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32)",
+        },
+    )
+    lo, hi = probe_bounds(spark, url, "orders_t", "o_orderkey", properties=props, quote='"')
+    back = read_jdbc(
+        spark, url, table="orders_t", splitby='"o_orderkey"', splits=4,
+        bounds=(lo, hi), properties=props,
+    )
+    return back.select(*_ORDER_COLS)
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink → schema-explicit read back (Spark-native format
     family, SURVEY §1.4; doubles round-trip via shortest-repr)."""
@@ -405,6 +435,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _RECHECK = [
     # brand new this round
     "avro_roundtrip",
+    "jdbc_roundtrip",
     "streaming_stateful_counts",
     "pq_topk",
     "resample_fill",
@@ -457,7 +488,6 @@ _RECHECK = [
     "exists_subquery",
     "groupby_cube",
     "groupby_rollup",
-    "grouped_topk_pandas",
 ]
 
 
@@ -492,6 +522,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hive_text_roundtrip": q_hive_text_roundtrip,
         "json_roundtrip": q_json_roundtrip,
         "avro_roundtrip": q_avro_roundtrip,
+        "jdbc_roundtrip": q_jdbc_roundtrip,
         "json_extract": q_json_extract,
         "explode": q_explode,
         "quarantine_good": q_quarantine_good,
@@ -598,6 +629,10 @@ _ORACLE: dict[str, str] = {
     "csv_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
     "json_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
     "avro_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+    "jdbc_roundtrip": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders
+    """,
     "hive_text_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
     "json_extract": """
         SELECT event_id, event_type,

@@ -99,17 +99,28 @@ def read_jdbc(
 
 
 def probe_bounds(spark: SparkSession, url: str, table: str, splitby: str,
-                 properties: dict[str, str] | None = None):
-    """OP-11 over JDBC: one-aggregate min/max probe for split bounds."""
-    q = f"SELECT MIN({splitby}) AS lo, MAX({splitby}) AS hi FROM {table}"
+                 properties: dict[str, str] | None = None,
+                 quote: str | None = None):
+    """OP-11 over JDBC: one-aggregate min/max probe for split bounds.
+
+    ``quote``: identifier quote character for the remote dialect —
+    pass ``'"'`` for ANSI-folding engines (Derby/Postgres), where
+    Spark's writer creates case-sensitive lowercase columns that an
+    unquoted reference would fold to uppercase and miss; ``None``
+    sends bare identifiers (MySQL-style)."""
+    col = f"{quote}{splitby}{quote}" if quote else splitby
+    q = f"SELECT MIN({col}) AS lo, MAX({col}) AS hi FROM {table}"
+    # positional access: ANSI engines fold the unquoted aliases to
+    # uppercase, so row["lo"] would miss
     row = read_jdbc(spark, url, query=q, properties=properties).first()
-    return (row["lo"], row["hi"])
+    return (row[0], row[1])
 
 
 def jdbc_merge_statements(
     table: str,
     staging_table: str,
     primary_keys: list[str],
+    dialect: str = "mysql",
 ) -> list[str]:
     """The reference's server-side MERGE contract
     (``mysql_loader.py:92-113``) as an ordered statement list: build a
@@ -117,11 +128,35 @@ def jdbc_merge_statements(
     (LEFT OUTER JOIN … IS NULL = anti-join) UNION ALL staging, then
     atomically swap it in via the rename dance. Runs entirely inside
     the target DB — no data moves back through Spark.
+
+    ``dialect="mysql"`` is the reference's exact statement shape
+    (contract-tested); ``dialect="derby"`` is the same dance in ANSI/
+    Derby syntax (``CREATE TABLE … AS … WITH NO DATA``, ``RENAME
+    TABLE``, quoted case-sensitive identifiers, no ``IF EXISTS`` —
+    the drops are unconditional because the temp names are only ever
+    created by this statement list). The derby form is LIVE-tested
+    against an embedded Derby endpoint (tests/test_jdbc_live.py).
     """
     if not primary_keys:
         raise ValueError("MERGE requires primary_keys")  # mysql_loader.py:49-50
     reconcile = f"z_etl_{table}_reconcile"
     bak = f"{table}_bak"
+    if dialect == "derby":
+        join = " AND ".join(f'a."{k}" = b."{k}"' for k in primary_keys)
+        return [
+            f"CREATE TABLE {reconcile} AS SELECT * FROM {table} WITH NO DATA",
+            f"INSERT INTO {reconcile} "
+            f"SELECT a.* FROM {table} a "
+            f"LEFT OUTER JOIN {staging_table} b ON {join} "
+            f'WHERE b."{primary_keys[0]}" IS NULL '
+            f"UNION ALL SELECT * FROM {staging_table}",
+            f"RENAME TABLE {table} TO {bak}",
+            f"RENAME TABLE {reconcile} TO {table}",
+            f"DROP TABLE {bak}",
+            f"DROP TABLE {staging_table}",
+        ]
+    if dialect != "mysql":
+        raise ValueError(f"unknown dialect {dialect!r}")
     join = " AND ".join(f"a.{k} = b.{k}" for k in primary_keys)
     return [
         f"DROP TABLE IF EXISTS {reconcile}",
@@ -138,6 +173,29 @@ def jdbc_merge_statements(
     ]
 
 
+def jvm_sql_executor(spark: SparkSession, url: str):
+    """Driver-side DDL/DML executor over the JVM's ``DriverManager`` —
+    the ``sql_executor`` for ``write_jdbc(mode='merge')`` when no
+    Python DBAPI driver exists for the target (embedded Derby, or any
+    engine whose JDBC jar is on the Spark classpath). Statements run
+    sequentially on one connection, matching the reference's
+    cursor-loop (``mysql_loader.py:92-113``)."""
+
+    def execute(statements: list[str]) -> None:
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            try:
+                for s in statements:
+                    st.execute(s)
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    return execute
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -149,6 +207,7 @@ def write_jdbc(
     sql_executor=None,
     staging_table: str | None = None,
     staging_writer=None,
+    dialect: str = "mysql",
 ) -> None:
     """OP-22: bulk load replacement — batched INSERTs from executors
     (the reference's ``LOAD DATA LOCAL INFILE``, ``mysql.py:39-64``,
@@ -177,7 +236,7 @@ def write_jdbc(
             staging_writer(df, stg)
         else:
             write_jdbc(df, url, stg, "overwrite", batchsize, properties)
-        sql_executor(jdbc_merge_statements(table, stg, primary_keys))
+        sql_executor(jdbc_merge_statements(table, stg, primary_keys, dialect=dialect))
         return
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     writer = writer.option("batchsize", str(batchsize))
