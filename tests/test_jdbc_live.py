@@ -108,3 +108,41 @@ def test_live_merge_inside_database(spark, sf_dir, derby_url):
     with pytest.raises(Exception):
         read_jdbc(spark, derby_url, table="z_etl_orders_t_staging",
                   properties=_PROPS).count()
+
+
+def test_live_incremental_extract_from_derby(spark, sf_dir, derby_url, tmp_path):
+    """The reference's core loop, live end-to-end: periodic incremental
+    extract FROM a real database into a parquet lake with MERGE.
+    Run 1 full-loads; new rows land in Derby; run 2 extracts ONLY rows
+    past the lake's high watermark and merges them idempotently."""
+    from lightlane_spark.operators.incremental import incremental_merge_load
+
+    orders = _orders(spark, sf_dir)
+    # time-like watermark: use o_orderdate; split so every delta date
+    # is strictly after every seed date
+    dates = sorted(r.o_orderdate for r in orders.select("o_orderdate").distinct().collect())
+    dcut = dates[len(dates) // 2]
+    seed = orders.filter(F.col("o_orderdate") <= F.lit(dcut))
+    delta = orders.filter(F.col("o_orderdate") > F.lit(dcut))
+
+    write_jdbc(seed, derby_url, "orders_t", mode="append",
+               properties={**_PROPS, **_CTYPES})
+    target = str(tmp_path / "lake")
+    src = lambda: read_jdbc(spark, derby_url, table="orders_t",  # noqa: E731
+                            properties=_PROPS).select(*orders.columns)
+    n1 = incremental_merge_load(
+        spark, src(), target, "o_orderdate", ["o_orderkey"]
+    )
+    assert n1 == seed.count()
+
+    write_jdbc(delta, derby_url, "orders_t", mode="append",
+               properties={**_PROPS, **_CTYPES})
+    n2 = incremental_merge_load(
+        spark, src(), target, "o_orderdate", ["o_orderkey"]
+    )
+    assert n2 == delta.count(), "second run must extract only past-watermark rows"
+    lake = spark.read.parquet(target)
+    assert lake.count() == orders.count()
+    assert {r.o_orderkey for r in lake.collect()} == {
+        r.o_orderkey for r in orders.collect()
+    }
