@@ -127,11 +127,12 @@ class Loader:
     post_sql: list[str] = field(default_factory=list)
     analyze: bool = False
     schema_evolution: bool = False
-    # Sink format — the reference's HIVE_FILE_FORMATS (const.py:19-26)
-    # minus the container-unavailable ones: parquet/orc/json here;
-    # text goes through loaders/text_sinks.py (its own delimiter
-    # contract); SEQUENCEFILE/RCFILE/AVRO need jars this runtime lacks
-    # (documented environment limitation).
+    # Sink format for PATH-based writes: parquet/orc/json here; text
+    # goes through loaders/text_sinks.py (its own delimiter contract),
+    # AVRO through loaders/avro_sink.py (pure-Python container codec).
+    # Hive-CATALOG tables in any reference HIVE_FILE_FORMAT —
+    # TEXTFILE/SEQUENCEFILE/RCFILE/ORC/PARQUET, const.py:19-26 — go
+    # through ``write_hive_table`` (needs a Hive-enabled session).
     fmt: str = "parquet"
 
     def __post_init__(self):
@@ -224,3 +225,39 @@ class Loader:
         equivalent is dropping any cached footer metadata; for
         catalog tables run ANALYZE TABLE instead."""
         self.spark.catalog.clearCache()
+
+
+HIVE_FILE_FORMATS = ("textfile", "sequencefile", "rcfile", "orc", "parquet")
+
+
+def write_hive_table(
+    df: DataFrame,
+    table: str,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write ``df`` as a Hive-catalog table in any of the reference's
+    HIVE_FILE_FORMATS (``const.py:19-26``): TEXTFILE, SEQUENCEFILE,
+    RCFILE, ORC, PARQUET — the Hive SerDes ship in Spark's own jars,
+    so even the legacy container formats round-trip (verified in
+    ``tests/test_hive_formats.py``; AVRO is covered separately by the
+    pure-Python container codec in ``loaders/avro_sink.py``).
+
+    Requires a ``enableHiveSupport()`` session (embedded Derby
+    metastore locally; a shared metastore on a cluster). Partitioned
+    writes use Hive dynamic partitioning — the reference's OP-24.
+    """
+    fmt = file_format.lower()
+    if fmt not in HIVE_FILE_FORMATS:
+        raise ValueError(
+            f"unknown Hive file format {file_format!r}; known: {HIVE_FILE_FORMATS}"
+        )
+    writer = df.write.format("hive").option("fileFormat", fmt).mode(mode)
+    if partition_by:
+        # all partition values come from the data (the reference's
+        # dynamic insert, OP-24) — Hive's strict mode wants at least
+        # one static partition otherwise
+        df.sparkSession.conf.set("hive.exec.dynamic.partition.mode", "nonstrict")
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)
