@@ -167,12 +167,17 @@ def _header(schema_json: str, sync: bytes) -> bytes:
     return buf.getvalue()
 
 
-def write_avro(df: DataFrame, path: str) -> int:
+def write_avro(df: DataFrame, path: str, mode: str = "errorifexists") -> int:
     """Write ``df`` as Avro container files, one per partition
     (``part-NNNNN.avro``); returns total rows written. Map-only: each
     task streams its Arrow batches through the encoder straight to its
     own file. The sync marker is derived from (schema, partition), so
-    output bytes are deterministic for deterministic input order."""
+    output bytes are deterministic for deterministic input order.
+
+    ``mode``: ``"errorifexists"`` (Spark's default — refuse a
+    directory that already holds .avro files; a second write would
+    silently clobber same-numbered part files) or ``"overwrite"``
+    (remove existing .avro part files first)."""
     # the encoder closures reference module-level codec functions,
     # which cloudpickle ships BY REFERENCE — workers must be able to
     # import lightlane_spark (shipping.py zips it onto their sys.path)
@@ -182,6 +187,18 @@ def write_avro(df: DataFrame, path: str) -> int:
     schema = df.schema
     sj = avro_schema_json(schema)
     os.makedirs(path, exist_ok=True)
+    existing = [f for f in os.listdir(path) if f.endswith(".avro")]
+    if existing:
+        if mode == "overwrite":
+            for f in existing:
+                os.remove(os.path.join(path, f))
+        elif mode == "errorifexists":
+            raise FileExistsError(
+                f"avro sink target {path} already holds {len(existing)} part "
+                "files; pass mode='overwrite' to replace them"
+            )
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
 
     def write_parts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

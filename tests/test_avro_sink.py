@@ -91,3 +91,16 @@ def test_avro_rejects_unsupported_type(spark):
     df = spark.createDataFrame([([1, 2],)], "a array<int>")
     with pytest.raises(TypeError, match="unsupported"):
         avro_schema_json(df.schema)
+
+
+def test_avro_write_modes(spark, tmp_path):
+    """A second write must not silently clobber part files: default
+    mode refuses, overwrite replaces."""
+    out = str(tmp_path / "avro_modes")
+    df5 = spark.range(5).select(F.col("id"))
+    df3 = spark.range(3).select(F.col("id"))
+    assert write_avro(df5, out) == 5
+    with pytest.raises(FileExistsError, match="part"):
+        write_avro(df3, out)
+    assert write_avro(df3, out, mode="overwrite") == 3
+    assert sorted(r.id for r in read_avro(spark, out, "id bigint").collect()) == [0, 1, 2]
