@@ -622,6 +622,60 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 flavor: customers with above-average positive balance
+    and no HIGH-VALUE order (>400k — every synthetic customer has
+    some order, so the plain no-orders predicate would select nothing),
+    grouped by a derived country code — scalar subquery (as a 1-row
+    broadcast), filtered anti-join, group-agg in one plan."""
+    c = read_table(spark, sf_dir, "customer")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400_000)
+        .select("o_custkey")
+    )
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__avg_bal")
+        )
+    )
+    rich = c.join(F.broadcast(thresh)).filter(F.col("c_acctbal") > F.col("__avg_bal"))
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy((F.col("c_nationkey") % 10).alias("code")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        _dec_sum(F.col("c_acctbal"), "total_bal"),
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 flavor: for each part, the supplier offering its
+    minimum observed price (per-pair MIN is order-independent → exact
+    cross-engine), deterministic supplier tiebreak, supplier attrs
+    joined back."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("min_price")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy("min_price", "l_suppkey")
+    best = (
+        cost.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return best.join(
+        F.broadcast(s), best.l_suppkey == s.s_suppkey
+    ).select("l_partkey", "l_suppkey", "s_name", "min_price")
+
+
 def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-exact per-group z-score (catalog.group_zscore): events'
     value normalized within each event_type from decimal-exact
@@ -910,6 +964,8 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "hll_rollup": q_hll_rollup,
     "group_zscore": q_group_zscore,
+    "dormant_customers": q_dormant_customers,
+    "min_cost_supplier": q_min_cost_supplier,
     "small_order_revenue": q_small_order_revenue,
     "customer_order_counts": q_customer_order_counts,
     "having_filter": q_having_filter,
@@ -990,6 +1046,37 @@ ORACLE = {
                COUNT(DISTINCT user_id) AS exact_users,
                TRUE AS within_tol
         FROM events GROUP BY 1
+    """,
+    "dormant_customers": """
+        WITH t AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey % 10 AS code,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal
+        FROM customer c, t
+        WHERE c.c_acctbal > t.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        GROUP BY 1
+    """,
+    "min_cost_supplier": """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price
+            FROM lineitem GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT l_partkey, l_suppkey, min_price,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_partkey ORDER BY min_price, l_suppkey
+                   ) AS rn
+            FROM cost
+        )
+        SELECT b.l_partkey, b.l_suppkey, s.s_name, b.min_price
+        FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        WHERE b.rn = 1
     """,
     "group_zscore": """
         WITH m AS (
