@@ -434,6 +434,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      queries rotate to the back.
 _RECHECK = [
     # brand new this round
+    "cms_heavy_hitters",
+    "bloom_prefilter",
+    "ngram_lm_score",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -1,0 +1,214 @@
+"""Mergeable frequency/membership sketches: count-min and Bloom.
+
+At 100 TB the expensive shape is "compare the corpus against a set":
+exact token frequencies need a corpus-wide shuffle keyed by token
+(skewed by Zipf), and blocklist/accepted-index checks need an
+anti-join that shuffles the big side. Both collapse to FIXED-SIZE
+state that broadcasts:
+
+  - a count-min sketch is a depth×width grid of counters (kilobytes,
+    independent of corpus size) built with ONE map-side-combined
+    aggregation and merged across batches/partitions by cell-wise
+    addition — the streaming/incremental story is the same groupBy;
+  - a Bloom filter is a bit-set of ``num_bits`` bits; membership of
+    the 100 TB side is checked with ``k`` BROADCAST hash joins
+    against the set-bit table — map-only on the big side, zero
+    shuffles, versus the full shuffle of an exact anti-join. False
+    positives are the documented price (callers use it as a
+    prefilter: only flagged rows reach the exact check).
+
+The reference (RickyXuPengfei/LightLane) has no sketching at all —
+closest is its full-table COUNT probes (mysql_extractor.py's
+range-count pass); both sketches here are beyond-parity scale
+extensions in the spirit of its "probe cheaply before moving data".
+
+Every hash position is the md5 double-hash family from
+``functions.hashing.hash_family`` (h_i = (m1 + i·m2) mod 2^32), so a
+sketch's exact contents — including collisions — are reproducible in
+DuckDB from the same SQL text; ``position_sql`` renders the position
+expression for either engine and is the single source of truth both
+sides compile from (same pattern as ``layout.zorder_sql``).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lightlane_spark.functions.hashing import H32_SPACE
+
+__all__ = [
+    "position_sql",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "bloom_build",
+    "bloom_member",
+]
+
+
+def _md5_word_sql(col_sql: str, start: int, engine: str) -> str:
+    """32-bit word of md5(col) at hex offset ``start``, as BIGINT."""
+    if engine == "spark":
+        return f"CAST(conv(substring(md5({col_sql}), {start}, 8), 16, 10) AS BIGINT)"
+    if engine == "duckdb":
+        return f"('0x' || substr(md5({col_sql}), {start}, 8))::BIGINT"
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def position_sql(col_sql: str, i: int, mod: int, engine: str = "spark") -> str:
+    """SQL text for hash position ``i`` of a string expression:
+    ``(m1 + i*m2) mod 2^32 mod mod`` with m1/m2 the first two 32-bit
+    words of md5 — identical arithmetic in Spark and DuckDB (all
+    intermediates < 2^61, no BIGINT overflow in either engine)."""
+    m1 = _md5_word_sql(col_sql, 1, engine)
+    m2 = _md5_word_sql(col_sql, 9, engine)
+    return f"((({m1}) + {i} * ({m2})) % {H32_SPACE} % {mod})"
+
+
+def _position(col: Column | str, i: int, mod: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    d = F.md5(c)
+    m1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    m2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    return (m1 + F.lit(i) * m2) % F.lit(H32_SPACE) % F.lit(mod)
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of the values in ``df[col]`` as a DataFrame
+    ``(d INT, b INT, cnt BIGINT)`` — at most depth×width rows.
+
+    One aggregation: each input row contributes ``depth`` (row, cell)
+    increments (in-row array, posexplode), and the groupBy's map-side
+    partial combine means the shuffle carries at most depth×width
+    rows PER PARTITION regardless of input size — this is what makes
+    the sketch cheaper than an exact count at scale, where the exact
+    groupBy shuffles one row per distinct key with Zipf skew.
+    Absent cells are zero by convention (``cms_estimate`` coalesces).
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = df.select(
+        F.posexplode(F.array(*[_position(col, i, width) for i in range(depth)])).alias(
+            "d", "b"
+        ),
+        w.alias("__w"),
+    )
+    return cells.groupBy("d", "b").agg(F.sum("__w").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width): cell-wise
+    addition — the property that makes CMS incremental (per-batch /
+    per-day sketches roll up without re-scanning any input)."""
+    u = functools.reduce(DataFrame.unionByName, sketches)
+    return u.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query estimates for every row of ``items``: the min over
+    the ``depth`` cells the item hashes to (>= true count always;
+    overshoot bounded by collisions).
+
+    ``depth`` BROADCAST hash joins against the (tiny, <= depth×width
+    rows) sketch — map-only on ``items``; no shuffle, no regroup.
+    """
+    out = items
+    mins: list[Column] = []
+    for i in range(depth):
+        level = sketch.where(F.col("d") == i).select(
+            F.col("b").alias(f"__b{i}"), F.col("cnt").alias(f"__cnt{i}")
+        )
+        out = out.join(
+            F.broadcast(level), _position(col, i, width) == F.col(f"__b{i}"), "left"
+        )
+        mins.append(F.coalesce(F.col(f"__cnt{i}"), F.lit(0)))
+    est = F.least(*mins) if len(mins) > 1 else mins[0]
+    drop = [c for i in range(depth) for c in (f"__b{i}", f"__cnt{i}")]
+    return out.withColumn(out_col, est).drop(*drop)
+
+
+def cms_estimate_sql(
+    item_col_sql: str,
+    sketch_rel: str,
+    depth: int = 4,
+    width: int = 1024,
+    engine: str = "duckdb",
+) -> str:
+    """SQL text (scalar subquery form) for the CMS estimate of
+    ``item_col_sql`` against sketch relation ``sketch_rel`` — the
+    oracle twin of ``cms_estimate``, compiled from the same
+    ``position_sql`` terms so collisions reproduce exactly."""
+    levels = [
+        f"COALESCE((SELECT cnt FROM {sketch_rel} s WHERE s.d = {i} "
+        f"AND s.b = {position_sql(item_col_sql, i, width, engine)}), 0)"
+        for i in range(depth)
+    ]
+    return "LEAST(" + ", ".join(levels) + ")"
+
+
+def bloom_build(df: DataFrame, col: str, num_bits: int, k: int = 5) -> DataFrame:
+    """Bloom filter of the values in ``df[col]`` as a DataFrame of its
+    SET BITS ``(bit INT)`` — at most min(k·|df|, num_bits) rows, and
+    at most ``num_bits`` after the distinct, independent of |df|.
+
+    The set-bit relation (not a packed bitmask) keeps membership
+    testing inside Catalyst as broadcast joins; a packed representation
+    would force every probe through a Python UDF."""
+    bits = df.select(
+        F.explode(F.array(*[_position(col, i, num_bits) for i in range(k)])).alias(
+            "bit"
+        )
+    )
+    return bits.distinct()
+
+
+def bloom_member(
+    df: DataFrame,
+    col: str,
+    bits: DataFrame,
+    num_bits: int,
+    k: int = 5,
+    out_col: str = "bloom_member",
+) -> DataFrame:
+    """Flag each row of ``df`` whose ``col`` the filter (``bits``,
+    from ``bloom_build``) may contain: all ``k`` hash bits set.
+
+    ``k`` BROADCAST hash joins (the bit table is <= num_bits rows ~
+    kilobytes) — the 100 TB side stays map-only with ZERO shuffles,
+    versus the full-corpus shuffle of an exact anti-join. No false
+    negatives (a member's bits are all set by construction); false
+    positives at the standard (1-e^{-kn/m})^k rate, so the intended
+    use is PREFILTER: only rows flagged here proceed to the exact
+    (shuffling) check, which now touches a sliver of the corpus.
+    """
+    out = df
+    hits: list[Column] = []
+    for i in range(k):
+        level = bits.select(F.col("bit").alias(f"__bit{i}")).withColumn(
+            f"__hit{i}", F.lit(1)
+        )
+        out = out.join(
+            F.broadcast(level),
+            _position(col, i, num_bits) == F.col(f"__bit{i}"),
+            "left",
+        )
+        hits.append(F.col(f"__hit{i}").isNotNull())
+    member = functools.reduce(operator.and_, hits)
+    drop = [c for i in range(k) for c in (f"__bit{i}", f"__hit{i}")]
+    return out.withColumn(out_col, member).drop(*drop)

@@ -597,3 +597,74 @@ def span_dedup(
         "n_spans",
         F.coalesce("n_spans_kept", F.lit(0)).cast("bigint").alias("n_spans_kept"),
     )
+
+
+def lm_doc_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lm_score",
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality score: train a bigram
+    LM on the corpus ITSELF (one aggregation pass), then score every
+    document by its average surprisal — unusually-worded documents
+    (gibberish, boilerplate soup, wrong-language fragments) score high
+    and can be dropped by a top-p cut. This is the self-supervised
+    stand-in for CCNet's Wikipedia-trained KenLM: no external model
+    artifact, same filtering signal shape.
+
+    score(d) = avg over bigrams (w1,w2) of d of
+               -ln( (c(w1,w2) + 1) / (c(w1) + V) )      [add-one]
+    with corpus counts c and vocabulary size V.
+
+    Scale shape: two count aggregations (unigram, bigram — both
+    map-side combined, shuffle rows bounded by vocab/bigram
+    cardinality, not corpus size), one scalar broadcast (V), then the
+    per-doc bigrams join the count relations keyed by bigram/w1 and
+    re-aggregate by id. No Python, no driver loops; every join key is
+    Zipf-skewed but AQE's skew-join split handles the hot tokens.
+
+    Cross-engine determinism: each bigram's surprisal is rounded to
+    9dp and summed as DECIMAL (order-independent exact addition), so
+    the DuckDB oracle reproduces the value bit-for-bit; the final
+    average is rounded to 6dp. Documents with fewer than two tokens
+    have no bigrams and drop out (same in the oracle).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("__t"),
+    )
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    bigrams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(__t, 1, greatest(size(__t) - 1, 0)), "
+                "(w, i) -> concat(w, ' ', element_at(__t, i + 2)))"
+            )
+        ).alias("bigram"),
+    )
+    bgc = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bigrams.join(bgc, "bigram")
+        .withColumn("__w1", F.split("bigram", " ")[0])
+        .join(uni, F.col("__w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__term",
+            F.round(
+                -F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("__v"))), 9
+            ).cast("decimal(18,9)"),
+        )
+    )
+    # exact decimal sum → double BEFORE dividing: decimal division
+    # precision/scale rules are engine-specific, IEEE double division
+    # is not.
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("__term").cast("double") / F.count(F.lit(1)), 6).alias(out_col)
+    )

@@ -852,6 +852,64 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_tokens", window_tokens=256, buckets=8)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the document token stream via a count-min
+    sketch (depth=4, width=64 — narrow enough that collisions are real
+    at sf0.01's vocab, proving the estimate path, while the md5
+    double-hash keeps every collision reproducible in the oracle).
+    The sketch is fixed-size mergeable state: at 100 TB the exact
+    groupBy shuffles one row per distinct token with Zipf skew, the
+    sketch shuffles ≤ depth×width rows per partition. Estimation is
+    depth broadcast joins — map-only on the candidate side."""
+    from lightlane_spark.operators.sketches import cms_build, cms_estimate
+    from pyspark.sql import Window
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    sketch = cms_build(toks, "tok", depth=4, width=64)
+    est = cms_estimate(sketch, toks.distinct(), "tok", depth=4, width=64)
+    w = Window.orderBy(F.col("cms_est").desc(), F.col("tok"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("tok", "cms_est", "rank")
+    )
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist prefilter via Bloom bits: the 'blocklist' is the md5
+    fingerprints of src0's documents; the corpus is flagged by k=4
+    broadcast joins against a 256-bit filter — the 100 TB side never
+    shuffles (vs the corpus-wide shuffle of an exact anti-join). The
+    flag column is deterministic (portable double-hash), so false
+    positives — the documented price of the prefilter pattern — are
+    reproduced exactly by the oracle."""
+    from lightlane_spark.operators.sketches import bloom_build, bloom_member
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    blocked = docs.where(F.col("source") == "src0").select("fp")
+    bits = bloom_build(blocked, "fp", num_bits=256, k=4)
+    return bloom_member(docs, "fp", bits, num_bits=256, k=4).select(
+        "doc_id", F.col("bloom_member").alias("flagged")
+    )
+
+
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM surprisal per document (CCNet-style
+    quality signal) — corpus-count aggregations + count joins, exact
+    decimal term sums so the oracle matches bit-for-bit. See
+    ``text.lm_doc_scores``."""
+    from lightlane_spark.operators.text import lm_doc_scores
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_doc_scores(docs)
+
+
 QUERIES = {
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_stateful_counts": q_streaming_stateful_counts,
@@ -901,6 +959,9 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "bloom_prefilter": q_bloom_prefilter,
+    "ngram_lm_score": q_ngram_lm_score,
 }
 
 def _ann_lsh_oracle_sql() -> str:
@@ -1726,4 +1787,95 @@ ORACLE["ann_topk_ivf"] = """
 ORACLE["pq_topk"] = """
     SELECT vec_id AS query_id, TRUE AS probe_ok, TRUE AS overall_ok
     FROM embeddings WHERE vec_id < 10
+"""
+
+
+def _cms_heavy_hitters_oracle_sql(depth: int = 4, width: int = 64) -> str:
+    """Exact oracle for q_cms_heavy_hitters: rebuilds the identical
+    sketch (collisions included) from the shared ``position_sql``
+    arithmetic, then estimates and ranks the same way."""
+    from lightlane_spark.operators.sketches import position_sql
+
+    pos_union = " UNION ALL ".join(
+        f"SELECT {i} AS d, {position_sql('tok', i, width, 'duckdb')} AS b FROM toks"
+        for i in range(depth)
+    )
+    cand_pos = " UNION ALL ".join(
+        f"SELECT tok, {i} AS d, {position_sql('tok', i, width, 'duckdb')} AS b FROM cand"
+        for i in range(depth)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT tok FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            ) WHERE tok <> ''
+        ),
+        cms AS (SELECT d, b, COUNT(*) AS cnt FROM ({pos_union}) GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT tok FROM toks),
+        est AS (
+            SELECT p.tok, MIN(COALESCE(c.cnt, 0)) AS cms_est
+            FROM ({cand_pos}) p LEFT JOIN cms c USING (d, b)
+            GROUP BY p.tok
+        )
+        SELECT tok, cms_est, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT tok, cms_est,
+                   ROW_NUMBER() OVER (ORDER BY cms_est DESC, tok) AS rank
+            FROM est
+        ) WHERE rank <= 10
+    """
+
+
+def _bloom_prefilter_oracle_sql(num_bits: int = 256, k: int = 4) -> str:
+    """Exact oracle for q_bloom_prefilter — same double-hash bit
+    arithmetic, membership = all k bits set (false positives and
+    all)."""
+    from lightlane_spark.operators.sketches import position_sql
+
+    bit_union = " UNION ALL ".join(
+        f"SELECT {position_sql('fp', i, num_bits, 'duckdb')} AS b "
+        "FROM docs WHERE source = 'src0'"
+        for i in range(k)
+    )
+    probes = " AND ".join(
+        f"({position_sql('fp', i, num_bits, 'duckdb')} IN (SELECT b FROM bits))"
+        for i in range(k)
+    )
+    return f"""
+        WITH docs AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        bits AS (SELECT DISTINCT b FROM ({bit_union}))
+        SELECT doc_id, {probes} AS flagged FROM docs
+    """
+
+
+ORACLE["cms_heavy_hitters"] = _cms_heavy_hitters_oracle_sql()
+ORACLE["bloom_prefilter"] = _bloom_prefilter_oracle_sql()
+ORACLE["ngram_lm_score"] = """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT tok, COUNT(*) AS cu
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+    ),
+    v AS (SELECT COUNT(*) AS vn FROM uni),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(list_slice(toks, 1, len(toks) - 1),
+                                     (w, i) -> w || ' ' || toks[i + 1])) AS bigram
+        FROM t
+    ),
+    bgc AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY 1),
+    terms AS (
+        SELECT bg.doc_id,
+               CAST(ROUND(-ln((bgc.cb + 1.0) / (uni.cu + v.vn)), 9)
+                    AS DECIMAL(18,9)) AS term
+        FROM bg
+        JOIN bgc USING (bigram)
+        JOIN uni ON uni.tok = string_split(bg.bigram, ' ')[1]
+        CROSS JOIN v
+    )
+    SELECT doc_id, ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS lm_score
+    FROM terms GROUP BY doc_id
 """

@@ -228,3 +228,22 @@ def test_gopher_rules_battery(spark):
     assert not got[7].stopword_ok
     # bullet rule: 10 of 11 lines bulleted (90.9% > 90%) → fails
     assert not got[5].bullet_ok
+
+
+def test_lm_doc_scores_known_values_and_short_docs(spark):
+    import math
+
+    from lightlane_spark.operators.text import lm_doc_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "")],
+        "doc_id: bigint, text: string",
+    )
+    got = {r.doc_id: r.lm_score for r in lm_doc_scores(df).collect()}
+    # vocab = {a, b, z} → V=3; unigrams: a=3, b=3, z=1
+    # doc1 bigrams: (a b)×2, (b a)×1; c(a b)=3, c(b a)=1
+    t_ab = round(-math.log((3 + 1) / (3 + 3)), 9)
+    t_ba = round(-math.log((1 + 1) / (3 + 3)), 9)
+    assert got[1] == round((2 * t_ab + t_ba) / 3, 6)
+    assert got[2] == round(t_ab, 6)
+    assert 3 not in got and 4 not in got  # <2 tokens → no bigrams
