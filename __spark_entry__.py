@@ -309,6 +309,27 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_json(spark, path, _LI_CSV_SCHEMA)
 
 
+def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping (loaders/dataskip.py): range-laid-out
+    write with a per-file min/max manifest, then a Q1-quarter scan
+    that opens only the overlapping files — identical rows to the
+    full-scan filter (the oracle), I/O proportional to the range. The
+    lakehouse-manifest pattern on plain parquet; beyond-parity vs the
+    reference's full-table SELECT * (hive_extractor.py)."""
+    import datetime as dtm
+
+    from lightlane_spark.loaders.dataskip import pruned_scan, write_with_stats
+
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_skip_"), "li")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    write_with_stats(li, path, ["l_shipdate"], num_files=16)
+    return pruned_scan(
+        spark, path, "l_shipdate", dtm.date(1995, 1, 1), dtm.date(1995, 3, 31)
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-13 (documented Transformer intent): JSON field extraction."""
     ev = read_table(spark, sf_dir, "events")
@@ -437,6 +458,7 @@ _RECHECK = [
     "cms_heavy_hitters",
     "bloom_prefilter",
     "ngram_lm_score",
+    "pruned_scan",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",
@@ -534,6 +556,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_rows_tokens": q_map_rows_tokens,
         "drop_falsy": q_drop_falsy,
         "multi_sink_fanout": q_multi_sink_fanout,
+        "pruned_scan": q_pruned_scan,
         **m5_queries.QUERIES,
         **rel_queries.QUERIES,
         **temporal_queries.QUERIES,
@@ -688,6 +711,11 @@ _ORACLE: dict[str, str] = {
         WHERE k IS NOT NULL AND k <> '' AND k <> '0' AND k NOT IN ('false', 'False')
     """,
     "multi_sink_fanout": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    "pruned_scan": """
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        FROM lineitem
+        WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+    """,
 }
 
 

@@ -1,0 +1,66 @@
+"""Manifest data skipping: pruned result == full-scan filter, and the
+file list actually shrinks (the point of the manifest)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lightlane_spark.loaders.dataskip import (
+    MANIFEST,
+    pruned_files,
+    pruned_scan,
+    write_with_stats,
+)
+from lightlane_spark.sources.parquet import read_table
+
+
+def test_pruned_scan_matches_full_filter_and_prunes(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_skip_"), "li")
+    manifest = write_with_stats(li, path, ["l_shipdate"], num_files=8)
+    assert len(manifest) == 8
+    assert os.path.exists(os.path.join(path, MANIFEST))
+
+    lo, hi = dt.date(1995, 1, 1), dt.date(1995, 3, 31)
+    keep, total = pruned_files(path, "l_shipdate", lo, hi)
+    assert total == 8
+    assert 0 < len(keep) < total  # skipping really happened
+
+    got = sorted(
+        map(tuple, pruned_scan(spark, path, "l_shipdate", lo, hi).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .where(F.col("l_shipdate").between(F.lit(lo), F.lit(hi)))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_pruned_scan_empty_range_returns_empty_with_schema(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_skip0_"), "li")
+    write_with_stats(li, path, ["l_shipdate"], num_files=4)
+    out = pruned_scan(
+        spark, path, "l_shipdate", dt.date(2099, 1, 1), dt.date(2099, 12, 31)
+    )
+    assert out.columns == ["l_orderkey", "l_shipdate"]
+    assert out.count() == 0
+
+
+def test_int_column_stats(spark):
+    df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_skipint_"), "t")
+    write_with_stats(df, path, ["k"], num_files=10)
+    keep, total = pruned_files(path, "k", 2500, 2600)
+    assert total == 10 and len(keep) <= 2
+    assert pruned_scan(spark, path, "k", 2500, 2600).count() == 101
