@@ -459,6 +459,7 @@ _RECHECK = [
     "bloom_prefilter",
     "ngram_lm_score",
     "pruned_scan",
+    "semantic_dedup",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -397,6 +397,112 @@ def ann_topk_lsh(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    fit_fraction: float = 0.5,
+    cluster_col: str = "__cluster",
+):
+    """Shared k-means partitioner for IVF and SemDeDup: fit centroids
+    on a seeded driver sample (numpy k-means++/Lloyd, bounded at 100k
+    rows — the FAISS discipline, see ``ivf_topk``), then assign the
+    FULL corpus in one map-only Arrow argmin pass. Returns
+    ``(assigned_df[(id, __cv, cluster)], centers_ndarray)``.
+    Deterministic: seeded sample, seeded init."""
+    import numpy as np
+
+    from lightlane_spark.operators.pq import _kmeans_pp_lloyd
+
+    c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
+    fit_src = c.select("__cv")
+    if fit_fraction < 1.0:
+        fit_src = fit_src.sample(fraction=fit_fraction, seed=seed)
+    X = np.array(
+        [r["__cv"] for r in fit_src.limit(100_000).collect()], dtype=np.float64
+    )
+    if X.size == 0:
+        raise ValueError("kmeans_assign: corpus sample is empty")
+    rng = np.random.default_rng(seed)
+    C = _kmeans_pp_lloyd(X, n_centroids, max_iter, rng)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vm = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (vm @ C.T)
+            out = pdf[[id_col, "__cv"]].copy()
+            out[cluster_col] = d2.argmin(axis=1).astype(np.int32)
+            yield out
+
+    assigned = c.mapInPandas(
+        assign, schema=f"{id_col} bigint, __cv array<double>, {cluster_col} int"
+    )
+    return assigned, C
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 4,
+    fit_fraction: float = 0.5,
+    max_block_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
+    removal by clustering first, comparing only WITHIN clusters.
+    K-means partitions the corpus (sample fit + one assignment pass,
+    via ``kmeans_assign``); within each cluster, cosine ≥ threshold
+    pairs expand in-row (``cosine_neardup_pairs``); connected
+    components collapse duplicate groups and the min-id member
+    survives. Returns surviving ``(id_col, cluster)`` rows.
+
+    vs ``cosine_neardup_lsh``: data-adaptive blocks (centroids follow
+    the density, so a skewed corpus doesn't pile into one hyperplane
+    bucket) at the price of a model artifact and boundary misses —
+    near-dups straddling a centroid boundary aren't compared, the
+    same recall tradeoff the paper accepts. At 100 TB: fit is
+    driver-bounded, assignment map-only, pair expansion Σ|cluster|²
+    capped by ``max_block_size``, components O(log n) rounds on the
+    pair set only.
+    """
+    assigned, _ = kmeans_assign(
+        df,
+        n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+        fit_fraction=fit_fraction,
+        cluster_col="__cluster",
+    )
+    assigned = assigned.persist()
+    pairs = cosine_neardup_pairs(
+        assigned,
+        "__cluster",
+        threshold=threshold,
+        id_col=id_col,
+        vec_col="__cv",
+        max_block_size=max_block_size,
+    ).select("id_a", "id_b")
+
+    from lightlane_spark.operators.clustering import dedup_by_components
+
+    # pairs come out canonical (id_a < id_b: in-row suffix expansion of
+    # an id-sorted block) → skip the component-canonicalization round
+    survivors = dedup_by_components(
+        assigned, pairs, id_col=id_col, assume_canonical=True
+    )
+    return survivors.select(id_col, F.col("__cluster").alias("cluster"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -431,35 +537,14 @@ def ivf_topk(
     sample, seeded init. At 100 TB: sample-fit, broadcast the centers,
     one assignment pass. Returns (query_id, vec_id, rank, sim).
     """
-    import numpy as np
-    import pandas as pd
-
-    from lightlane_spark.operators.pq import _kmeans_pp_lloyd
-
-    c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
-    fit_src = c.select("__cv")
-    if fit_fraction < 1.0:
-        fit_src = fit_src.sample(fraction=fit_fraction, seed=seed)
-    X = np.array(
-        [r["__cv"] for r in fit_src.limit(100_000).collect()], dtype=np.float64
-    )
-    if X.size == 0:
-        raise ValueError("ivf_topk: corpus sample is empty")
-    rng = np.random.default_rng(seed)
-    C = _kmeans_pp_lloyd(X, n_centroids, max_iter, rng)
-
-    def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            vm = np.array(pdf["__cv"].tolist(), dtype=np.float64)
-            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (vm @ C.T)
-            out = pdf[[id_col, "__cv"]].copy()
-            out["__cluster"] = d2.argmin(axis=1).astype(np.int32)
-            yield out
-
-    assigned = c.mapInPandas(
-        assign, schema=f"{id_col} bigint, __cv array<double>, __cluster int"
+    assigned, C = kmeans_assign(
+        corpus,
+        n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+        fit_fraction=fit_fraction,
     )
 
     centers = [list(map(float, ctr)) for ctr in C]

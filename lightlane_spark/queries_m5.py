@@ -852,6 +852,26 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_tokens", window_tokens=256, buckets=8)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup contract: corpus = embeddings + 5 planted exact
+    duplicates (id+10000). Identical vectors always share an argmin
+    centroid, so every planted dup collapses onto its original
+    (min-id survivor); at threshold 0.999 random synthetic embeddings
+    have no natural pairs (pinned by embedding_neardup's exact-oracle
+    row). The survivor ID set is therefore exactly the original ids —
+    deterministic and SQL-stated — while the model-dependent cluster
+    labels stay engine-internal. See ``similarity.semantic_dedup``."""
+    from lightlane_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where("vec_id < 5").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    out = semantic_dedup(corpus, n_centroids=8, threshold=0.999, max_iter=4)
+    return out.select("vec_id")
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters over the document token stream via a count-min
     sketch (depth=4, width=64 — narrow enough that collisions are real
@@ -959,6 +979,7 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
+    "semantic_dedup": q_semantic_dedup,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_lm_score": q_ngram_lm_score,
@@ -1847,6 +1868,7 @@ def _bloom_prefilter_oracle_sql(num_bits: int = 256, k: int = 4) -> str:
     """
 
 
+ORACLE["semantic_dedup"] = "SELECT vec_id FROM embeddings"
 ORACLE["cms_heavy_hitters"] = _cms_heavy_hitters_oracle_sql()
 ORACLE["bloom_prefilter"] = _bloom_prefilter_oracle_sql()
 ORACLE["ngram_lm_score"] = """

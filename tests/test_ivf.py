@@ -53,3 +53,28 @@ def test_ivf_sample_fit_deterministic(spark, sf_dir):
     assert {(r.query_id, r.vec_id, r.rank) for r in a} == {
         (r.query_id, r.vec_id, r.rank) for r in b
     }
+
+
+def test_semantic_dedup_collapses_planted_dups(spark):
+    import numpy as np
+
+    from lightlane_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    # two well-separated gaussian blobs + exact dups of ids 0 and 50
+    blob_a = rng.normal(0, 0.05, (50, 8)) + np.array([1.0] * 8)
+    blob_b = rng.normal(0, 0.05, (50, 8)) + np.array([-1.0] * 8)
+    vecs = {i: list(map(float, v)) for i, v in enumerate(np.vstack([blob_a, blob_b]))}
+    vecs[900] = vecs[0]
+    vecs[950] = vecs[50]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id: bigint, embedding: array<double>"
+    )
+    out = semantic_dedup(df, n_centroids=2, threshold=0.9999, fit_fraction=1.0)
+    rows = {r.vec_id: r.cluster for r in out.collect()}
+    assert 900 not in rows and 950 not in rows  # dups collapsed onto min-id
+    assert set(rows) == set(range(100))  # nothing else removed
+    # blobs land in different clusters (data-adaptive blocking works)
+    assert rows[0] != rows[50]
+    assert len({rows[i] for i in range(50)}) == 1
+    assert len({rows[i] for i in range(50, 100)}) == 1
