@@ -460,6 +460,7 @@ _RECHECK = [
     "ngram_lm_score",
     "pruned_scan",
     "semantic_dedup",
+    "corpus_overlap",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

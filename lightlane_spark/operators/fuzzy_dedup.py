@@ -515,3 +515,47 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def corpus_overlap_estimates(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Cross-corpus overlap estimation from CORPUS-LEVEL MinHash
+    fingerprints: one ``num_hashes``-long signature per group (min per
+    seed over every shingle the group contains), pairwise Jaccard
+    estimated as the fraction of agreeing positions. The dataset-
+    versioning / source-triage primitive: "how much of src_a is also
+    in src_b" for every pair, WITHOUT any cross-corpus doc join.
+
+    Returns (src_a, src_b, n_agree, est_jaccard) for src_a < src_b.
+
+    Scale shape: the signature build is the same one-shuffle
+    ``minhash_signature_arrays`` plan keyed by group instead of doc —
+    aggregate state is num_hashes longs PER GROUP, so a 100 TB corpus
+    reduces to |groups|×num_hashes longs in one pass (and the
+    fingerprint is mergeable: elementwise min across batch/partition
+    signatures — recompute nothing on append). The pairwise stage is
+    a broadcast non-equi self-join over |groups| rows — bounded by
+    the group count (sources/snapshots/shards), never by the corpus;
+    the in-row zip_with comparison keeps it expression-only.
+    Deterministic md5 hashing → the estimate (agreement count
+    included) has an exact SQL oracle.
+    """
+    sh = shingle(df, text_col=text_col, id_col=group_col, k=k, distinct=False)
+    sigs = minhash_signature_arrays(sh, id_col=group_col, num_hashes=num_hashes)
+    a = sigs.select(F.col(group_col).alias("src_a"), F.col("sig").alias("__sa"))
+    b = sigs.select(F.col(group_col).alias("src_b"), F.col("sig").alias("__sb"))
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    n_agree = F.size(
+        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v)
+    ).cast("bigint")
+    return pairs.withColumn("n_agree", n_agree).select(
+        "src_a",
+        "src_b",
+        "n_agree",
+        F.round(F.col("n_agree") / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+    )

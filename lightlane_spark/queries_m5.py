@@ -852,6 +852,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_tokens", window_tokens=256, buckets=8)
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-corpus overlap from corpus-level MinHash
+    fingerprints (one signature per source, pairwise agreement
+    fraction) — see ``fuzzy_dedup.corpus_overlap_estimates``. Exact
+    oracle: same portable double-hash minima per (source, seed)."""
+    from lightlane_spark.operators.fuzzy_dedup import corpus_overlap_estimates
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    return corpus_overlap_estimates(docs, group_col="source", k=3, num_hashes=32)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup contract: corpus = embeddings + 5 planted exact
     duplicates (id+10000). Identical vectors always share an argmin
@@ -980,6 +991,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "multimodal_features": q_multimodal_features,
     "semantic_dedup": q_semantic_dedup,
+    "corpus_overlap": q_corpus_overlap,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_lm_score": q_ngram_lm_score,
@@ -1869,6 +1881,32 @@ def _bloom_prefilter_oracle_sql(num_bits: int = 256, k: int = 4) -> str:
 
 
 ORACLE["semantic_dedup"] = "SELECT vec_id FROM embeddings"
+ORACLE["corpus_overlap"] = """
+    WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS sh
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
+        WHERE len(t) >= 3
+    ),
+    shh AS (
+        SELECT source,
+               ('0x' || substr(md5(sh), 1, 8))::BIGINT AS m1,
+               ('0x' || substr(md5(sh), 9, 8))::BIGINT AS m2
+        FROM sh
+    ),
+    sig AS (
+        SELECT source, seed, min((m1 + seed * m2) % 4294967296) AS minh
+        FROM shh, LATERAL (SELECT unnest(range(0, 32)) AS seed) s
+        GROUP BY 1, 2
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+           ROUND(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) / 32.0, 6)
+               AS est_jaccard
+    FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
+    GROUP BY 1, 2
+"""
 ORACLE["cms_heavy_hitters"] = _cms_heavy_hitters_oracle_sql()
 ORACLE["bloom_prefilter"] = _bloom_prefilter_oracle_sql()
 ORACLE["ngram_lm_score"] = """

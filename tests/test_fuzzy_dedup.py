@@ -193,3 +193,40 @@ def test_pagerank_integer_properties(spark):
     assert got[2] > got[1]
     # total probability mass stays within floor-rounding loss of 1.0
     assert 0.99 * 10**12 < sum(got.values()) <= 10**12
+
+
+def test_corpus_fingerprint_merge_equals_rebuild(spark):
+    """The corpus-level MinHash signature is mergeable: elementwise
+    min of two batch signatures == signature of the union (the
+    append-without-recompute property corpus_overlap relies on)."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.fuzzy_dedup import (
+        minhash_signature_arrays,
+        shingle,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x%d y z a b c d" % (i % 3, i % 5)) for i in range(30)],
+        "doc_id: bigint, text: string",
+    ).withColumn("grp", F.lit("all"))
+    sig = lambda d: minhash_signature_arrays(  # noqa: E731
+        shingle(d, id_col="grp", k=3, distinct=False), id_col="grp", num_hashes=16
+    ).collect()[0]["sig"]
+    whole = sig(docs)
+    s1 = sig(docs.where("doc_id < 13"))
+    s2 = sig(docs.where("doc_id >= 13"))
+    assert [min(a, b) for a, b in zip(s1, s2)] == whole
+
+
+def test_corpus_overlap_identical_and_disjoint(spark):
+    from lightlane_spark.operators.fuzzy_dedup import corpus_overlap_estimates
+
+    rows = [("a", "p q r s t u v w"), ("b", "p q r s t u v w"),
+            ("c", "zz yy xx ww vv uu tt ss")]
+    df = spark.createDataFrame(rows, "source: string, text: string")
+    got = {(r.src_a, r.src_b): (r.n_agree, r.est_jaccard)
+           for r in corpus_overlap_estimates(df, num_hashes=16).collect()}
+    assert got[("a", "b")] == (16, 1.0)   # identical corpora
+    assert got[("a", "c")][0] == 0        # disjoint shingle sets
+    assert got[("b", "c")][0] == 0

@@ -198,3 +198,42 @@ def test_session_window_streaming(spark, sf_dir, tmp_path):
     # them except possibly the max-ts stragglers
     assert got <= batch
     assert len(got) >= 0.9 * len(batch)
+
+
+def test_streaming_cms_merge_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """Incremental sketching: each micro-batch builds a partial CMS and
+    foreachBatch cms_merge's it into a running sketch table; after the
+    stream drains, the merged sketch is cell-for-cell the batch-built
+    sketch of all data — the property that lets a 100 TB corpus keep a
+    live frequency sketch without ever re-scanning history."""
+    from lightlane_spark.operators.sketches import cms_build, cms_merge
+    from lightlane_spark.streaming.incremental import (
+        run_to_completion,
+        stream_from_directory,
+    )
+
+    land = str(tmp_path / "landing_cms")
+    schema, ev = _stage_event_files(spark, sf_dir, land)
+
+    state = {"sketch": None}
+
+    def merge_batch(batch_df, _bid):
+        part = cms_build(batch_df, "event_type", depth=3, width=32)
+        cur = state["sketch"]
+        merged = part if cur is None else cms_merge(cur, part)
+        # pin the running sketch (localCheckpoint: keeps lineage flat
+        # across many batches, the standard foreachBatch-state idiom)
+        state["sketch"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        stream_from_directory(spark, land, schema)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+
+    whole = cms_build(ev, "event_type", depth=3, width=32)
+    assert sorted(map(tuple, state["sketch"].collect())) == sorted(
+        map(tuple, whole.collect())
+    )
