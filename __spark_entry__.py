@@ -461,6 +461,9 @@ _RECHECK = [
     "pruned_scan",
     "semantic_dedup",
     "corpus_overlap",
+    "local_supplier_volume",
+    "disjunctive_join_filter",
+    "waiting_suppliers",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -947,8 +947,126 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): six-way join where supplier
+    and customer must share a nation — the classic Catalyst
+    join-reorder exercise. Dims (region→nation, supplier) broadcast;
+    the two fact tables join on orderkey; the n_nationkey equality
+    between customer and supplier rides the same join, no extra
+    shuffle. Revenue per nation over one order-date year."""
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_dec_sum(rev, "revenue", 4))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q_disjunctive_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (disjunctive predicates): revenue over an OR of three
+    brand/size/quantity conjunctions that each reference BOTH join
+    sides — the predicate can't fully push below the join, so the
+    planner must split it into the per-side implied filters
+    (size/quantity envelopes DO push to the scans) and evaluate the
+    residual OR post-join. Adapted to this schema's columns (no
+    container/shipmode at sf-gen)."""
+    p = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .where(cond)
+        .agg(_dec_sum(rev, "revenue", 4), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema: for multi-supplier 'F'-status orders, count per
+    supplier the orders where THIS supplier shipped late (>60 days
+    after order date) and NO OTHER supplier on the order did. The
+    interesting part is the correlated exists + not-exists pair —
+    expressed as two aggregated semi/anti conditions over ONE scan of
+    the order's lineitems (any_other, any_other_late flags via
+    conditional aggs), not two extra joins."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    l1 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        li["l_orderkey"].alias("okey"),
+        li["l_suppkey"].alias("skey"),
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    # int flags, not booleans: max(bool)/sum(bool) aggregate rules
+    # differ across engines; integer max/sum are portable.
+    per_supp = l1.groupBy("okey", "skey").agg(
+        F.max(F.col("late").cast("int")).alias("supp_late")
+    )
+    per_order = per_supp.groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("supp_late").alias("n_late_supps"),
+    )
+    culprit = (
+        per_supp.join(per_order, "okey")
+        .where(
+            (F.col("supp_late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
+        .select("skey")
+    )
+    return (
+        culprit.join(F.broadcast(s), F.col("skey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "zorder_key": q_zorder_key,
+    "local_supplier_volume": q_local_supplier_volume,
+    "disjunctive_join_filter": q_disjunctive_join_filter,
+    "waiting_suppliers": q_waiting_suppliers,
     "variant_extract": q_variant_extract,
     "salted_join": q_salted_join,
     "table_profile": q_table_profile,
@@ -1455,3 +1573,58 @@ ORACLE = {
 }
 
 ORACLE["zorder_key"] = _zorder_oracle_sql()
+
+ORACLE["local_supplier_volume"] = """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+"""
+ORACLE["disjunctive_join_filter"] = """
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+ORACLE["waiting_suppliers"] = """
+    WITH l1 AS (
+        SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    per_supp AS (
+        SELECT okey, skey, max(late) AS supp_late FROM l1 GROUP BY 1, 2
+    ),
+    per_order AS (
+        SELECT okey, count(*) AS n_supps, sum(supp_late) AS n_late_supps
+        FROM per_supp GROUP BY 1
+    ),
+    culprit AS (
+        SELECT ps.skey
+        FROM per_supp ps JOIN per_order po USING (okey)
+        WHERE ps.supp_late = 1 AND po.n_supps > 1 AND po.n_late_supps = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM culprit JOIN supplier s ON culprit.skey = s.s_suppkey
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+"""
