@@ -464,6 +464,9 @@ _RECHECK = [
     "local_supplier_volume",
     "disjunctive_join_filter",
     "waiting_suppliers",
+    "url_dedup",
+    "triangle_count",
+    "numeric_histogram",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

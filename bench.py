@@ -68,6 +68,17 @@ HEADLINE = [
     "hll_rollup",
     # scale infrastructure
     "zorder_key",
+    # round-4 session-2 additions: sketches, LM scoring, semantic
+    # dedup, corpus fingerprints, manifest pruning, TPC-H plan shapes
+    "cms_heavy_hitters",
+    "bloom_prefilter",
+    "ngram_lm_score",
+    "semantic_dedup",
+    "corpus_overlap",
+    "pruned_scan",
+    "local_supplier_volume",
+    "disjunctive_join_filter",
+    "waiting_suppliers",
 ]
 
 

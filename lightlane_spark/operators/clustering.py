@@ -288,3 +288,37 @@ def pagerank_integer(
             .localCheckpoint()
         )
     return ranks.select("id", "rank")
+
+
+def triangle_count(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Distributed triangle count over a canonical (``id_a < id_b``)
+    edge set — the density diagnostic for near-dup graphs: connected
+    components say "these docs are transitively linked", the triangle
+    count says how CLIQUE-LIKE the families are (boilerplate template
+    clusters triangulate heavily; chains of borderline matches do
+    not), which is the standard signal for tightening a threshold
+    before collapse.
+
+    Shape: the classic two-join formulation. Canonical orientation
+    (a<b<c) makes every triangle count exactly once with no /3 or /6
+    correction: wedges a-b-c from e⋈e on the middle vertex, closed by
+    a semi-check of (a,c) against the edge set. Two shuffle joins; the
+    wedge relation is Σ deg(v)² rows — at 100 TB graphs the standard
+    mitigation (not needed at near-dup-family sizes, where components
+    are small by construction) is orienting edges by degree before
+    the join, which this canonical form already approximates for the
+    id-as-arrival-order graphs produced by the dedup pipeline.
+    """
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    wedges = e.join(
+        e.select(F.col("a").alias("__m"), F.col("b").alias("c")),
+        F.col("b") == F.col("__m"),
+    )
+    closed = wedges.join(
+        e.select(F.col("a").alias("__ca"), F.col("b").alias("__cb")),
+        (F.col("a") == F.col("__ca")) & (F.col("c") == F.col("__cb")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

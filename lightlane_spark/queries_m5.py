@@ -852,6 +852,47 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_tokens", window_tokens=256, buckets=8)
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the verified near-dup graph — how
+    clique-like the duplicate families are (see
+    ``clustering.triangle_count``). Exact oracle: the same two-join
+    closure over the SQL-reproduced pair set."""
+    from lightlane_spark.operators.clustering import triangle_count
+
+    pairs = dedup_minhash(_docs_with_dups(spark, sf_dir), threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    return triangle_count(pairs)
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl stage-0 dedup on canonical URLs (operators/web.py): a
+    deterministic messy-URL fixture (upper-cased scheme/host, default
+    port, utm param, alternating trailing slash and fragment) keyed to
+    doc_id arithmetic, normalized engine-side with parse_url
+    expressions, then min-id per canonical URL. The oracle states the
+    expected canonical form directly from the same doc_id arithmetic —
+    every normalization rule is therefore value-checked end-to-end."""
+    from lightlane_spark.operators.web import url_dedup
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper("source"),
+            F.lit(".Example.COM:443/path/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?id="),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("&utm_source=feed"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ),
+    )
+    return url_dedup(raw).select("doc_id", "norm_url")
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-corpus overlap from corpus-level MinHash
     fingerprints (one signature per source, pairwise agreement
@@ -992,6 +1033,8 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "semantic_dedup": q_semantic_dedup,
     "corpus_overlap": q_corpus_overlap,
+    "url_dedup": q_url_dedup,
+    "triangle_count": q_triangle_count,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_lm_score": q_ngram_lm_score,
@@ -1881,6 +1924,26 @@ def _bloom_prefilter_oracle_sql(num_bits: int = 256, k: int = 4) -> str:
 
 
 ORACLE["semantic_dedup"] = "SELECT vec_id FROM embeddings"
+ORACLE["triangle_count"] = f"""
+    WITH pairs AS ({ORACLE["minhash_lsh_pairs"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e1.id_b = e2.id_a
+    WHERE EXISTS (
+        SELECT 1 FROM pairs e3
+        WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+"""
+ORACLE["url_dedup"] = """
+    WITH d AS (
+        SELECT doc_id,
+               'https://' || lower(source) || '.example.com/path/'
+               || CAST(doc_id % 7 AS VARCHAR)
+               || '?id=' || CAST(doc_id % 50 AS VARCHAR) AS norm_url
+        FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, norm_url FROM d GROUP BY norm_url
+"""
 ORACLE["corpus_overlap"] = """
     WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
     sh AS (

@@ -947,6 +947,30 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (20 buckets over a
+    FIXED [0, 110000) domain — caller-supplied bounds like
+    ``layout.zorder_sql``, so bucket ids are stable across incremental
+    loads instead of re-deriving from a data-dependent min/max probe).
+    One map-side-combined aggregation: bucket arithmetic is a pure
+    projection, shuffle carries ≤ 20 rows per partition. Width 5500.0
+    is exactly representable, so floor(x / width) is IEEE-identical
+    cross-engine and the oracle matches exactly."""
+    li = read_table(spark, sf_dir, "lineitem")
+    width = 5500.0  # 110000 / 20
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / width).cast("int"), F.lit(19)
+    )
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("l_extendedprice"), "total", 2),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): six-way join where supplier
     and customer must share a nation — the classic Catalyst
@@ -1065,6 +1089,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "zorder_key": q_zorder_key,
     "local_supplier_volume": q_local_supplier_volume,
+    "numeric_histogram": q_numeric_histogram,
     "disjunctive_join_filter": q_disjunctive_join_filter,
     "waiting_suppliers": q_waiting_suppliers,
     "variant_extract": q_variant_extract,
@@ -1627,4 +1652,12 @@ ORACLE["waiting_suppliers"] = """
     GROUP BY 1
     ORDER BY numwait DESC, s_name
     LIMIT 20
+"""
+
+ORACLE["numeric_histogram"] = """
+    SELECT LEAST(CAST(floor(l_extendedprice / 5500.0) AS INTEGER), 19) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY 1
 """

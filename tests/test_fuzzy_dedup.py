@@ -230,3 +230,13 @@ def test_corpus_overlap_identical_and_disjoint(spark):
     assert got[("a", "b")] == (16, 1.0)   # identical corpora
     assert got[("a", "c")][0] == 0        # disjoint shingle sets
     assert got[("b", "c")][0] == 0
+
+
+def test_triangle_count_known_graph(spark):
+    from lightlane_spark.operators.clustering import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + a pendant edge + a 3-chain (0)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 9), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "id_a: bigint, id_b: bigint")
+    assert triangle_count(df).first().n_triangles == 4
