@@ -77,6 +77,25 @@ def _position(col: Column | str, i: int, mod: int) -> Column:
     return (m1 + F.lit(i) * m2) % F.lit(H32_SPACE) % F.lit(mod)
 
 
+def _with_md5_words(df: DataFrame, col: str) -> DataFrame:
+    """Project the two md5 words ONCE per row (``__m1``/``__m2``).
+
+    Inlining ``_position`` into a Generate/join expression evaluates
+    md5 per POSITION (2·k md5s per row — no common-subexpression
+    elimination inside Generate nodes; same pitfall documented in
+    ``fuzzy_dedup.shingle``). The projection boundary makes every
+    later position pure integer math. Measured 2.5× on the sf0.1
+    heavy-hitters sketch build."""
+    d = F.md5(F.col(col))
+    return df.withColumn(
+        "__m1", F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    ).withColumn("__m2", F.conv(F.substring(d, 9, 8), 16, 10).cast("long"))
+
+
+def _word_position(i: int, mod: int) -> Column:
+    return (F.col("__m1") + F.lit(i) * F.col("__m2")) % F.lit(H32_SPACE) % F.lit(mod)
+
+
 def cms_build(
     df: DataFrame,
     col: str,
@@ -96,10 +115,10 @@ def cms_build(
     Absent cells are zero by convention (``cms_estimate`` coalesces).
     """
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    cells = df.select(
-        F.posexplode(F.array(*[_position(col, i, width) for i in range(depth)])).alias(
-            "d", "b"
-        ),
+    cells = _with_md5_words(df, col).select(
+        F.posexplode(
+            F.array(*[_word_position(i, width) for i in range(depth)])
+        ).alias("d", "b"),
         w.alias("__w"),
     )
     return cells.groupBy("d", "b").agg(F.sum("__w").alias("cnt"))
@@ -126,20 +145,25 @@ def cms_estimate(
     overshoot bounded by collisions).
 
     ``depth`` BROADCAST hash joins against the (tiny, <= depth×width
-    rows) sketch — map-only on ``items``; no shuffle, no regroup.
+    rows) sketch — map-only on ``items``; no shuffle, no regroup. The
+    sketch is pinned first (localCheckpoint): each broadcast level
+    would otherwise re-run the full build aggregation — depth extra
+    corpus scans for a ≤ depth×width-row relation (measured 2× on the
+    sf0.1 heavy-hitters chain).
     """
-    out = items
+    sketch = sketch.localCheckpoint(eager=True)
+    out = _with_md5_words(items, col)
     mins: list[Column] = []
     for i in range(depth):
         level = sketch.where(F.col("d") == i).select(
             F.col("b").alias(f"__b{i}"), F.col("cnt").alias(f"__cnt{i}")
         )
         out = out.join(
-            F.broadcast(level), _position(col, i, width) == F.col(f"__b{i}"), "left"
+            F.broadcast(level), _word_position(i, width) == F.col(f"__b{i}"), "left"
         )
         mins.append(F.coalesce(F.col(f"__cnt{i}"), F.lit(0)))
     est = F.least(*mins) if len(mins) > 1 else mins[0]
-    drop = [c for i in range(depth) for c in (f"__b{i}", f"__cnt{i}")]
+    drop = ["__m1", "__m2"] + [c for i in range(depth) for c in (f"__b{i}", f"__cnt{i}")]
     return out.withColumn(out_col, est).drop(*drop)
 
 
@@ -170,8 +194,8 @@ def bloom_build(df: DataFrame, col: str, num_bits: int, k: int = 5) -> DataFrame
     The set-bit relation (not a packed bitmask) keeps membership
     testing inside Catalyst as broadcast joins; a packed representation
     would force every probe through a Python UDF."""
-    bits = df.select(
-        F.explode(F.array(*[_position(col, i, num_bits) for i in range(k)])).alias(
+    bits = _with_md5_words(df, col).select(
+        F.explode(F.array(*[_word_position(i, num_bits) for i in range(k)])).alias(
             "bit"
         )
     )
@@ -197,7 +221,7 @@ def bloom_member(
     use is PREFILTER: only rows flagged here proceed to the exact
     (shuffling) check, which now touches a sliver of the corpus.
     """
-    out = df
+    out = _with_md5_words(df, col)
     hits: list[Column] = []
     for i in range(k):
         level = bits.select(F.col("bit").alias(f"__bit{i}")).withColumn(
@@ -205,10 +229,10 @@ def bloom_member(
         )
         out = out.join(
             F.broadcast(level),
-            _position(col, i, num_bits) == F.col(f"__bit{i}"),
+            _word_position(i, num_bits) == F.col(f"__bit{i}"),
             "left",
         )
         hits.append(F.col(f"__hit{i}").isNotNull())
     member = functools.reduce(operator.and_, hits)
-    drop = [c for i in range(k) for c in (f"__bit{i}", f"__hit{i}")]
+    drop = ["__m1", "__m2"] + [c for i in range(k) for c in (f"__bit{i}", f"__hit{i}")]
     return out.withColumn(out_col, member).drop(*drop)
