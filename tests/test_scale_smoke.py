@@ -106,3 +106,66 @@ def test_pq_at_100k_vectors(spark):
     assert all(r.sim > 0.999 for r in top)
     assert wall < 300, f"PQ smoke too slow: {wall:.0f}s"
     print(f"PQ_SMOKE corpus=100000 probes=500 results={len(rows)} wall={wall:.1f}s")
+
+
+def test_sketch_and_lm_at_125k_docs(spark):
+    """The round-4 curation additions at 25× corpus: CMS heavy
+    hitters, Bloom prefilter, bigram-LM scoring, corpus fingerprints.
+    All are one-or-two-linear-shuffle shapes — wall time must stay
+    well inside linear territory."""
+    from lightlane_spark.operators.fuzzy_dedup import corpus_overlap_estimates
+    from lightlane_spark.operators.sketches import (
+        bloom_build,
+        bloom_member,
+        cms_build,
+        cms_estimate,
+    )
+    from lightlane_spark.operators.text import lm_doc_scores
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text", F.col("source")
+    )
+    copies = spark.range(25).withColumnRenamed("id", "copy")
+    corpus = docs.crossJoin(copies).select(
+        (F.col("doc_id") * 100 + F.col("copy")).alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("copy"), F.lit(" "), F.col("text")).alias("text"),
+        "source",
+    )
+    assert corpus.count() == 125_000
+
+    t0 = time.monotonic()
+    toks = corpus.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    sketch = cms_build(toks, "tok", depth=4, width=256)
+    est = cms_estimate(sketch, toks.distinct(), "tok", depth=4, width=256)
+    n_est = est.count()
+    t_cms = time.monotonic() - t0
+    assert n_est > 25  # base vocab + 25 copy markers
+
+    t0 = time.monotonic()
+    blocked = corpus.where(F.col("source") == "src0").select(F.md5("text").alias("fp"))
+    bits = bloom_build(blocked, "fp", num_bits=1 << 17, k=5)
+    flagged = bloom_member(
+        corpus.select(F.md5("text").alias("fp")), "fp", bits, 1 << 17, k=5
+    )
+    n_flagged = flagged.where("bloom_member").count()
+    t_bloom = time.monotonic() - t0
+    assert n_flagged >= 6_250  # all true members flagged (src0 = 1/20)
+
+    t0 = time.monotonic()
+    n_scored = lm_doc_scores(corpus).count()
+    t_lm = time.monotonic() - t0
+    assert n_scored == 125_000
+
+    t0 = time.monotonic()
+    n_pairs = corpus_overlap_estimates(corpus, group_col="source").count()
+    t_ov = time.monotonic() - t0
+    assert n_pairs == 190  # C(20,2)
+
+    total = t_cms + t_bloom + t_lm + t_ov
+    assert total < 300, f"sketch/lm smoke too slow: {total:.0f}s"
+    print(
+        f"SCALE_SMOKE_SKETCH cms={t_cms:.1f}s bloom={t_bloom:.1f}s "
+        f"lm={t_lm:.1f}s overlap={t_ov:.1f}s total={total:.1f}s"
+    )
