@@ -26,6 +26,16 @@ from lightlane_spark.loaders.loader import Loader, LoadMode
 from lightlane_spark.loaders.avro_sink import read_avro, write_avro
 from lightlane_spark.operators.dedup import dedup_keep_first
 from lightlane_spark.operators.pq import pq_encode, pq_fit, pq_topk
+from lightlane_spark.operators.sketches import (
+    bloom_build,
+    bloom_member,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+from lightlane_spark.operators.similarity import semantic_dedup
+from lightlane_spark.operators.web import normalize_url, url_dedup
+from lightlane_spark.loaders.dataskip import pruned_scan, write_with_stats
 
 __all__ = [
     "get_spark",
@@ -44,6 +54,16 @@ __all__ = [
     "pq_fit",
     "pq_encode",
     "pq_topk",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "bloom_build",
+    "bloom_member",
+    "semantic_dedup",
+    "normalize_url",
+    "url_dedup",
+    "write_with_stats",
+    "pruned_scan",
 ]
 
 __version__ = "0.1.0"

@@ -158,3 +158,74 @@ def test_zorder_key_bounds_and_monotone_scaling(x, y, bits):
     top = (1 << bits) - 1
     assert ux == cx * top // 10**6
     assert uy == cy * top // 10**6
+
+
+def _py_positions(s: str, k: int, mod: int) -> list[int]:
+    """Python model of sketches.position_sql (md5 double-hash)."""
+    import hashlib
+
+    h = hashlib.md5(s.encode()).hexdigest()
+    m1, m2 = int(h[:8], 16), int(h[8:16], 16)
+    return [((m1 + i * m2) % (1 << 32)) % mod for i in range(k)]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=4),
+        min_size=1,
+        max_size=60,
+    ),
+    depth=st.integers(2, 4),
+    width=st.integers(4, 64),
+)
+@settings(max_examples=8, deadline=None)
+def test_cms_matches_python_model_and_never_undercounts(spark, words, depth, width):
+    """The Spark CMS equals an exact python simulation of the same
+    double-hash grid (collisions included), and every estimate bounds
+    the true multiset count from above — on arbitrary small corpora."""
+    from collections import Counter
+
+    from lightlane_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(w,) for w in words], "tok: string")
+    grid = Counter()
+    for w in words:
+        for d, b in enumerate(_py_positions(w, depth, width)):
+            grid[(d, b)] += 1
+    sketch = {(r.d, r.b): r.cnt for r in cms_build(df, "tok", depth, width).collect()}
+    assert sketch == dict(grid)
+
+    truth = Counter(words)
+    est = {
+        r.tok: r.cms_est
+        for r in cms_estimate(
+            cms_build(df, "tok", depth, width), df.distinct(), "tok", depth, width
+        ).collect()
+    }
+    for w, c in truth.items():
+        assert est[w] >= c
+        assert est[w] == min(grid[(d, b)] for d, b in enumerate(_py_positions(w, depth, width)))
+
+
+@given(
+    members=st.sets(st.text(alphabet="xyz01", min_size=1, max_size=5), min_size=1, max_size=15),
+    probes=st.sets(st.text(alphabet="xyz01", min_size=1, max_size=5), min_size=1, max_size=15),
+    k=st.integers(2, 5),
+)
+@settings(max_examples=8, deadline=None)
+def test_bloom_matches_python_model(spark, members, probes, k):
+    """Spark Bloom membership equals the python bit-set model exactly:
+    no false negatives ever; false positives exactly when all k bits
+    collide."""
+    from lightlane_spark.operators.sketches import bloom_build, bloom_member
+
+    num_bits = 64
+    mdf = spark.createDataFrame([(m,) for m in sorted(members)], "k: string")
+    pdf = spark.createDataFrame([(p,) for p in sorted(probes)], "k: string")
+    bits = {b for m in members for b in _py_positions(m, k, num_bits)}
+    got = {
+        r.k: r.bloom_member
+        for r in bloom_member(pdf, "k", bloom_build(mdf, "k", num_bits, k), num_bits, k).collect()
+    }
+    for p in probes:
+        assert got[p] == all(b in bits for b in _py_positions(p, k, num_bits))
