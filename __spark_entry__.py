@@ -467,6 +467,8 @@ _RECHECK = [
     "url_dedup",
     "triangle_count",
     "numeric_histogram",
+    "funnel_analysis",
+    "retention_cohorts",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -143,12 +143,61 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage's
+    timestamp must strictly follow the previous stage's FIRST
+    occurrence per user. Three per-user min-aggregations chained by
+    user_id joins — after the first aggregation everything is
+    co-partitioned on user_id, so AQE reuses the exchange; no window
+    over raw events (the naive sessionized-scan formulation shuffles
+    the full event log per stage). Emits one row of stage counts."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(etype: str, prev, prev_col: str, out: str):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    views = first_after("view", None, "", "t_view")
+    clicks = first_after("click", views, "t_view", "t_click")
+    purchases = first_after("purchase", clicks, "t_click", "t_purchase")
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(purchases.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, retained_k =
+    distinct users active k days later (k ≤ 7). Two aggregations (first
+    day per user; distinct active days per user) joined on user_id,
+    then one count-distinct per (cohort, offset). The small-output /
+    big-input shape every analytics store optimizes for — all
+    map-side-combined aggs, no self-join of the event log."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn("offset_days", F.datediff("day", "cohort_day"))
+        .where(F.col("offset_days").between(0, 7))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").alias("retained"))
+    )
+
+
 QUERIES = {
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
     "range_join": q_range_join,
     "time_rollup": q_time_rollup,
     "resample_fill": q_resample_fill,
+    "funnel_analysis": q_funnel_analysis,
+    "retention_cohorts": q_retention_cohorts,
 }
 
 
@@ -230,3 +279,33 @@ ORACLE = {
           ON a.event_type = g.event_type AND a.bucket = g.bucket
     """,
 }
+
+ORACLE["funnel_analysis"] = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase
+"""
+ORACLE["retention_cohorts"] = """
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, day FROM ev)
+    SELECT f.cohort_day, a.day - f.cohort_day AS offset_days,
+           count(DISTINCT a.user_id) AS retained
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    WHERE a.day - f.cohort_day BETWEEN 0 AND 7
+    GROUP BY 1, 2
+"""

@@ -175,3 +175,46 @@ def test_pq_topk_no_cartesian_and_broadcast_rerank(spark, sf_dir):
     ps = plan_summary(out)
     assert "CartesianProduct" not in ps.text
     assert ps.broadcast_joins >= 2, ps.text[:800]
+
+
+def test_cms_estimate_broadcast_only_probe_side(spark, sf_dir):
+    """CMS estimation must be broadcast joins on the probe side — a
+    sort-merge join would shuffle the (at scale, corpus-sized) item
+    relation against a kilobyte sketch."""
+    from lightlane_spark.operators.sketches import cms_build, cms_estimate
+
+    toks = read_table(spark, sf_dir, "documents").selectExpr(
+        "explode(split(text, ' ')) AS tok"
+    )
+    est = cms_estimate(cms_build(toks, "tok", 3, 64), toks.distinct(), "tok", 3, 64)
+    ps = plan_summary(est)
+    assert ps.broadcast_joins == 3, ps.text[:800]
+    assert ps.sortmerge_joins == 0
+
+
+def test_pruned_scan_reads_file_subset_and_pushes_filter(spark, sf_dir, tmp_path):
+    """The manifest must shrink the file list BEFORE the scan, and the
+    residual predicate must still push into parquet."""
+    import datetime as dt
+
+    from lightlane_spark.loaders.dataskip import pruned_scan, write_with_stats
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    path = str(tmp_path / "li_skip")
+    write_with_stats(li, path, ["l_shipdate"], num_files=8)
+    out = pruned_scan(
+        spark, path, "l_shipdate", dt.date(1995, 1, 1), dt.date(1995, 6, 30)
+    )
+    assert 0 < len(out.inputFiles()) < 8
+    ps = plan_summary(out)
+    assert any("l_shipdate" in f for f in ps.pushed_filters), ps.pushed_filters
+
+
+def test_local_supplier_volume_broadcasts_all_dims(spark, sf_dir):
+    """Q5: supplier/nation/region must broadcast; only the fact-fact
+    orderkey join and the aggregation may shuffle."""
+    from lightlane_spark.queries_relational import q_local_supplier_volume
+
+    ps = plan_summary(q_local_supplier_volume(spark, sf_dir))
+    assert ps.text.count("BroadcastHashJoin") >= 3, ps.text[:800]
+    assert "CartesianProduct" not in ps.text
