@@ -100,6 +100,30 @@ def _t_sql(df: DataFrame, query: str, **_: Any) -> DataFrame:
     return df.sparkSession.sql(query)
 
 
+def _t_url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id", **_: Any
+) -> DataFrame:
+    """Crawl stage-0: canonical-URL dedup (operators/web.py)."""
+    from lightlane_spark.operators.web import url_dedup
+
+    return url_dedup(df, url_col=url_col, id_col=id_col)
+
+
+def _t_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lm_score",
+    **_: Any,
+) -> DataFrame:
+    """Self-trained bigram-LM surprisal scores joined back onto the
+    rows (operators/text.py::lm_doc_scores)."""
+    from lightlane_spark.operators.text import lm_doc_scores
+
+    scores = lm_doc_scores(df, text_col=text_col, id_col=id_col, out_col=out_col)
+    return df.join(scores, on=id_col, how="left")
+
+
 _TRANSFORMS: dict[str, Any] = {
     "filter": _t_filter,
     "select": _t_select,
@@ -109,6 +133,8 @@ _TRANSFORMS: dict[str, Any] = {
     "explode": _t_explode,
     "dedup": _t_dedup,
     "sql": _t_sql,
+    "url_dedup": _t_url_dedup,
+    "lm_score": _t_lm_score,
 }
 
 # Pipeline-method transforms (corpus stages) — dispatched by name with

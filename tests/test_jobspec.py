@@ -161,3 +161,45 @@ def test_avro_and_json_sink_specs(spark, sf_dir, tmp_path):
     n = read_table(spark, sf_dir, "lineitem").count()
     assert read_avro(spark, avro_out, ddl).count() == n
     assert read_json(spark, json_out, ddl).count() == n
+
+
+def test_curation_ops_in_spec(spark, sf_dir, tmp_path):
+    """The round-4 curation transforms are spec-addressable: build a
+    messy-URL corpus, url_dedup it, score with the bigram LM, and cut
+    on the score — all as data, no Python."""
+    out = str(tmp_path / "curated")
+    spec = {
+        "extract": {
+            "kind": "parquet",
+            "sf_dir": sf_dir,
+            "table": "documents",
+            "columns": ["doc_id", "text", "source"],
+        },
+        "transforms": [
+            {
+                "op": "with_column",
+                "name": "url",
+                "expr": "concat('HTTP://', upper(source), '.EX.com:80/d/',"
+                " CAST(doc_id % 9 AS STRING), '?utm_source=x')",
+            },
+            {"op": "url_dedup", "url_col": "url", "id_col": "doc_id"},
+            {"op": "lm_score", "text_col": "text", "id_col": "doc_id"},
+            {"op": "filter", "predicate": "lm_score IS NOT NULL"},
+            {"op": "select", "columns": ["doc_id", "norm_url", "lm_score"]},
+        ],
+        "sinks": [{"kind": "parquet", "path": out}],
+    }
+    metrics = run_job(spark, spec)
+    back = spark.read.parquet(out)
+    # 9 distinct canonical urls per source-group... dedup keyed on the
+    # normalized url (source x doc_id%9 buckets)
+    n_groups = (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr("lower(source) AS s", "doc_id % 9 AS m")
+        .distinct()
+        .count()
+    )
+    assert back.count() == n_groups
+    assert set(back.columns) == {"doc_id", "norm_url", "lm_score"}
+    assert back.where("norm_url LIKE 'http://%.ex.com/d/%?%'").count() == 0  # utm gone
+    assert back.where("norm_url LIKE 'http://%.ex.com/d/%'").count() == n_groups
