@@ -73,8 +73,6 @@ def write_with_stats(
     its pruning. Min/max come from the parquet footers, so they are
     exactly what the files contain, never a second data pass.
     """
-    import pyarrow.parquet as pq
-
     lc = layout_col or stats_cols[0]
     (
         df.repartitionByRange(num_files, F.col(lc))
@@ -82,6 +80,20 @@ def write_with_stats(
         .write.mode("overwrite")
         .parquet(path)
     )
+    return write_manifest(path, stats_cols)
+
+
+def write_manifest(path: str, stats_cols: list[str]) -> dict[str, dict[str, list[Any]]]:
+    """Collect per-file min/max for ``stats_cols`` from the parquet
+    footers already on disk and persist ``_lightlane_manifest.json``.
+
+    Public so ANY layout can get a manifest — in particular
+    ``layout.zorder_repartition`` output, where the interleaved sort
+    key gives tight envelopes on EVERY participating column and the
+    manifest then prunes on any of them (multi-dimensional file
+    skipping; pinned in tests/test_dataskip.py)."""
+    import pyarrow.parquet as pq
+
     manifest: dict[str, dict[str, list[Any]]] = {}
     for f in sorted(glob.glob(os.path.join(path, "part-*.parquet"))):
         md = pq.ParquetFile(f).metadata
