@@ -469,6 +469,7 @@ _RECHECK = [
     "numeric_histogram",
     "funnel_analysis",
     "retention_cohorts",
+    "curation_pipeline",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -852,6 +852,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_tokens", window_tokens=256, buckets=8)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-curation chain, value-pinned: messy-URL fixture
+    → canonical-URL dedup → self-trained bigram-LM scoring → keep
+    at-or-below-average surprisal (threshold compared as
+    ``score·n ≤ Σscore`` in exact DECIMAL — no division, no
+    engine-specific decimal scale rules) → exact text dedup (min-id
+    per md5) → per-source survivor counts. Every stage is one of this
+    repo's operators; the oracle replays the whole chain in SQL, so a
+    regression ANYWHERE in the five-stage composition hash-mismatches.
+    """
+    from pyspark.sql import Window
+
+    from lightlane_spark.operators.text import lm_doc_scores
+    from lightlane_spark.operators.web import url_dedup
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    raw = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper("source"),
+            F.lit(".Example.COM:443/p/"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("?id="),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit("&utm_campaign=c"),
+        ),
+    )
+    kept = url_dedup(raw).select("doc_id", "text", "source")
+    scored = kept.join(
+        lm_doc_scores(kept.select("doc_id", "text")), "doc_id"
+    ).withColumn("__q", F.col("lm_score").cast("decimal(18,6)"))
+    thr = scored.agg(
+        F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    filtered = scored.crossJoin(F.broadcast(thr)).where(
+        F.col("__q") * F.col("__n") <= F.col("__s")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    return deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the verified near-dup graph — how
     clique-like the duplicate families are (see
@@ -1035,6 +1081,7 @@ QUERIES = {
     "corpus_overlap": q_corpus_overlap,
     "url_dedup": q_url_dedup,
     "triangle_count": q_triangle_count,
+    "curation_pipeline": q_curation_pipeline,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_lm_score": q_ngram_lm_score,
@@ -2001,4 +2048,55 @@ ORACLE["ngram_lm_score"] = """
     )
     SELECT doc_id, ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS lm_score
     FROM terms GROUP BY doc_id
+"""
+
+ORACLE["curation_pipeline"] = """
+    WITH d AS (SELECT doc_id, text, source FROM documents),
+    kept_ids AS (
+        SELECT min(doc_id) AS doc_id
+        FROM d GROUP BY source, doc_id % 5, doc_id % 11
+    ),
+    kd AS (SELECT d.* FROM d JOIN kept_ids USING (doc_id)),
+    t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM kd
+    ),
+    uni AS (
+        SELECT tok, COUNT(*) AS cu
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1
+    ),
+    v AS (SELECT COUNT(*) AS vn FROM uni),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(list_slice(toks, 1, len(toks) - 1),
+                                     (w, i) -> w || ' ' || toks[i + 1])) AS bigram
+        FROM t
+    ),
+    bgc AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY 1),
+    terms AS (
+        SELECT bg.doc_id,
+               CAST(ROUND(-ln((bgc.cb + 1.0) / (uni.cu + v.vn)), 9)
+                    AS DECIMAL(18,9)) AS term
+        FROM bg
+        JOIN bgc USING (bigram)
+        JOIN uni ON uni.tok = string_split(bg.bigram, ' ')[1]
+        CROSS JOIN v
+    ),
+    scores AS (
+        SELECT doc_id,
+               CAST(ROUND(CAST(SUM(term) AS DOUBLE) / COUNT(*), 6)
+                    AS DECIMAL(18,6)) AS q
+        FROM terms GROUP BY doc_id
+    ),
+    sc AS (
+        SELECT kd.doc_id, kd.text, kd.source, s.q
+        FROM kd JOIN scores s USING (doc_id)
+    ),
+    agg AS (SELECT SUM(q) AS s, COUNT(*) AS n FROM sc),
+    filt AS (SELECT sc.* FROM sc, agg WHERE sc.q * agg.n <= agg.s),
+    ded AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text))
+    SELECT source, count(*) AS n_docs
+    FROM filt JOIN ded USING (doc_id)
+    GROUP BY 1
 """
