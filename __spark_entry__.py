@@ -470,6 +470,7 @@ _RECHECK = [
     "funnel_analysis",
     "retention_cohorts",
     "curation_pipeline",
+    "minhash_join",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

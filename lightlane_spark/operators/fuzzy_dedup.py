@@ -559,3 +559,56 @@ def corpus_overlap_estimates(
         "n_agree",
         F.round(F.col("n_agree") / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
     )
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Cross-corpus fuzzy JOIN on document similarity: pairs
+    (left_id, right_id, jaccard) with Jaccard(shingles) ≥ threshold —
+    record linkage between two tables (crawl batch vs accepted index,
+    vendor feed vs master catalog) WITHOUT the O(|L|·|R|) similarity
+    join a naive formulation needs.
+
+    Implementation: both sides enter the SAME banding pipeline as
+    ``dedup_minhash`` under a parity-disjoint id embedding
+    (left → 2·id, right → 2·id+1 — caller ids may overlap freely;
+    ids must fit 62 bits), then only cross-parity verified pairs are
+    kept and mapped back. Reusing the self-join machinery means the
+    same scale guarantees apply verbatim: one persisted shingle
+    relation, bucket-local candidate expansion with Σ|bucket|² capped,
+    verification touching candidate docs only. Within-corpus duplicate
+    pairs are computed-and-discarded rather than avoided — at the
+    bucket level the cross-pair share is the product distribution,
+    and the alternative (a second keyed exchange to segregate sides)
+    costs more than the discarded expansions under the bucket cap.
+    """
+    lft = left.select((F.col(id_col) * 2).alias(id_col), F.col(text_col))
+    rgt = right.select((F.col(id_col) * 2 + 1).alias(id_col), F.col(text_col))
+    corpus = lft.unionByName(rgt)
+    sh = shingle(corpus, text_col, id_col, k, distinct=False).persist()
+    sig = minhash_signature_arrays(sh, id_col, num_hashes)
+    keys = lsh_band_keys(sig, id_col, bands, num_hashes // bands)
+    buckets = lsh_buckets(keys, id_col).persist()
+    cand = _pairs_from_buckets(buckets, max_bucket_size=max_bucket_size)
+    ids = bucket_candidate_ids(buckets, id_col, max_bucket_size=max_bucket_size)
+    verified = jaccard_verify(
+        cand, sh, id_col, threshold, shingles_distinct=False, cand_ids=ids
+    )
+    cross = verified.where((F.col("id_a") + F.col("id_b")) % 2 == 1)
+    even = F.when(F.col("id_a") % 2 == 0, F.col("id_a")).otherwise(F.col("id_b"))
+    odd = F.when(F.col("id_a") % 2 == 1, F.col("id_a")).otherwise(F.col("id_b"))
+    # shiftright, not /2: float division loses exactness past 2^53
+    return cross.select(
+        F.shiftright(even, 1).alias("left_id"),
+        F.shiftright(odd, 1).alias("right_id"),
+        "jaccard",
+    )

@@ -852,6 +852,88 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_tokens", window_tokens=256, buckets=8)
 
 
+def q_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy join (``fuzzy_dedup.minhash_join``): the
+    corpus joined against an 'incoming batch' of mutated docs (every
+    6th doc, first word dropped) on Jaccard ≥ 0.5. Each batch doc must
+    link back to its original; threshold 0.5 clears the one-word
+    mutation's Jaccard loss. Exact oracle: the full banding pipeline
+    over the parity-embedded union, cross-parity pairs mapped back."""
+    from lightlane_spark.operators.fuzzy_dedup import minhash_join
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 6 == 0).select(
+        "doc_id",
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    out = minhash_join(docs, batch, threshold=0.5)
+    return out.select(
+        "left_id", "right_id", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def _minhash_join_oracle_sql(threshold: float = 0.5) -> str:
+    """The q_minhash_join pipeline in SQL: parity-embedded union →
+    the same 3-gram/16-hash/4-band chain as ``_MINHASH_CTES`` →
+    cross-parity verified pairs mapped back to (left_id, right_id)."""
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id * 2 AS doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1, substring(text, instr(text, ' ') + 1)
+        FROM documents WHERE doc_id % 6 = 0
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
+        WHERE len(t) >= 3
+    ),
+    shh AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(sh), 1, 8))::BIGINT AS m1,
+               ('0x' || substr(md5(sh), 9, 8))::BIGINT AS m2
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((m1 + seed * m2) % 4294967296) AS minh
+        FROM shh, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               string_agg(minh, ',' ORDER BY seed) AS band_sig
+        FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        GROUP BY c.id_a, c.id_b
+    ),
+    verified AS (
+        SELECT i.id_a, i.id_b,
+               CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter)
+              >= {threshold}
+    )
+    SELECT (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2 AS left_id,
+           (CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) // 2 AS right_id,
+           round(jaccard, 6) AS jaccard
+    FROM verified WHERE (id_a + id_b) % 2 = 1
+    """
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl-curation chain, value-pinned: messy-URL fixture
     → canonical-URL dedup → self-trained bigram-LM scoring → keep
@@ -1082,6 +1164,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "triangle_count": q_triangle_count,
     "curation_pipeline": q_curation_pipeline,
+    "minhash_join": q_minhash_join,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_lm_score": q_ngram_lm_score,
@@ -1971,6 +2054,7 @@ def _bloom_prefilter_oracle_sql(num_bits: int = 256, k: int = 4) -> str:
 
 
 ORACLE["semantic_dedup"] = "SELECT vec_id FROM embeddings"
+ORACLE["minhash_join"] = _minhash_join_oracle_sql()
 ORACLE["triangle_count"] = f"""
     WITH pairs AS ({ORACLE["minhash_lsh_pairs"]})
     SELECT CAST(count(*) AS BIGINT) AS n_triangles

@@ -240,3 +240,24 @@ def test_triangle_count_known_graph(spark):
              (4, 9), (10, 11), (11, 12)]
     df = spark.createDataFrame(edges, "id_a: bigint, id_b: bigint")
     assert triangle_count(df).first().n_triangles == 4
+
+
+def test_minhash_join_links_batch_to_originals(spark):
+    from lightlane_spark.operators.fuzzy_dedup import minhash_join
+
+    base = [
+        (i, " ".join("w%d" % ((i * 31 + j) % 11) for j in range(30)))
+        for i in range(40)
+    ]
+    left = spark.createDataFrame(base, "doc_id: bigint, text: string")
+    # batch: ids RE-USED from an unrelated space (collision with left
+    # ids is the point of the parity embedding)
+    batch = spark.createDataFrame(
+        [(i, t.split(" ", 1)[1]) for i, t in base[:10]],
+        "doc_id: bigint, text: string",
+    )
+    out = minhash_join(left, batch, threshold=0.5)
+    got = {(r.left_id, r.right_id) for r in out.collect()}
+    for i in range(10):
+        assert (i, i) in got  # every batch doc links to its original
+    assert all(r.jaccard >= 0.5 for r in out.collect())
