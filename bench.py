@@ -79,6 +79,9 @@ HEADLINE = [
     "local_supplier_volume",
     "disjunctive_join_filter",
     "waiting_suppliers",
+    "curation_pipeline",
+    "minhash_join",
+    "retention_cohorts",
 ]
 
 
