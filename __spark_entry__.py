@@ -471,6 +471,7 @@ _RECHECK = [
     "retention_cohorts",
     "curation_pipeline",
     "minhash_join",
+    "cdc_chunks",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -668,3 +668,61 @@ def lm_doc_scores(
     return scored.groupBy(id_col).agg(
         F.round(F.sum("__term").cast("double") / F.count(F.lit(1)), 6).alias(out_col)
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_bits: int = 5,
+) -> DataFrame:
+    """Content-defined chunking: split documents at TOKEN positions
+    whose portable hash ends in ``mask_bits`` zero bits (average chunk
+    ≈ 2^mask_bits tokens). Unlike fixed windows (``chunk_text_udtf``),
+    boundaries depend only on local content — insert a paragraph at
+    the top of a document and every later chunk is UNCHANGED, so
+    chunk-level dedup/caching still hits. This is the rsync/LBFS/CDC
+    trick applied to token streams; the standard chunking for
+    dedup-friendly training-data pipelines.
+
+    Returns (id, chunk_idx, chunk_text, n_tokens).
+
+    Shape: posexplode → boundary flag (pure h32 arithmetic) →
+    cumulative sum over a per-doc window (one shuffle keyed by id) →
+    groupBy (id, chunk) reassembly in position order (second shuffle
+    co-partitioned on id, exchange-reused). No Python anywhere;
+    deterministic md5 boundaries give an exact SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    from lightlane_spark.functions.hashing import h32
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.filter(F.split(F.col(text_col), " "), lambda x: x != "")).alias(
+            "pos", "tok"
+        ),
+    )
+    # boundary AFTER a token whose hash has mask_bits low zero bits:
+    # chunk index = number of boundary tokens strictly before this one
+    flagged = toks.withColumn(
+        "__b", (h32(F.col("tok")) % F.lit(1 << mask_bits) == 0).cast("int")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = flagged.withColumn(
+        "chunk_idx", F.coalesce(F.sum("__b").over(w), F.lit(0)).cast("int")
+    )
+    return chunked.groupBy(id_col, "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )

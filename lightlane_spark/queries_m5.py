@@ -852,6 +852,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "n_tokens", window_tokens=256, buckets=8)
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (``text.cdc_chunks``): boundaries from
+    token-hash low bits, so identical passages chunk identically at
+    any document offset (dedup-friendly, unlike fixed windows). Exact
+    oracle: the same md5 boundary rule as a SQL window cumsum."""
+    from lightlane_spark.operators.text import cdc_chunks
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunks(docs, mask_bits=5)
+
+
 def q_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus fuzzy join (``fuzzy_dedup.minhash_join``): the
     corpus joined against an 'incoming batch' of mutated docs (every
@@ -1165,6 +1176,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "curation_pipeline": q_curation_pipeline,
     "minhash_join": q_minhash_join,
+    "cdc_chunks": q_cdc_chunks,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_lm_score": q_ngram_lm_score,
@@ -2055,6 +2067,36 @@ def _bloom_prefilter_oracle_sql(num_bits: int = 256, k: int = 4) -> str:
 
 ORACLE["semantic_dedup"] = "SELECT vec_id FROM embeddings"
 ORACLE["minhash_join"] = _minhash_join_oracle_sql()
+ORACLE["cdc_chunks"] = """
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(range(1, len(t) + 1)) AS pos
+        FROM d
+    ),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM toks
+    ),
+    chunked AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(SUM(b) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_idx
+        FROM flagged
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+           count(*) AS n_tokens
+    FROM chunked GROUP BY 1, 2
+"""
 ORACLE["triangle_count"] = f"""
     WITH pairs AS ({ORACLE["minhash_lsh_pairs"]})
     SELECT CAST(count(*) AS BIGINT) AS n_triangles

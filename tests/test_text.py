@@ -247,3 +247,24 @@ def test_lm_doc_scores_known_values_and_short_docs(spark):
     assert got[1] == round((2 * t_ab + t_ba) / 3, 6)
     assert got[2] == round(t_ab, 6)
     assert 3 not in got and 4 not in got  # <2 tokens → no bigrams
+
+
+def test_cdc_chunks_shift_invariant(spark):
+    """The CDC property fixed windows lack: prepending a paragraph
+    leaves every later chunk's text unchanged (only indices shift)."""
+    from lightlane_spark.operators.text import cdc_chunks
+
+    body = " ".join("tok%d" % (i % 37) for i in range(300))
+    df = spark.createDataFrame(
+        [(1, body), (2, "new intro paragraph here " + body)],
+        "doc_id: bigint, text: string",
+    )
+    out = cdc_chunks(df, mask_bits=4).collect()
+    c1 = [r.chunk_text for r in sorted(out, key=lambda r: r.chunk_idx) if r.doc_id == 1]
+    c2 = [r.chunk_text for r in sorted(out, key=lambda r: r.chunk_idx) if r.doc_id == 2]
+    assert len(c1) > 3  # boundaries actually fired
+    # all but doc2's first chunk(s) realign with doc1's chunks
+    tail1, tail2 = c1[1:], c2[-(len(c1) - 1):]
+    assert tail1 == tail2
+    # reassembly is lossless
+    assert " ".join(c1) == body
