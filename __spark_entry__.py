@@ -443,16 +443,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness run truncates at 50 queries. After round 3
-# every declared query has been through the window at least once
-# (117/120 fully green; 3 were no_oracle), so round 4's window is a
-# REGRESSION rotation, oldest-green first:
-#   1. the 3 queries that gained oracles this round (first chance at a
-#      fully green row),
-#   2. the 3 whose implementation changed this round (corr_matrix
-#      decimal fix, zorder int32 fix, versioned rollback fix),
-#   3. the 23 whose last green row is r01 (not driver-touched since),
-#   4. r02-last-checked queries filling the remaining slots; r03-green
-#      queries rotate to the back.
+# every declared query has been through the window at least once, so
+# the window front-loads, in order:
+#   1. queries that are brand-new this round (first driver check) —
+#      the round-4 sessions added 25 of them (sketches, LM scoring,
+#      data skipping, semantic dedup, corpus overlap, TPC-H plan
+#      shapes, URL/triangle/funnel/retention/curation/minhash-join/
+#      cdc-chunks, Avro/JDBC/PQ/stateful-streaming),
+#   2. queries whose implementation changed this round,
+#   3. oldest-green queries filling the remaining slots; recently
+#      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
     "cms_heavy_hitters",

@@ -35,7 +35,12 @@ from lightlane_spark.operators.sketches import (
 )
 from lightlane_spark.operators.similarity import semantic_dedup
 from lightlane_spark.operators.web import normalize_url, url_dedup
-from lightlane_spark.loaders.dataskip import pruned_scan, write_with_stats
+from lightlane_spark.loaders.dataskip import (
+    pruned_scan,
+    pruned_scan_multi,
+    write_manifest,
+    write_with_stats,
+)
 
 __all__ = [
     "get_spark",
@@ -63,7 +68,9 @@ __all__ = [
     "normalize_url",
     "url_dedup",
     "write_with_stats",
+    "write_manifest",
     "pruned_scan",
+    "pruned_scan_multi",
 ]
 
 __version__ = "0.1.0"

@@ -132,6 +132,48 @@ def pruned_files(path: str, col: str, lo: Any, hi: Any) -> tuple[list[str], int]
     return keep, len(manifest)
 
 
+def pruned_files_multi(
+    path: str, ranges: dict[str, tuple[Any, Any]]
+) -> tuple[list[str], int]:
+    """Files whose envelopes intersect EVERY [lo, hi] in ``ranges`` —
+    conjunctive pruning across manifest columns. With a Z-ordered
+    layout (``layout.zorder_repartition`` + ``write_manifest``) each
+    file is tight on every participating dimension, so a two-column
+    predicate keeps roughly the PRODUCT of the per-column survival
+    fractions instead of their minimum."""
+    with open(os.path.join(path, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    keep = []
+    for fname, stats in sorted(manifest.items()):
+        ok = True
+        for col, (lo, hi) in ranges.items():
+            mn, mx = stats.get(col, [None, None])
+            if mn is None or mx is None:
+                continue  # unknown stats → cannot prune on this column
+            if mx < _encode(lo) or mn > _encode(hi):
+                ok = False
+                break
+        if ok:
+            keep.append(fname)
+    return keep, len(manifest)
+
+
+def pruned_scan_multi(
+    spark: SparkSession, path: str, ranges: dict[str, tuple[Any, Any]]
+) -> DataFrame:
+    """Conjunctive-range scan over manifest-surviving files with every
+    predicate re-applied — identical to the full-scan filter chain."""
+    keep, _ = pruned_files_multi(path, ranges)
+    df = (
+        spark.read.parquet(*[os.path.join(path, f) for f in keep])
+        if keep
+        else spark.read.parquet(path).where(F.lit(False))
+    )
+    for col, (lo, hi) in ranges.items():
+        df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return df
+
+
 def pruned_scan(
     spark: SparkSession, path: str, col: str, lo: Any, hi: Any
 ) -> DataFrame:

@@ -98,3 +98,39 @@ def test_zorder_layout_gives_multi_column_pruning(spark):
     # an eighth of each domain must not touch most files
     assert len(keep_x) <= total // 2, (len(keep_x), total)
     assert len(keep_y) <= total // 2, (len(keep_y), total)
+
+
+def test_multi_column_conjunctive_pruning_on_zorder(spark):
+    """Two-range predicate over a Z-ordered layout: survivors ≈ the
+    product of per-column survival, and the scan equals the filter."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.loaders.dataskip import (
+        pruned_files,
+        pruned_files_multi,
+        pruned_scan_multi,
+        write_manifest,
+    )
+    from lightlane_spark.operators.layout import zorder_repartition
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="llspark_zskip2_"), "t")
+    zorder_repartition(df, [("x", 0, 199), ("y", 0, 199)], 16, bits=8).write.mode(
+        "overwrite"
+    ).parquet(path)
+    write_manifest(path, ["x", "y"])
+
+    both, total = pruned_files_multi(path, {"x": (0, 49), "y": (0, 49)})
+    only_x, _ = pruned_files(path, "x", 0, 49)
+    assert total == 16
+    assert len(both) < len(only_x)  # second predicate prunes further
+
+    got = pruned_scan_multi(spark, path, {"x": (0, 49), "y": (0, 49)}).count()
+    want = df.where("x BETWEEN 0 AND 49 AND y BETWEEN 0 AND 49").count()
+    assert got == want > 0
