@@ -221,11 +221,16 @@ def corr_matrix(df: DataFrame, columns: list[str], scale: int = 4) -> DataFrame:
     accumulated in DECIMAL at ``2·scale`` fractional digits — exact,
     summation-order-independent — then converted to DOUBLE once for
     the closed-form r = (n·Σxy − Σx·Σy) / √((n·Σx²−Σx²̄)(n·Σy²−Σȳ²)).
-    Identical decimal→double conversions + identical double arithmetic
-    ⇒ bit-identical r in any engine (built-in ``corr`` streams in
-    partition order and cannot cross-check). One pass, one agg row,
-    pairs unpivoted in-plan; shuffle carries k + k + C(k,2) decimals.
-    At 100 TB this is a single partial-aggregated scan.
+    The moments are deterministic in any engine (built-in ``corr``
+    streams in partition order and cannot cross-check); the single
+    decimal→double conversion is correctly rounded while the moment's
+    integer digits fit a double's 53-bit mantissa, and past that may
+    differ in the LAST ULP across engines (Spark's
+    BigDecimal.doubleValue vs DuckDB's int128 scaling — observed at
+    the 600k-row scale), so cross-engine consumers should compare r
+    at a fixed ≤12dp precision. One pass, one agg row, pairs
+    unpivoted in-plan; shuffle carries k + k + C(k,2) decimals. At
+    100 TB this is a single partial-aggregated scan.
     """
     from pyspark.sql import functions as F
 

@@ -468,14 +468,21 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-exact pairwise Pearson correlations over lineitem
-    measures: moment sums in exact DECIMAL, closed form in double —
-    bit-identical across engines (catalog.corr_matrix), unlike the
-    built-in streaming ``corr``."""
+    """Pairwise Pearson correlations over lineitem measures: moment
+    sums in exact DECIMAL (order-independent), closed form in double
+    (catalog.corr_matrix), result stated to 12 decimal places. The
+    12dp rounding is required once moments exceed 2^53: the exact
+    decimal moment no longer converts to double identically in every
+    engine (Spark's BigDecimal.doubleValue vs DuckDB's int128 scaling
+    differ in the last ulp — observed at sf0.1 on Σ(q·e)), and one
+    ulp in a moment moves the correlation's ~16th digit. 12dp leaves
+    a 10³ guard band above that noise while pinning every digit a
+    profiling consumer could use."""
     from lightlane_spark.catalog import corr_matrix
 
     li = read_table(spark, sf_dir, "lineitem")
-    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    out = corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select("col_a", "col_b", F.round("corr", 12).alias("corr"))
 
 
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,15 +1311,15 @@ ORACLE = {
             FROM lineitem
         )
         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-               (n * p_qe - s_q * s_e) / sqrt((n * q_q - s_q * s_q) * (n * q_e - s_e * s_e)) AS corr
+               ROUND((n * p_qe - s_q * s_e) / sqrt((n * q_q - s_q * s_q) * (n * q_e - s_e * s_e)), 12) AS corr
         FROM s
         UNION ALL
         SELECT 'l_quantity', 'l_discount',
-               (n * p_qd - s_q * s_d) / sqrt((n * q_q - s_q * s_q) * (n * q_d - s_d * s_d))
+               ROUND((n * p_qd - s_q * s_d) / sqrt((n * q_q - s_q * s_q) * (n * q_d - s_d * s_d)), 12)
         FROM s
         UNION ALL
         SELECT 'l_extendedprice', 'l_discount',
-               (n * p_ed - s_e * s_d) / sqrt((n * q_e - s_e * s_e) * (n * q_d - s_d * s_d))
+               ROUND((n * p_ed - s_e * s_d) / sqrt((n * q_e - s_e * s_e) * (n * q_d - s_d * s_d)), 12)
         FROM s
     """,
     "cdc_apply": """
