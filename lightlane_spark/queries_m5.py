@@ -164,6 +164,7 @@ clusters AS (
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/subword/char counts — the basic corpus accounting pass."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -174,6 +175,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpretable [0,1] quality blend: length, alpha ratio, stopword signal, mean word length."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score("text").alias("quality"))
 
@@ -189,11 +191,13 @@ def q_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID per document (en/de/es/fr lexicons, deterministic tie-break)."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", language_id("text").alias("lang_guess"))
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (md5) and rolling-min-hash document fingerprints per doc."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_md5("text").alias("fp_md5"))
 
@@ -427,15 +431,18 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per distinct md5 text fingerprint (min-id canonical), one shuffle on a 128-bit key."""
     return dedup_exact(_docs_with_dups(spark, sf_dir)).select("doc_id")
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-form MinHash signatures (doc, seed, minh) from one md5 per shingle via the Carter-Wegman family."""
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_signatures(shingle(docs))
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs (3-gram shingles, 16 hashes, 4x4 banding, exact-Jaccard verify at 0.7)."""
     verified = dedup_minhash(_docs_with_dups(spark, sf_dir), threshold=0.7)
     return verified.select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
@@ -483,10 +490,12 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash: per-bit majority vote over distinct-token h32 values, pure expressions."""
     return simhash_signatures(_docs_with_dups(spark, sf_dir))
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs: Hamming distance <= 3 on 32-bit signatures via band-blocked candidate generation."""
     sigs = simhash_signatures(_docs_with_dups(spark, sf_dir))
     return simhash_near_pairs(sigs, max_hamming=3)
 
@@ -512,6 +521,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per probe — the oracle anchor the ANN variants (LSH/IVF/PQ) measure recall against."""
     emb = read_table(spark, sf_dir, "embeddings")
     out = topk_bruteforce(emb, emb.filter("vec_id < 10"), k=5)
     return out.select(
@@ -615,6 +625,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine >= 0.999 over the planted-duplicate fixture (label-blocked exact form)."""
     emb = read_table(spark, sf_dir, "embeddings")
     dups = emb.filter("vec_id < 5").select(
         (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
@@ -649,11 +660,13 @@ def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image payload metadata decode via the injected deterministic decoder (Arrow-batched mapInPandas)."""
     docs = read_table(spark, sf_dir, "documents")
     return decode_image_meta(attach_binary_payload(docs))
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: every k-th frame index per video payload, Arrow-batched, deterministic."""
     docs = attach_binary_payload(read_table(spark, sf_dir, "documents"))
     return sample_frames(docs, every_n_bytes=64)
 
