@@ -472,6 +472,7 @@ _RECHECK = [
     "curation_pipeline",
     "minhash_join",
     "cdc_chunks",
+    "cms_windowed",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

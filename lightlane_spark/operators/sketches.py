@@ -102,34 +102,49 @@ def cms_build(
     depth: int = 4,
     width: int = 1024,
     weight_col: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Count-min sketch of the values in ``df[col]`` as a DataFrame
-    ``(d INT, b INT, cnt BIGINT)`` — at most depth×width rows.
+    ``(*group_cols, d INT, b INT, cnt BIGINT)`` — at most depth×width
+    rows per group.
 
     One aggregation: each input row contributes ``depth`` (row, cell)
     increments (in-row array, posexplode), and the groupBy's map-side
     partial combine means the shuffle carries at most depth×width
-    rows PER PARTITION regardless of input size — this is what makes
-    the sketch cheaper than an exact count at scale, where the exact
-    groupBy shuffles one row per distinct key with Zipf skew.
-    Absent cells are zero by convention (``cms_estimate`` coalesces).
+    rows PER PARTITION (per group) regardless of input size — this is
+    what makes the sketch cheaper than an exact count at scale, where
+    the exact groupBy shuffles one row per distinct key with Zipf
+    skew. Absent cells are zero by convention (``cms_estimate``
+    coalesces).
+
+    ``group_cols`` gives PARTITIONED sketches — one per day/source/
+    tenant — in the same single aggregation; rolling windows then
+    come from ``cms_merge`` over the relevant groups without touching
+    any raw data (the time-series rollup pattern ``hll_rollup`` uses
+    for distinct counts, here for frequencies).
     """
+    gcols = list(group_cols or [])
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     cells = _with_md5_words(df, col).select(
+        *gcols,
         F.posexplode(
             F.array(*[_word_position(i, width) for i in range(depth)])
         ).alias("d", "b"),
         w.alias("__w"),
     )
-    return cells.groupBy("d", "b").agg(F.sum("__w").alias("cnt"))
+    return cells.groupBy(*gcols, "d", "b").agg(F.sum("__w").alias("cnt"))
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def cms_merge(*sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
     """Merge sketches built with the same (depth, width): cell-wise
     addition — the property that makes CMS incremental (per-batch /
-    per-day sketches roll up without re-scanning any input)."""
+    per-day sketches roll up without re-scanning any input). Pass
+    ``group_cols`` to merge partitioned sketches per group; merging
+    ACROSS groups (a 7-day rolling total from daily sketches) is the
+    same call after dropping/mapping the group column."""
+    gcols = list(group_cols or [])
     u = functools.reduce(DataFrame.unionByName, sketches)
-    return u.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
+    return u.groupBy(*gcols, "d", "b").agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_estimate(
@@ -139,6 +154,7 @@ def cms_estimate(
     depth: int = 4,
     width: int = 1024,
     out_col: str = "cms_est",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Point-query estimates for every row of ``items``: the min over
     the ``depth`` cells the item hashes to (>= true count always;
@@ -151,19 +167,24 @@ def cms_estimate(
     corpus scans for a ≤ depth×width-row relation (measured 2× on the
     sf0.1 heavy-hitters chain).
     """
+    gcols = list(group_cols or [])
     sketch = sketch.localCheckpoint(eager=True)
     out = _with_md5_words(items, col)
     mins: list[Column] = []
+    drop: list[str] = ["__m1", "__m2"]
     for i in range(depth):
         level = sketch.where(F.col("d") == i).select(
-            F.col("b").alias(f"__b{i}"), F.col("cnt").alias(f"__cnt{i}")
+            *[F.col(g).alias(f"__g{i}_{g}") for g in gcols],
+            F.col("b").alias(f"__b{i}"),
+            F.col("cnt").alias(f"__cnt{i}"),
         )
-        out = out.join(
-            F.broadcast(level), _word_position(i, width) == F.col(f"__b{i}"), "left"
-        )
+        cond = _word_position(i, width) == F.col(f"__b{i}")
+        for g in gcols:
+            cond = cond & (F.col(g) == F.col(f"__g{i}_{g}"))
+        out = out.join(F.broadcast(level), cond, "left")
         mins.append(F.coalesce(F.col(f"__cnt{i}"), F.lit(0)))
+        drop += [f"__b{i}", f"__cnt{i}"] + [f"__g{i}_{g}" for g in gcols]
     est = F.least(*mins) if len(mins) > 1 else mins[0]
-    drop = ["__m1", "__m2"] + [c for i in range(depth) for c in (f"__b{i}", f"__cnt{i}")]
     return out.withColumn(out_col, est).drop(*drop)
 
 

@@ -1103,6 +1103,35 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned sketching: per-DAY count-min sketches of the
+    event-type stream, rolled up to WEEKLY sketches by ``cms_merge``
+    (cell-wise addition — no raw data touched again), then estimated
+    per (week, type). Because the hash grid is shared, merged daily
+    sketches equal a directly-built weekly sketch — which is exactly
+    what the oracle builds, so the mergeability claim is value-checked
+    end-to-end. The frequency twin of the ``hll_rollup`` pattern."""
+    from lightlane_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = cms_build(ev, "event_type", depth=3, width=32, group_cols=["day"])
+    week = F.date_trunc("week", F.col("day").cast("timestamp")).cast("date")
+    weekly = cms_merge(
+        daily.withColumn("week", week).drop("day"), group_cols=["week"]
+    )
+    items = ev.select(week.alias("week"), "event_type").distinct()
+    est = cms_estimate(
+        weekly, items, "event_type", depth=3, width=32, group_cols=["week"]
+    )
+    return est.select("week", "event_type", "cms_est")
+
+
 def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist prefilter via Bloom bits: the 'blocklist' is the md5
     fingerprints of src0's documents; the corpus is flagged by k=4
@@ -1191,6 +1220,7 @@ QUERIES = {
     "minhash_join": q_minhash_join,
     "cdc_chunks": q_cdc_chunks,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "cms_windowed": q_cms_windowed,
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_lm_score": q_ngram_lm_score,
 }
@@ -2239,3 +2269,36 @@ ORACLE["curation_pipeline"] = """
     FROM filt JOIN ded USING (doc_id)
     GROUP BY 1
 """
+
+
+def _cms_windowed_oracle_sql(depth: int = 3, width: int = 32) -> str:
+    """Direct weekly-sketch build — equals the engine's daily→merged
+    path because the hash grid is shared (mergeability contract)."""
+    from lightlane_spark.operators.sketches import position_sql
+
+    pos_union = " UNION ALL ".join(
+        f"SELECT week, {i} AS d, "
+        f"{position_sql('event_type', i, width, 'duckdb')} AS b FROM ev"
+        for i in range(depth)
+    )
+    cand_pos = " UNION ALL ".join(
+        f"SELECT week, event_type, {i} AS d, "
+        f"{position_sql('event_type', i, width, 'duckdb')} AS b FROM cand"
+        for i in range(depth)
+    )
+    return f"""
+        WITH ev AS (
+            SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type
+            FROM events
+        ),
+        cms AS (SELECT week, d, b, COUNT(*) AS cnt
+                FROM ({pos_union}) GROUP BY 1, 2, 3),
+        cand AS (SELECT DISTINCT week, event_type FROM ev)
+        SELECT p.week, p.event_type, MIN(COALESCE(c.cnt, 0)) AS cms_est
+        FROM ({cand_pos}) p
+        LEFT JOIN cms c ON c.week = p.week AND c.d = p.d AND c.b = p.b
+        GROUP BY 1, 2
+    """
+
+
+ORACLE["cms_windowed"] = _cms_windowed_oracle_sql()
