@@ -473,6 +473,7 @@ _RECHECK = [
     "minhash_join",
     "cdc_chunks",
     "cms_windowed",
+    "temperature_mix",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

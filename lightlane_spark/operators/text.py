@@ -726,3 +726,57 @@ def cdc_chunks(
         ).alias("chunk_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    temperature: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source mixing: sample ~``budget`` rows total
+    with per-group quotas ∝ n_g^temperature — the multinomial
+    up/down-sampling used to balance multilingual / multi-source
+    training mixes (τ=1 keeps natural proportions, τ→0 approaches
+    uniform across groups; τ≈0.3-0.7 is the usual corpus-balancing
+    band). Quotas are floor(budget · n_g^τ / Σ n^τ), so the output is
+    ≤ budget with the remainder (< |groups| rows) unallocated rather
+    than nondeterministically assigned.
+
+    Shape: one aggregation for group counts (tiny result, broadcast
+    back), then the same deterministic hash-order window cut as
+    ``quota_sample`` — rand()-free, so the mix is reproducible across
+    engines and runs and STABLE under reruns (a property random
+    multinomial draws lack). Skew-safe: per-group rank is a streaming
+    window.
+
+    Cross-engine note: pow(n, τ) for τ=0.5 is sqrt (correctly rounded
+    IEEE everywhere); arbitrary τ uses pow, identical for the double
+    inputs at play. The quota itself is floored to an integer, which
+    absorbs any last-ulp pow divergence except exactly at integer
+    boundaries — oracle comparisons should keep τ at 0.5/1.0/2.0
+    (exact) as the driver query does.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    tau = float(temperature)
+    weight = F.pow(F.col("__ng").cast("double"), F.lit(tau))
+    weighted = counts.withColumn("__wg", weight)
+    total = weighted.agg(F.sum("__wg").alias("__wt"))
+    quotas = weighted.crossJoin(F.broadcast(total)).select(
+        group_col,
+        F.floor(F.lit(float(budget)) * F.col("__wg") / F.col("__wt"))
+        .cast("int")
+        .alias("__quota"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        h32(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(quotas), on=group_col)
+        .withColumn("__qrk", F.row_number().over(w))
+        .filter(F.col("__qrk") <= F.col("__quota"))
+        .drop("__qrk", "__quota")
+    )

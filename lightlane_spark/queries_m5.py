@@ -1103,6 +1103,18 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ=0.5 temperature mixing over sources with a 200-doc budget —
+    see ``text.temperature_mix_sample``. sqrt weights are exact IEEE
+    in both engines; quotas floor to integers, ranks cut in portable
+    hash order, so the sampled id set is reproducible exactly."""
+    from lightlane_spark.operators.text import temperature_mix_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = temperature_mix_sample(docs, "source", budget=200, temperature=0.5)
+    return out.select("doc_id", "source")
+
+
 def q_cms_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-partitioned sketching: per-DAY count-min sketches of the
     event-type stream, rolled up to WEEKLY sketches by ``cms_merge``
@@ -1221,6 +1233,7 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_windowed": q_cms_windowed,
+    "temperature_mix": q_temperature_mix,
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_lm_score": q_ngram_lm_score,
 }
@@ -2302,3 +2315,27 @@ def _cms_windowed_oracle_sql(depth: int = 3, width: int = 32) -> str:
 
 
 ORACLE["cms_windowed"] = _cms_windowed_oracle_sql()
+ORACLE["temperature_mix"] = """
+    WITH counts AS (
+        SELECT source, COUNT(*) AS ng FROM documents GROUP BY 1
+    ),
+    quotas AS (
+        SELECT source,
+               CAST(floor(200.0 * sqrt(CAST(ng AS DOUBLE)) /
+                    (SELECT SUM(sqrt(CAST(ng AS DOUBLE))) FROM counts))
+                    AS INTEGER) AS quota
+        FROM counts
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                            d.doc_id
+               ) AS rk
+        FROM documents d
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rk <= q.quota
+"""

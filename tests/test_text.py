@@ -268,3 +268,26 @@ def test_cdc_chunks_shift_invariant(spark):
     assert tail1 == tail2
     # reassembly is lossless
     assert " ".join(c1) == body
+
+
+def test_temperature_mix_quotas_and_determinism(spark):
+    from lightlane_spark.operators.text import temperature_mix_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, source: string")
+    out1 = temperature_mix_sample(df, "source", budget=100, temperature=0.5)
+    got = out1.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in got}
+    # sqrt weights: big=30, small=10 → quotas 75 / 25
+    assert by_src == {"big": 75, "small": 25}
+    # deterministic across invocations
+    ids1 = sorted(r.doc_id for r in out1.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in temperature_mix_sample(df, "source", 100, 0.5).collect()
+    )
+    assert ids1 == ids2
+    # tau=1 keeps natural proportions
+    nat = temperature_mix_sample(df, "source", budget=100, temperature=1.0)
+    by_nat = {r.source: r["count"] for r in nat.groupBy("source").count().collect()}
+    assert by_nat == {"big": 90, "small": 10}
