@@ -474,6 +474,7 @@ _RECHECK = [
     "cdc_chunks",
     "cms_windowed",
     "temperature_mix",
+    "join_size_estimate",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -45,6 +45,7 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_estimate",
+    "cms_join_size",
     "bloom_build",
     "bloom_member",
 ]
@@ -257,3 +258,29 @@ def bloom_member(
     member = functools.reduce(operator.and_, hits)
     drop = ["__m1", "__m2"] + [c for i in range(k) for c in (f"__bit{i}", f"__hit{i}")]
     return out.withColumn(out_col, member).drop(*drop)
+
+
+def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Join-cardinality estimate WITHOUT running the join: the
+    count-min inner product. For sketches of the two join columns
+    (same depth/width), |A ⋈ B| = Σ_key n_a(key)·n_b(key) is
+    upper-bounded by min over rows d of Σ_b cnt_a[d,b]·cnt_b[d,b] —
+    the AMS/CMS estimator (Cormode & Muthukrishnan 2005, §4.2).
+
+    At 100 TB this answers "how big would this join be" from two
+    kilobyte sketches — the input a planner (or a human deciding
+    whether to even run the query) needs, at the cost of a metadata
+    join of depth×width rows. Never underestimates; overshoot is the
+    usual collision term ≤ ‖a‖₁‖b‖₁/width per row.
+
+    Returns a single row ``(est BIGINT)``. Deterministic (md5
+    positions), so exactly reproducible in SQL.
+    """
+    a = sketch_a.select("d", "b", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("d", "b", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, on=["d", "b"])
+        .groupBy("d")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    return per_row.agg(F.min("__dot").alias("est"))

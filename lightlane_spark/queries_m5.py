@@ -1103,6 +1103,36 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two kilobyte sketches
+    (``sketches.cms_join_size``, the CMS inner product): estimate
+    |orders ⋈ lineitem| on orderkey without running the join, then —
+    for the correctness gate — ALSO compute the exact size and the
+    never-underestimates bound. All three values are deterministic
+    (md5 positions), so the oracle reproduces them exactly."""
+    from lightlane_spark.operators.sketches import cms_build, cms_join_size
+
+    depth, width = 4, 4096
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k")
+    )
+    est = cms_join_size(
+        cms_build(o, "k", depth=depth, width=width),
+        cms_build(li, "k", depth=depth, width=width),
+    )
+    exact = (
+        o.join(li, "k").agg(F.count(F.lit(1)).alias("exact_size"))
+    )
+    return (
+        est.crossJoin(exact)
+        .withColumn("never_under", F.col("est") >= F.col("exact_size"))
+        .select("est", "exact_size", "never_under")
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """τ=0.5 temperature mixing over sources with a 200-doc budget —
     see ``text.temperature_mix_sample``. sqrt weights are exact IEEE
@@ -1234,6 +1264,7 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "cms_windowed": q_cms_windowed,
     "temperature_mix": q_temperature_mix,
+    "join_size_estimate": q_join_size_estimate,
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_lm_score": q_ngram_lm_score,
 }
@@ -2339,3 +2370,37 @@ ORACLE["temperature_mix"] = """
     FROM ranked r JOIN quotas q USING (source)
     WHERE r.rk <= q.quota
 """
+
+
+def _join_size_oracle_sql(depth: int = 4, width: int = 4096) -> str:
+    """Replays both key sketches and the CMS inner product exactly."""
+    from lightlane_spark.operators.sketches import position_sql
+
+    def cms(rel: str, key: str) -> str:
+        pos = " UNION ALL ".join(
+            f"SELECT {i} AS d, "
+            f"{position_sql(f'CAST({key} AS VARCHAR)', i, width, 'duckdb')} AS b "
+            f"FROM {rel}"
+            for i in range(depth)
+        )
+        return f"SELECT d, b, COUNT(*) AS cnt FROM ({pos}) GROUP BY 1, 2"
+
+    return f"""
+        WITH ca AS ({cms('orders', 'o_orderkey')}),
+        cb AS ({cms('lineitem', 'l_orderkey')}),
+        dots AS (
+            SELECT ca.d, SUM(ca.cnt * cb.cnt) AS dot
+            FROM ca JOIN cb ON ca.d = cb.d AND ca.b = cb.b
+            GROUP BY 1
+        ),
+        est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est FROM dots),
+        exact AS (
+            SELECT COUNT(*) AS exact_size
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT est, exact_size, est >= exact_size AS never_under
+        FROM est CROSS JOIN exact
+    """
+
+
+ORACLE["join_size_estimate"] = _join_size_oracle_sql()

@@ -110,3 +110,24 @@ def test_bloom_member_plan_is_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan
     # the probe side must not shuffle: no Exchange hashpartitioning on it
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_join_size_bounds(spark):
+    """Inner-product estimate >= exact join size; tight when width
+    dwarfs the key space."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.sketches import cms_build, cms_join_size
+
+    a = spark.range(200).select((F.col("id") % 50).cast("string").alias("k"))
+    b = spark.range(300).select((F.col("id") % 50).cast("string").alias("k"))
+    exact = a.join(b, "k").count()  # 50 keys x 4 x 6 = 1200
+    assert exact == 1200
+    est_wide = cms_join_size(
+        cms_build(a, "k", 4, 4096), cms_build(b, "k", 4, 4096)
+    ).first().est
+    est_narrow = cms_join_size(
+        cms_build(a, "k", 4, 16), cms_build(b, "k", 4, 16)
+    ).first().est
+    assert est_wide == 1200  # no collisions at width 4096
+    assert est_narrow >= 1200  # collisions only ever overshoot
