@@ -82,6 +82,10 @@ HEADLINE = [
     "curation_pipeline",
     "minhash_join",
     "retention_cohorts",
+    "cdc_chunks",
+    "cms_windowed",
+    "temperature_mix",
+    "join_size_estimate",
 ]
 
 
