@@ -46,3 +46,31 @@ def test_url_dedup_keeps_min_id_per_canonical(spark):
         (r.doc_id, r.norm_url) for r in url_dedup(df).select("doc_id", "norm_url").collect()
     )
     assert got == [(1, "https://a.com/x"), (4, "https://a.com/y")]
+
+
+def test_normalize_url_idempotent_on_generated_urls(spark):
+    """normalize(normalize(u)) == normalize(u) — idempotence is what
+    makes the canonical form safe as a dedup KEY (re-normalizing an
+    already-canonical URL must not move it to a third form)."""
+    from itertools import product
+
+    schemes = ["http", "HTTPS"]
+    hosts = ["Example.COM", "a.b.co:443", "x.io:8080"]
+    paths = ["", "/", "/Dir/Page/", "/p"]
+    queries = ["", "?utm_source=a", "?id=1&utm_medium=m&z=2", "?fbclid=f&gclid=g"]
+    frags = ["", "#top"]
+    urls = [
+        f"{s}://{h}{p}{q}{f}"
+        for s, h, p, q, f in product(schemes, hosts, paths, queries, frags)
+    ]
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.web import normalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url: string")
+    out = df.select(
+        normalize_url("url").alias("n1"),
+        normalize_url(normalize_url("url")).alias("n2"),
+    )
+    bad = out.where(F.col("n1") != F.col("n2")).collect()
+    assert bad == [], bad[:5]
