@@ -475,6 +475,7 @@ _RECHECK = [
     "cms_windowed",
     "temperature_mix",
     "join_size_estimate",
+    "incremental_rollup",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -61,3 +61,70 @@ def incremental_merge_load(
     if n:
         Loader(spark, target_path, "merge", primary_keys=primary_keys).execute(batch)
     return n
+
+
+def incremental_agg_state(
+    df: DataFrame, keys: list[str], aggs: dict[str, str]
+) -> DataFrame:
+    """Aggregate state for ``incremental_agg_merge``: per-key algebraic
+    summaries (sum/count/min/max; avg is derivable as sum/count and
+    deliberately not stored — store its parts). Output columns
+    ``{fn}_{col}``."""
+    allowed = {"sum", "count", "min", "max"}
+    for fn in aggs.values():
+        if fn not in allowed:
+            raise ValueError(f"unsupported aggregate: {fn} (algebraic only)")
+    return df.groupBy(*keys).agg(
+        *[getattr(F, fn)(c).alias(f"{fn}_{c}") for c, fn in aggs.items()]
+    )
+
+
+def incremental_agg_merge(
+    state: DataFrame, delta: DataFrame, keys: list[str], aggs: dict[str, str]
+) -> DataFrame:
+    """Incremental VIEW MAINTENANCE for algebraic rollups: merge the
+    delta batch's aggregate state into the existing state —
+    ``new = combine(old, agg(delta))`` — without touching base data.
+
+    At 100 TB this is how a per-customer / per-day rollup stays fresh:
+    each batch costs agg(|delta|) plus a join against the (small,
+    pre-aggregated) state, never a rescan of history. sum/count
+    combine by addition, min/max by min/max; the identity
+    ``merge(state(base), delta) == state(base ∪ delta)`` is exact for
+    these algebraic functions (and is pinned by tests + the driver
+    oracle). Deletions/updates need retractable aggregates (sum/count
+    handle them via negative deltas; min/max do not — recompute the
+    affected keys, the standard IVM limitation).
+
+    Shape: one aggregation of the delta (map-side combined) + one
+    full-outer join on the keys — co-partitioned with the state's own
+    grouping, so AQE reuses the exchange when the state was just
+    aggregated; for a stored state table the join is the only
+    shuffle.
+    """
+    # pairwise combiners over two state columns (NOT the aggregate
+    # functions: min-state merges with least, max with greatest)
+    combine2 = {
+        "sum": lambda a, b: a + b,
+        "count": lambda a, b: a + b,
+        "min": F.least,
+        "max": F.greatest,
+    }
+    d = incremental_agg_state(delta, keys, aggs)
+    out_cols = [f"{fn}_{c}" for c, fn in aggs.items()]
+    s = state.select(*keys, *[F.col(c).alias(f"__s_{c}") for c in out_cols])
+    d = d.select(*keys, *[F.col(c).alias(f"__d_{c}") for c in out_cols])
+    joined = s.join(d, on=keys, how="full_outer")
+    merged = [
+        (
+            F.when(
+                F.col(f"__s_{col}").isNotNull() & F.col(f"__d_{col}").isNotNull(),
+                combine2[fn](F.col(f"__s_{col}"), F.col(f"__d_{col}")),
+            )
+            .otherwise(F.coalesce(F.col(f"__s_{col}"), F.col(f"__d_{col}")))
+            .alias(col)
+        )
+        for c, fn in aggs.items()
+        for col in [f"{fn}_{c}"]
+    ]
+    return joined.select(*keys, *merged)

@@ -954,6 +954,35 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental.py::
+    incremental_agg_merge): a per-customer rollup state built from 3/4
+    of orders is merged with the remaining quarter as a DELTA — no
+    base rescan — and must equal the full recompute, which is exactly
+    what the oracle computes. Sums ride DECIMAL so the merge-path and
+    recompute-path additions are both exact (order-independent)."""
+    from lightlane_spark.operators.incremental import (
+        incremental_agg_merge,
+        incremental_agg_state,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(28,2)").alias("price"),
+        "o_orderkey",
+    )
+    base = orders.where("o_orderkey % 4 != 0")
+    delta = orders.where("o_orderkey % 4 = 0")
+    aggs = {"price": "sum", "o_orderkey": "count"}
+    state = incremental_agg_state(base, ["o_custkey"], aggs)
+    merged = incremental_agg_merge(state, delta, ["o_custkey"], aggs)
+    return merged.select(
+        "o_custkey",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("count_o_orderkey").alias("n_orders"),
+    )
+
+
 def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of l_extendedprice (20 buckets over a
     FIXED [0, 110000) domain — caller-supplied bounds like
@@ -1097,6 +1126,7 @@ QUERIES = {
     "zorder_key": q_zorder_key,
     "local_supplier_volume": q_local_supplier_volume,
     "numeric_histogram": q_numeric_histogram,
+    "incremental_rollup": q_incremental_rollup,
     "disjunctive_join_filter": q_disjunctive_join_filter,
     "waiting_suppliers": q_waiting_suppliers,
     "variant_extract": q_variant_extract,
@@ -1667,4 +1697,11 @@ ORACLE["numeric_histogram"] = """
            CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS total
     FROM lineitem
     GROUP BY 1
+"""
+
+ORACLE["incremental_rollup"] = """
+    SELECT o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
 """

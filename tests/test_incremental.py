@@ -42,3 +42,49 @@ def test_extract_since_overlap(spark):
     assert extract_since(df, "ts", hw).count() == 0
     assert extract_since(df, "ts", hw, overlap=dt.timedelta(hours=3)).count() == 3
     assert extract_since(df, "ts", None).count() == 10
+
+
+def test_incremental_agg_merge_equals_recompute(spark, sf_dir):
+    """The IVM identity: merge(state(base), delta) == state(base ∪
+    delta) for sum/count/min/max — including delta-only keys (new
+    customers) and state-only keys (untouched)."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.incremental import (
+        incremental_agg_merge,
+        incremental_agg_state,
+    )
+    from lightlane_spark.sources.parquet import read_table
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
+    base = orders.where("o_orderkey % 4 != 0")
+    delta = orders.where("o_orderkey % 4 = 0")
+    aggs = {
+        "o_totalprice": "sum",
+        "o_orderkey": "count",
+    }
+    merged = incremental_agg_merge(
+        incremental_agg_state(base, ["o_custkey"], aggs), delta, ["o_custkey"], aggs
+    )
+    full = incremental_agg_state(orders, ["o_custkey"], aggs)
+    m = {r.o_custkey: (round(r.sum_o_totalprice, 6), r.count_o_orderkey) for r in merged.collect()}
+    f = {r.o_custkey: (round(r.sum_o_totalprice, 6), r.count_o_orderkey) for r in full.collect()}
+    assert m == f
+
+    # min/max path + delta-only keys
+    aggs2 = {"o_totalprice": "min", "o_orderkey": "max"}
+    base2 = orders.where("o_custkey % 10 != 0")
+    merged2 = incremental_agg_merge(
+        incremental_agg_state(base2, ["o_custkey"], aggs2),
+        orders.where("o_custkey % 2 = 0"),
+        ["o_custkey"],
+        aggs2,
+    )
+    full2 = incremental_agg_state(
+        base2.unionByName(orders.where("o_custkey % 2 = 0")), ["o_custkey"], aggs2
+    )
+    m2 = sorted(map(tuple, merged2.collect()))
+    f2 = sorted(map(tuple, full2.collect()))
+    assert m2 == f2
