@@ -476,6 +476,7 @@ _RECHECK = [
     "temperature_mix",
     "join_size_estimate",
     "incremental_rollup",
+    "rollup_cdc_apply",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

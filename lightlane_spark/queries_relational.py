@@ -983,6 +983,47 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable IVM (incremental_agg_retract_merge): a per-customer
+    rollup built over the ORIGINAL orders snapshot is updated by the
+    deterministic CDC mutation (delete every 11th order, reprice every
+    7th) via signed deltas over only the CHANGED rows — and must equal
+    the full recompute over the new snapshot, which is the oracle."""
+    from lightlane_spark.operators.incremental import (
+        incremental_agg_retract_merge,
+        incremental_agg_state,
+    )
+
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old = base.withColumn(
+        "price", F.col("o_totalprice").cast("decimal(28,2)")
+    ).drop("o_totalprice")
+    new = (
+        base.filter("o_orderkey % 11 != 0")
+        .withColumn(
+            "price",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .cast("decimal(28,2)"),
+        )
+        .drop("o_totalprice")
+    )
+    aggs = {"price": "sum", "o_orderkey": "count"}
+    state = incremental_agg_state(old, ["o_custkey"], aggs)
+    out = incremental_agg_retract_merge(
+        state, old, new, ["o_orderkey"], ["o_custkey"], aggs
+    )
+    return out.where(F.col("count_o_orderkey") > 0).select(
+        "o_custkey",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("count_o_orderkey").cast("bigint").alias("n_orders"),
+    )
+
+
 def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of l_extendedprice (20 buckets over a
     FIXED [0, 110000) domain — caller-supplied bounds like
@@ -1127,6 +1168,7 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "numeric_histogram": q_numeric_histogram,
     "incremental_rollup": q_incremental_rollup,
+    "rollup_cdc_apply": q_rollup_cdc_apply,
     "disjunctive_join_filter": q_disjunctive_join_filter,
     "waiting_suppliers": q_waiting_suppliers,
     "variant_extract": q_variant_extract,
@@ -1704,4 +1746,17 @@ ORACLE["incremental_rollup"] = """
            CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price,
            COUNT(*) AS n_orders
     FROM orders GROUP BY 1
+"""
+
+ORACLE["rollup_cdc_apply"] = """
+    WITH new AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                         ELSE o_totalprice END AS DECIMAL(28,2)) AS price
+        FROM orders WHERE o_orderkey % 11 != 0
+    )
+    SELECT o_custkey,
+           CAST(SUM(price) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM new GROUP BY 1
 """

@@ -88,3 +88,33 @@ def test_incremental_agg_merge_equals_recompute(spark, sf_dir):
     m2 = sorted(map(tuple, merged2.collect()))
     f2 = sorted(map(tuple, full2.collect()))
     assert m2 == f2
+
+
+def test_retract_merge_full_churn_key_goes_to_zero(spark):
+    """A key whose every row departs converges to a zero row (the
+    documented filterable state), and pure updates retract exactly."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.incremental import (
+        incremental_agg_retract_merge,
+        incremental_agg_state,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5)],
+        "pk: bigint, grp: string, v: bigint",
+    )
+    # b's only row deleted; row 1 updated 10 -> 13
+    new = spark.createDataFrame(
+        [(1, "a", 13), (2, "a", 20)], "pk: bigint, grp: string, v: bigint"
+    )
+    aggs = {"v": "sum", "pk": "count"}
+    state = incremental_agg_state(old, ["grp"], aggs)
+    out = {
+        r.grp: (r.sum_v, r.count_pk)
+        for r in incremental_agg_retract_merge(
+            state, old, new, ["pk"], ["grp"], aggs
+        ).collect()
+    }
+    assert out["a"] == (33, 2)
+    assert out["b"] == (0, 0)  # fully-departed key zeroes out
