@@ -237,3 +237,52 @@ def test_streaming_cms_merge_equals_batch_sketch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, state["sketch"].collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_streaming_incremental_rollup_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming IVM: each micro-batch merges into the running rollup
+    state via incremental_agg_merge; after the stream drains the state
+    equals the batch aggregation of all data — a continuously-fresh
+    materialized rollup with per-batch cost agg(|batch|)."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.incremental import (
+        incremental_agg_merge,
+        incremental_agg_state,
+    )
+    from lightlane_spark.streaming.incremental import (
+        run_to_completion,
+        stream_from_directory,
+    )
+
+    land = str(tmp_path / "landing_ivm")
+    schema, ev = _stage_event_files(spark, sf_dir, land)
+    aggs = {"value": "sum", "event_id": "count"}
+    state = {"df": None}
+
+    def merge_batch(batch_df, _bid):
+        b = batch_df.withColumn("value", F.col("value").cast("decimal(28,6)"))
+        cur = state["df"]
+        nxt = (
+            incremental_agg_state(b, ["event_type"], aggs)
+            if cur is None
+            else incremental_agg_merge(cur, b, ["event_type"], aggs)
+        )
+        state["df"] = nxt.localCheckpoint(eager=True)
+
+    q = (
+        stream_from_directory(spark, land, schema)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+
+    whole = incremental_agg_state(
+        ev.withColumn("value", F.col("value").cast("decimal(28,6)")),
+        ["event_type"],
+        aggs,
+    )
+    got = sorted(map(tuple, state["df"].collect()))
+    want = sorted(map(tuple, whole.collect()))
+    assert got == want
