@@ -477,6 +477,7 @@ _RECHECK = [
     "join_size_estimate",
     "incremental_rollup",
     "rollup_cdc_apply",
+    "weighted_topk",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

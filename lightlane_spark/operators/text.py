@@ -780,3 +780,41 @@ def temperature_mix_sample(
         .filter(F.col("__qrk") <= F.col("__quota"))
         .drop("__qrk", "__quota")
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "es",
+) -> DataFrame:
+    """FIXED-SIZE weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): each row gets key ``ln(u) / w`` with u a
+    deterministic uniform from the portable hash; the k LARGEST keys
+    are an exact weighted sample without replacement. The complement
+    to ``weighted_sample`` (Bernoulli — output size varies) when the
+    budget is exact: "take exactly k docs, quality-weighted".
+
+    Deterministic end to end (hash-derived u, IEEE ln/division, id
+    tiebreak), so the selection is reproducible across engines and
+    runs AND one-pass distributed: the top-k cut is a global
+    sort-limit — at real scale Spark's TakeOrderedAndProject keeps
+    only k rows per partition, no full sort materialization. Weights
+    must be > 0; rows with non-positive weights are excluded (a
+    zero-weight row can never be sampled).
+    """
+    from lightlane_spark.functions.hashing import H32_SPACE, h32
+
+    u01 = (
+        h32(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+        + F.lit(1.0)
+    ) / F.lit(float(H32_SPACE) + 1.0)  # in (0, 1]: ln defined, keys finite
+    key = F.log(u01) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__es_key")
+    )

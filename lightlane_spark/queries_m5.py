@@ -1103,6 +1103,19 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-doc weighted sample without replacement
+    (``text.weighted_topk_sample``, Efraimidis-Spirakis keys on the
+    portable hash — longer docs proportionally likelier). The oracle
+    ranks by the identical ln(u)/w formula; key gaps dwarf the 1-ulp
+    cross-engine ln risk at the cut boundary (same determinism class
+    as the tfidf rank precedent)."""
+    from lightlane_spark.operators.text import weighted_topk_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_topk_sample(docs, "n_chars", k=100)
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from two kilobyte sketches
     (``sketches.cms_join_size``, the CMS inner product): estimate
@@ -1265,6 +1278,7 @@ QUERIES = {
     "cms_windowed": q_cms_windowed,
     "temperature_mix": q_temperature_mix,
     "join_size_estimate": q_join_size_estimate,
+    "weighted_topk": q_weighted_topk,
     "bloom_prefilter": q_bloom_prefilter,
     "ngram_lm_score": q_ngram_lm_score,
 }
@@ -2404,3 +2418,14 @@ def _join_size_oracle_sql(depth: int = 4, width: int = 4096) -> str:
 
 
 ORACLE["join_size_estimate"] = _join_size_oracle_sql()
+
+ORACLE["weighted_topk"] = """
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               ln((('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 1.0) / 4294967297.0) / n_chars AS es_key
+        FROM documents WHERE n_chars > 0
+        ORDER BY es_key DESC, doc_id
+        LIMIT 100
+    )
+"""

@@ -291,3 +291,27 @@ def test_temperature_mix_quotas_and_determinism(spark):
     nat = temperature_mix_sample(df, "source", budget=100, temperature=1.0)
     by_nat = {r.source: r["count"] for r in nat.groupBy("source").count().collect()}
     assert by_nat == {"big": 90, "small": 10}
+
+
+def test_weighted_topk_sample_fixed_size_and_bias(spark):
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.text import weighted_topk_sample
+
+    # 500 light rows (w=1) vs 500 heavy rows (w=50)
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, 1.0).otherwise(50.0).alias("w"),
+    )
+    out = weighted_topk_sample(df, "w", k=100)
+    rows = out.collect()
+    assert len(rows) == 100  # exactly k, always
+    heavy = sum(1 for r in rows if r.w == 50.0)
+    assert heavy > 80  # heavy rows dominate ~50:1 odds
+    # deterministic
+    again = weighted_topk_sample(df, "w", k=100).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in again)
+    # zero/negative weights never sampled
+    df2 = df.withColumn("w", F.when(F.col("doc_id") < 990, 0.0).otherwise(F.col("w")))
+    out2 = weighted_topk_sample(df2, "w", k=100).collect()
+    assert len(out2) == 10 and all(r.w > 0 for r in out2)
