@@ -478,6 +478,7 @@ _RECHECK = [
     "incremental_rollup",
     "rollup_cdc_apply",
     "weighted_topk",
+    "session_paths",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

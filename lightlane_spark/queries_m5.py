@@ -809,6 +809,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(ev, gap_minutes=60)
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session event paths (product-analytics path analysis):
+    sessionize → in-session event-type sequence (in-row struct sort,
+    deterministic (ts, event_id) order) → path frequency ranking. Two
+    shuffles beyond sessionization, both keyed aggregations; the path
+    string is bounded by session length."""
+    from lightlane_spark.operators.sessions import sessionize
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = sessionize(ev, gap_minutes=60)
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-native session_window sessionization (dynamic-gap groupBy)
     — same single shuffle as the gaps-and-islands form; exact-gap
@@ -1223,6 +1254,7 @@ QUERIES = {
     "streaming_stateful_counts": q_streaming_stateful_counts,
     "gopher_rules": q_gopher_rules,
     "sessionize": q_sessionize,
+    "session_paths": q_session_paths,
     "session_window": q_session_window,
     "quota_sample": q_quota_sample,
     "weighted_sample": q_weighted_sample,
@@ -2428,4 +2460,32 @@ ORACLE["weighted_topk"] = """
         ORDER BY es_key DESC, doc_id
         LIMIT 100
     )
+"""
+
+ORACLE["session_paths"] = """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(CAST(ts AS TIMESTAMP))
+                            - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                            > 3600000000
+                    THEN 1 ELSE 0 END AS opens
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT user_id, event_id, event_type, ts,
+               SUM(opens) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e
+    ),
+    p AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY 1, 2
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM p GROUP BY 1
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
 """
