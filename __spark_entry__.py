@@ -479,6 +479,7 @@ _RECHECK = [
     "rollup_cdc_apply",
     "weighted_topk",
     "session_paths",
+    "leakage_safe_split",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

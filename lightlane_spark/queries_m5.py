@@ -475,6 +475,32 @@ def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_components(corpus, pairs, assume_canonical=True).select("doc_id")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hashing each DOC id
+    independently (``dataset_split``) lets near-duplicates straddle
+    train and test — silent eval contamination. Splitting on the
+    near-dup CLUSTER id instead keeps every duplicate family inside
+    one split by construction. Composition of existing operators:
+    verified MinHash pairs → connected components → split =
+    h32('split:' + component) bucketed 90/5/5. The oracle replays the
+    whole chain (recursive-CTE components + the same portable hash),
+    so both the clustering and the family-atomicity are value-pinned."""
+    from lightlane_spark.functions.hashing import h32
+    from lightlane_spark.operators.clustering import assign_components
+    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
+    labeled = assign_components(corpus, pairs, assume_canonical=True)
+    bucket = h32(
+        F.concat(F.lit("split:"), F.col("component").cast("string"))
+    ) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return labeled.select("doc_id", "component", split.alias("split"))
+
+
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer fixed-point PageRank over the verified near-dup graph —
     centrality of each doc inside its duplicate family (the canonical-
@@ -1282,6 +1308,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_clusters": q_neardup_clusters,
+    "leakage_safe_split": q_leakage_safe_split,
     "pagerank_neardup": q_pagerank_neardup,
     "neardup_dedup": q_neardup_dedup,
     "simhash_signatures": q_simhash_signatures,
@@ -2488,4 +2515,15 @@ ORACLE["session_paths"] = """
     FROM p GROUP BY 1
     ORDER BY n_sessions DESC, path
     LIMIT 20
+"""
+
+ORACLE["leakage_safe_split"] = f"""
+    WITH RECURSIVE {_CLUSTER_CTES}
+    SELECT doc_id, component,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 8))::BIGINT % 100 < 95
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM clusters
 """

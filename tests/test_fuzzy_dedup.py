@@ -261,3 +261,28 @@ def test_minhash_join_links_batch_to_originals(spark):
     for i in range(10):
         assert (i, i) in got  # every batch doc links to its original
     assert all(r.jaccard >= 0.5 for r in out.collect())
+
+
+def test_leakage_safe_split_keeps_families_atomic(spark, sf_dir):
+    """No verified near-dup pair may straddle splits — the leakage
+    property doc-hash splits lack."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.queries_m5 import _docs_with_dups, q_leakage_safe_split
+    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
+
+    out = q_leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    pairs = dedup_minhash(_docs_with_dups(spark, sf_dir), threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    straddle = (
+        pairs.join(out.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+        .join(out.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddle == 0
+    # all three splits exist and train dominates
+    dist = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(dist) == {"train", "val", "test"}
+    assert dist["train"] > dist["val"] and dist["train"] > dist["test"]
