@@ -309,6 +309,26 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_json(spark, path, _LI_CSV_SCHEMA)
 
 
+def q_compacted_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (operators/skew.py::compact_output): a
+    deliberately fragmented 64-file write re-laid to ≤4 files, read
+    back content-identical (the oracle is the plain table). The
+    classic 100 TB hygiene op — millions of KB-sized part files
+    punish every downstream scan's file-listing and open costs."""
+    from lightlane_spark.operators.skew import compact_output
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    frag = os.path.join(tempfile.mkdtemp(prefix="llspark_frag_"), "li")
+    li.repartition(64).write.parquet(frag)
+    compacted = os.path.join(tempfile.mkdtemp(prefix="llspark_compact_"), "li")
+    compact_output(spark.read.parquet(frag), compacted, target_files=4)
+    out = spark.read.parquet(compacted)
+    assert len(out.inputFiles()) <= 4, "compaction failed to bound file count"
+    return out
+
+
 def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest data skipping (loaders/dataskip.py): range-laid-out
     write with a per-file min/max manifest, then a Q1-quarter scan
@@ -480,6 +500,7 @@ _RECHECK = [
     "weighted_topk",
     "session_paths",
     "leakage_safe_split",
+    "compacted_load",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",
@@ -578,6 +599,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_falsy": q_drop_falsy,
         "multi_sink_fanout": q_multi_sink_fanout,
         "pruned_scan": q_pruned_scan,
+        "compacted_load": q_compacted_load,
         **m5_queries.QUERIES,
         **rel_queries.QUERIES,
         **temporal_queries.QUERIES,
@@ -737,6 +759,7 @@ _ORACLE: dict[str, str] = {
         FROM lineitem
         WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
     """,
+    "compacted_load": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
 }
 
 
