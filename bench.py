@@ -86,6 +86,12 @@ HEADLINE = [
     "cms_windowed",
     "temperature_mix",
     "join_size_estimate",
+    "incremental_rollup",
+    "rollup_cdc_apply",
+    "weighted_topk",
+    "session_paths",
+    "leakage_safe_split",
+    "compacted_load",
 ]
 
 
