@@ -229,3 +229,41 @@ def test_bloom_matches_python_model(spark, members, probes, k):
     }
     for p in probes:
         assert got[p] == all(b in bits for b in _py_positions(p, k, num_bits))
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+        min_size=0,
+        max_size=80,
+    ),
+    mask_bits=st.integers(1, 4),
+)
+@settings(max_examples=8, deadline=None)
+def test_cdc_chunks_matches_python_model(spark, words, mask_bits):
+    """Spark CDC chunking equals a direct python simulation of the
+    boundary rule on arbitrary token streams (empty docs included),
+    and reassembly is lossless."""
+    import hashlib
+
+    from lightlane_spark.operators.text import cdc_chunks
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id: bigint, text: string")
+    got = {
+        r.chunk_idx: (r.chunk_text, r.n_tokens)
+        for r in cdc_chunks(df, mask_bits=mask_bits).collect()
+    }
+
+    # python model: boundary AFTER token whose h32 % 2^mask_bits == 0
+    chunks: list[list[str]] = [[]] if words else []
+    for w in words:
+        chunks[-1].append(w)
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        if h % (1 << mask_bits) == 0:
+            chunks.append([])
+    model = {
+        i: (" ".join(c), len(c)) for i, c in enumerate(chunks) if c
+    }
+    assert got == model
+    assert " ".join(t for t, _ in (got[i] for i in sorted(got))) == text.strip()
