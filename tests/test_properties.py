@@ -267,3 +267,52 @@ def test_cdc_chunks_matches_python_model(spark, words, mask_bits):
     }
     assert got == model
     assert " ".join(t for t, _ in (got[i] for i in sorted(got))) == text.strip()
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_lm_doc_scores_matches_python_model(spark, docs):
+    """Bigram-LM surprisal equals an exact python reimplementation
+    (add-one smoothing, 9dp term rounds, 6dp mean) on arbitrary small
+    corpora — short and empty docs drop out in both."""
+    import math
+    from collections import Counter
+
+    from lightlane_spark.operators.text import lm_doc_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = {r.doc_id: r.lm_score for r in lm_doc_scores(df).collect()}
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round_half_up(x: float, nd: int) -> float:
+        # Spark's round(): HALF_UP on the double's shortest repr —
+        # python's round() is banker's and would diverge at exact .5
+        # boundaries (terms are 9dp multiples, so a mean CAN land
+        # exactly on one).
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+    uni = Counter(t for toks in docs for t in toks)
+    big = Counter(
+        (a, b) for toks in docs for a, b in zip(toks, toks[1:])
+    )
+    V = len(uni)
+    model = {}
+    for i, toks in enumerate(docs):
+        terms = [
+            round_half_up(-math.log((big[(a, b)] + 1) / (uni[a] + V)), 9)
+            for a, b in zip(toks, toks[1:])
+        ]
+        if terms:
+            # exact decimal sum (engine sums DECIMAL(18,9)), then the
+            # same decimal->double cast, double division, 6dp HALF_UP
+            s = sum(Decimal(repr(t)) for t in terms)
+            model[i] = round_half_up(float(s) / len(terms), 6)
+    assert got == model
