@@ -1152,11 +1152,14 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketch = cms_build(toks, "tok", depth=4, width=64)
     est = cms_estimate(sketch, toks.distinct(), "tok", depth=4, width=64)
+    # distributed top-k FIRST (TakeOrderedAndProject keeps 10 rows per
+    # partition — a global row_number window would sort EVERY distinct
+    # token through one partition at scale), then rank the 10
+    # survivors with a trivially-bounded window.
+    top = est.orderBy(F.col("cms_est").desc(), F.col("tok")).limit(10)
     w = Window.orderBy(F.col("cms_est").desc(), F.col("tok"))
-    return (
-        est.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("tok", "cms_est", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "tok", "cms_est", "rank"
     )
 
 
