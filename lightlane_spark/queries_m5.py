@@ -375,8 +375,12 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # distributed top-k first (TakeOrderedAndProject), then rank the
+    # 100 survivors — a global row_number window would funnel the whole
+    # vocabulary through one partition (same fix as cms_heavy_hitters).
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(100)
     w = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
-    return counts.withColumn("rank", F.row_number().over(w)).filter("rank <= 100")
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
