@@ -501,6 +501,7 @@ _RECHECK = [
     "session_paths",
     "leakage_safe_split",
     "compacted_load",
+    "trend_detection",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -1024,6 +1024,56 @@ def q_rollup_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key trend detection: least-squares slope/intercept of value
+    over time per event_type, via the corr_matrix discipline — exact
+    integer/DECIMAL moment sums (order-independent), closed form in
+    double, results to 6dp. x is SECONDS SINCE A FIXED EPOCH
+    (2024-01-01), not raw epoch seconds: the offset keeps Σx² within
+    bigint and the moment→double conversions far from the 2^53 cliff
+    that bit the correlation matrix at sf0.1. One aggregation pass;
+    at 100 TB this is a single partial-aggregated scan per key."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        # integer microseconds floored to whole seconds: SECOND-grain
+        # diffs round differently across engines (DuckDB's epoch keeps
+        # fractional seconds), exact micros DIV 1e6 does not.
+        (
+            F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.col("ts"),
+            )
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(19,6)").alias("y"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        # x as DECIMAL(12,0) BEFORE the multiply: long×decimal(19,6)
+        # would type as decimal(39,6) and hit Spark's 38-digit
+        # allowPrecisionLoss trim; decimal(12,0)×decimal(19,6) =
+        # decimal(32,6) — every product exact in both engines.
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        "event_type",
+        F.round(slope * 86400, 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
 def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of l_extendedprice (20 buckets over a
     FIXED [0, 110000) domain — caller-supplied bounds like
@@ -1169,6 +1219,7 @@ QUERIES = {
     "numeric_histogram": q_numeric_histogram,
     "incremental_rollup": q_incremental_rollup,
     "rollup_cdc_apply": q_rollup_cdc_apply,
+    "trend_detection": q_trend_detection,
     "disjunctive_join_filter": q_disjunctive_join_filter,
     "waiting_suppliers": q_waiting_suppliers,
     "variant_extract": q_variant_extract,
@@ -1759,4 +1810,29 @@ ORACLE["rollup_cdc_apply"] = """
            CAST(SUM(price) AS DOUBLE) AS sum_price,
            COUNT(*) AS n_orders
     FROM new GROUP BY 1
+"""
+
+ORACLE["trend_detection"] = """
+    WITH ev AS (
+        SELECT event_type,
+               (epoch_us(CAST(ts AS TIMESTAMP))
+                - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 1000000 AS x,
+               CAST(value AS DECIMAL(19,6)) AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(12,0)) * y) AS DOUBLE) AS sxy
+        FROM ev GROUP BY 1
+    )
+    SELECT event_type,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400, 6)
+               AS slope_per_day,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept
+    FROM m
 """
