@@ -92,6 +92,7 @@ HEADLINE = [
     "session_paths",
     "leakage_safe_split",
     "compacted_load",
+    "trend_detection",
 ]
 
 
