@@ -502,6 +502,7 @@ _RECHECK = [
     "leakage_safe_split",
     "compacted_load",
     "trend_detection",
+    "hll_overlap",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -278,3 +278,38 @@ def corr_matrix(df: DataFrame, columns: list[str], scale: int = 4) -> DataFrame:
         ]
     )
     return wide.select(F.explode(pairs).alias("p")).select("p.*")
+
+
+def hll_overlap(df: DataFrame, group_col: str, col: str, lg_k: int = 12) -> DataFrame:
+    """Pairwise DISTINCT-overlap estimation across groups from
+    mergeable HLL sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B)
+    (inclusion–exclusion; the union estimate comes from a sketch
+    merge, never a data union). The audience-overlap / cross-segment
+    reach primitive: at 100 TB the raw-data approach is a distinct
+    self-join per pair; this is one sketch pass (fixed 2^lg_k state
+    per group) plus a broadcast pair expansion over |groups| rows of
+    kilobyte sketches.
+
+    Returns (grp_a, grp_b, est_a, est_b, est_union, est_inter) for
+    grp_a < grp_b. Estimates are deterministic for a given input set
+    (Datasketches HLL has no RNG), but not SQL-replicable — gate
+    correctness by a tolerance contract against exact counts (see the
+    ``hll_overlap`` driver query)."""
+    from pyspark.sql import functions as F
+
+    sk = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.expr(f"hll_sketch_agg({col}, {lg_k})").alias("sk")
+    )
+    a = sk.select(F.col("g").alias("grp_a"), F.col("sk").alias("__ska"))
+    b = sk.select(F.col("g").alias("grp_b"), F.col("sk").alias("__skb"))
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    est_a = F.expr("hll_sketch_estimate(__ska)")
+    est_b = F.expr("hll_sketch_estimate(__skb)")
+    est_u = F.expr("hll_sketch_estimate(hll_union(__ska, __skb))")
+    return (
+        pairs.withColumn("est_a", est_a)
+        .withColumn("est_b", est_b)
+        .withColumn("est_union", est_u)
+        .withColumn("est_inter", F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        .select("grp_a", "grp_b", "est_a", "est_b", "est_union", "est_inter")
+    )

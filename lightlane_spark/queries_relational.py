@@ -1024,6 +1024,40 @@ def q_rollup_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-segment distinct-user overlap from mergeable HLL sketches
+    (catalog.hll_overlap, inclusion–exclusion on sketch merges — no
+    raw-data pair joins). HLL estimates are deterministic but not
+    SQL-replicable, so the gate row emits the CONTRACT: the exact
+    intersection (computed engine-side for the comparison) plus a
+    15%-tolerance boolean; the oracle recomputes the exact values in
+    DuckDB and expects all-true — the established approximate-op
+    pattern (ann_topk_ivf, approx_distinct)."""
+    from lightlane_spark.catalog import hll_overlap
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    est = hll_overlap(ev, "event_type", "user_id")
+    d = ev.distinct()
+    exact = (
+        d.select(F.col("event_type").alias("grp_a"), "user_id")
+        .join(
+            d.select(F.col("event_type").alias("grp_b"), "user_id"), "user_id"
+        )
+        .where(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.countDistinct("user_id").alias("exact_inter"))
+    )
+    return (
+        est.join(exact, on=["grp_a", "grp_b"])
+        .withColumn(
+            "within_tol",
+            F.abs(F.col("est_inter") - F.col("exact_inter"))
+            <= 0.15 * F.col("exact_inter"),
+        )
+        .select("grp_a", "grp_b", "exact_inter", "within_tol")
+    )
+
+
 def q_trend_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key trend detection: least-squares slope/intercept of value
     over time per event_type, via the corr_matrix discipline — exact
@@ -1220,6 +1254,7 @@ QUERIES = {
     "incremental_rollup": q_incremental_rollup,
     "rollup_cdc_apply": q_rollup_cdc_apply,
     "trend_detection": q_trend_detection,
+    "hll_overlap": q_hll_overlap,
     "disjunctive_join_filter": q_disjunctive_join_filter,
     "waiting_suppliers": q_waiting_suppliers,
     "variant_extract": q_variant_extract,
@@ -1835,4 +1870,16 @@ ORACLE["trend_detection"] = """
            ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
                AS intercept
     FROM m
+"""
+
+ORACLE["hll_overlap"] = """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    pairs AS (
+        SELECT a.event_type AS grp_a, b.event_type AS grp_b,
+               count(DISTINCT a.user_id) AS exact_inter
+        FROM d a JOIN d b ON a.user_id = b.user_id
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT grp_a, grp_b, exact_inter, TRUE AS within_tol FROM pairs
 """
