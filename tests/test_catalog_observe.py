@@ -187,3 +187,25 @@ def test_group_zscore_moments(spark):
     assert got[("a", 2.0)] == 0.0
     # zero variance → z = 0, not NaN
     assert got[("b", 5.0)] == 0.0
+
+
+def test_hll_overlap_known_sets(spark):
+    """Known overlap structure: A∩B half of each, C disjoint — the
+    inclusion-exclusion estimates must land within HLL tolerance."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.catalog import hll_overlap
+
+    rows = (
+        [("A", i) for i in range(1000)]
+        + [("B", i) for i in range(500, 1500)]
+        + [("C", i) for i in range(10_000, 10_400)]
+    )
+    df = spark.createDataFrame(rows, "grp: string, uid: bigint")
+    out = {
+        (r.grp_a, r.grp_b): r.est_inter
+        for r in hll_overlap(df, "grp", "uid").collect()
+    }
+    assert abs(out[("A", "B")] - 500) <= 0.1 * 500
+    assert abs(out[("A", "C")]) <= 40  # ~disjoint
+    assert abs(out[("B", "C")]) <= 40
