@@ -503,6 +503,8 @@ _RECHECK = [
     "compacted_load",
     "trend_detection",
     "hll_overlap",
+    "forecast_revenue",
+    "order_priority_check",
     "avro_roundtrip",
     "jdbc_roundtrip",
     "streaming_stateful_counts",

@@ -1024,6 +1024,55 @@ def q_rollup_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter + aggregate —
+    every predicate (date range, discount band, quantity cap) must
+    reach the parquet scan; the plan is scan → partial agg → one
+    1-row exchange. The canonical pushdown benchmark."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue", 4
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): count orders per priority
+    that have AT LEAST ONE late lineitem (shipped >30 days after the
+    order date) — the correlated-EXISTS shape planned as a left-semi
+    join, so each order contributes once no matter how many lineitems
+    are late. Adapted to this schema (no commit/receipt dates)."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-segment distinct-user overlap from mergeable HLL sketches
     (catalog.hll_overlap, inclusion–exclusion on sketch merges — no
@@ -1255,6 +1304,8 @@ QUERIES = {
     "rollup_cdc_apply": q_rollup_cdc_apply,
     "trend_detection": q_trend_detection,
     "hll_overlap": q_hll_overlap,
+    "forecast_revenue": q_forecast_revenue,
+    "order_priority_check": q_order_priority_check,
     "disjunctive_join_filter": q_disjunctive_join_filter,
     "waiting_suppliers": q_waiting_suppliers,
     "variant_extract": q_variant_extract,
@@ -1882,4 +1933,27 @@ ORACLE["hll_overlap"] = """
         GROUP BY 1, 2
     )
     SELECT grp_a, grp_b, exact_inter, TRUE AS within_tol FROM pairs
+"""
+
+ORACLE["forecast_revenue"] = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+"""
+ORACLE["order_priority_check"] = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY 1
 """
