@@ -504,6 +504,7 @@ _RECHECK = [
     "trend_detection",
     "hll_overlap",
     "forecast_revenue",
+    "market_share",
     "order_priority_check",
     "avro_roundtrip",
     "jdbc_roundtrip",

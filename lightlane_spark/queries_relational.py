@@ -1024,6 +1024,59 @@ def q_rollup_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of
+    supplier revenue inside a region, per order year — seven-relation
+    join (two roles for nation) with a conditional-aggregate share
+    ratio. All five dimension hops broadcast; the only shuffles are
+    the fact-fact orderkey join and the final per-year aggregation.
+    Share = decimal-exact conditional sum over decimal-exact total,
+    divided once in double and rounded 9dp."""
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    base = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n_cust), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_supp), s["s_nationkey"] == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            (F.col("supp_nation") == "NATION_7").cast("int").alias("is_target"),
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("is_target") == 1, F.col("vol"))).alias("__tv"),
+            F.sum("vol").alias("__av"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.coalesce(F.col("__tv"), F.lit(0)).cast("double")
+                / F.col("__av").cast("double"),
+                9,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecasting revenue change): pure filter + aggregate —
     every predicate (date range, discount band, quantity cap) must
@@ -1304,6 +1357,7 @@ QUERIES = {
     "rollup_cdc_apply": q_rollup_cdc_apply,
     "trend_detection": q_trend_detection,
     "hll_overlap": q_hll_overlap,
+    "market_share": q_market_share,
     "forecast_revenue": q_forecast_revenue,
     "order_priority_check": q_order_priority_check,
     "disjunctive_join_filter": q_disjunctive_join_filter,
@@ -1956,4 +2010,25 @@ ORACLE["order_priority_check"] = """
             AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
       )
     GROUP BY 1
+"""
+
+ORACLE["market_share"] = """
+    WITH base AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4)) AS vol,
+               CASE WHEN ns.n_name = 'NATION_7' THEN 1 ELSE 0 END AS is_target
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT CAST(o_year AS INTEGER) AS o_year,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN is_target = 1 THEN vol END), 0)
+                      AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE), 9) AS mkt_share
+    FROM base GROUP BY 1
 """
