@@ -475,6 +475,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "volume_shipping",
+    "large_volume_customers",
+    "ship_delay_priority",
+    "frequent_pairs",
     "cms_heavy_hitters",
     "bloom_prefilter",
     "ngram_lm_score",

@@ -1349,7 +1349,139 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flowing between two named
+    nations, keyed by (supplier nation, customer nation, ship year) —
+    the two-role nation join with a DISJUNCTIVE cross-nation predicate
+    ((A→B) OR (B→A)). Plan notes: both nation legs broadcast; the
+    nation filter is applied to each broadcast side BEFORE the join so
+    the fact rows that survive are only those touching the two target
+    nations; the only shuffles are the two fact-side key joins and the
+    final 3-key aggregation. Decimal-exact volume sum."""
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_3", "NATION_8"))
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_3", "NATION_8"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)")
+    base = (
+        li.join(F.broadcast(s.join(F.broadcast(n1), s["s_nationkey"] == F.col("sn_key"))),
+                li["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.join(F.broadcast(n2), c["c_nationkey"] == F.col("cn_key"))),
+              o["o_custkey"] == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            vol.alias("vol"),
+        )
+    )
+    return (
+        base.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vol").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds 250 — aggregate→HAVING over the fact table first
+    (the heavy reduction happens before any join), then the small
+    surviving order set joins orders + customer. At 100 TB the
+    group-filter runs map-side-partial then one orderkey shuffle;
+    the survivors (≈0.2% of orders here) broadcast to the dimension
+    joins rather than shuffling the full orders table."""
+    li = read_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey", F.col("__q").cast("double").alias("sum_qty"))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority counts) adapted to this
+    schema (no l_shipmode): bucket every lineitem by its ship delay
+    (FAST ≤30d, MEDIUM ≤60d, SLOW) and count urgent-priority
+    (1-URGENT/2-HIGH) vs other orders per bucket — the conditional
+    COUNT pivot after a fact-fact join. One orderkey shuffle, then a
+    3-row aggregation; the CASE pivot is codegen'd, no Python."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "FAST").when(delay <= 60, "MEDIUM").otherwise("SLOW")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(bucket.alias("delay_bucket"), urgent.alias("is_urgent"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("is_urgent").alias("urgent_count"),
+            F.sum(1 - F.col("is_urgent")).alias("normal_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part-brand pairs appearing in
+    the same order. Baskets are (order → distinct brand) rows — the
+    brand dimension broadcasts onto the fact scan, DISTINCT shrinks
+    each basket to ≤25 rows (brand cardinality), and the pair
+    expansion is a basket-local self-join on the orderkey whose output
+    is bounded by Σ|basket|² ≤ 25·|baskets| — never all-pairs across
+    baskets. Deterministic top-50 by (support desc, brand pair)."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = baskets.select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand_a"))
+    b = baskets.select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand_b"))
+    return (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "brand_a", "brand_b")
+        .limit(50)
+    )
+
+
 QUERIES = {
+    "volume_shipping": q_volume_shipping,
+    "large_volume_customers": q_large_volume_customers,
+    "ship_delay_priority": q_ship_delay_priority,
+    "frequent_pairs": q_frequent_pairs,
     "zorder_key": q_zorder_key,
     "local_supplier_volume": q_local_supplier_volume,
     "numeric_histogram": q_numeric_histogram,
@@ -2031,4 +2163,72 @@ ORACLE["market_share"] = """
                       AS DOUBLE)
                  / CAST(SUM(vol) AS DOUBLE), 9) AS mkt_share
     FROM base GROUP BY 1
+"""
+
+ORACLE["volume_shipping"] = """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+        OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+ORACLE["large_volume_customers"] = """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,2))) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+ORACLE["ship_delay_priority"] = """
+    SELECT CASE
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) <= 30 THEN 'FAST'
+             WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) <= 60 THEN 'MEDIUM'
+             ELSE 'SLOW'
+           END AS delay_bucket,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS urgent_count,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS normal_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+ORACLE["frequent_pairs"] = """
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           COUNT(*) AS support
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    ORDER BY support DESC, brand_a, brand_b
+    LIMIT 50
 """
