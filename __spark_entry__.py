@@ -479,6 +479,7 @@ _RECHECK = [
     "large_volume_customers",
     "ship_delay_priority",
     "frequent_pairs",
+    "set_similarity_join",
     "cms_heavy_hitters",
     "bloom_prefilter",
     "ngram_lm_score",

@@ -612,3 +612,106 @@ def minhash_join(
         F.shiftright(odd, 1).alias("right_id"),
         "jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (PPJoin-family)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard(shingle-set) ≥ threshold via prefix
+    filtering (the PPJoin/all-pairs family; see Vernica et al.,
+    SIGMOD'10 for the MapReduce formulation) — the lossless
+    alternative to ``ngram_jaccard_pairs``' df-cap blocking: no gram
+    is dropped, yet the self-join never touches a document's frequent
+    grams.
+
+    Principle: order every document's gram set by a GLOBAL rare-first
+    total order (ascending document frequency, gram text as
+    tie-break). If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and two
+    sets with overlap ≥ α must collide within their first
+    |x| − α + 1 ordered elements — so indexing only each doc's
+    PREFIX of length |x| − ⌈τ·|x|⌉ + 1 finds every qualifying pair.
+    Frequent grams sort to the suffix and never enter the inverted
+    index, which is what bounds the candidate expansion: join work is
+    Σ_g cnt_prefix(g)² over RARE grams only, not Σ_g cnt(g)² over the
+    full universe.
+
+    Plan shape (4 exchanges): gram df via one window on the shingle
+    relation → per-doc sort + prefix inside a row (array_sort on
+    (df, gram) structs — no extra shuffle) → prefix explode +
+    self-join on gram with the τ·|A| ≤ |B| ≤ |A|/τ length filter →
+    distinct candidate pairs carry both full gram arrays, so the
+    verify (array_intersect) is in-row with NO join back to the
+    corpus. Prefix length uses exact rational arithmetic
+    (⌈num·n/den⌉ as integer ops) — float ceil at a representability
+    boundary would silently shorten a prefix and break completeness.
+
+    At 100 TB: every stage is linear in the shingle relation except
+    the prefix self-join, whose per-gram expansion is capped by the
+    rarity of prefix grams themselves; the classic skew killer
+    (stop-gram n²) cannot occur because a stop-gram's df places it
+    past every prefix boundary. Candidate verification is in-row on
+    pre-sorted arrays.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+
+    sh = shingle(df, text_col, id_col, k, distinct="inrow")
+    sh = sh.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
+    # Per-doc global-order gram array: array_sort on (df, gram) structs
+    # sorts by field order — rare-first, gram-text tie-break.
+    docs = (
+        sh.groupBy(id_col)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(__df, sh))), x -> x.sh)")
+            .alias("grams")
+        )
+        .withColumn("n", F.size("grams"))
+        # exact ⌈num·n/den⌉ = (num·n + den − 1) div den, in bigint
+        .withColumn(
+            "plen",
+            F.col("n") - ((F.col("n") * num + den - 1) / den).cast("bigint") + 1,
+        )
+        .persist()
+    )
+    idx_a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n").alias("n_a"),
+        F.explode(F.expr("slice(grams, 1, plen)")).alias("g"),
+    )
+    idx_b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n").alias("n_b"),
+        F.explode(F.expr("slice(grams, 1, plen)")).alias("g"),
+    )
+    cand = idx_a.join(idx_b, "g").where(
+        (F.col("id_a") < F.col("id_b"))
+        # length filter: J ≤ min/max, so sizes within a τ factor
+        & (F.col("n_b") * num <= F.col("n_a") * den)
+        & (F.col("n_a") * num <= F.col("n_b") * den)
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    jacc = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    # Verify BEFORE deduping: array_intersect is in-row (no shuffle),
+    # so re-verifying a pair found via several prefix grams is cheap —
+    # and the dropDuplicates exchange then carries three scalars, not
+    # two full gram arrays per row.
+    return (
+        cand.withColumn("jaccard", jacc)
+        # exact rational threshold: inter·den ≥ num·(n_a+n_b−inter)
+        .where(inter * (num + den) >= (F.col("n_a") + F.col("n_b")) * num)
+        .select("id_a", "id_b", "jaccard")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -545,6 +545,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.7 self-join via prefix filtering (PPJoin
+    family): rare-first global gram order, per-doc prefix inverted
+    index, in-row array_intersect verify — lossless (no df cap), with
+    candidate expansion bounded by prefix-gram rarity. The exact
+    counterpart to ngram_jaccard's blocked shape; oracle is the plain
+    all-pairs SQL, which prefix filtering must reproduce verbatim."""
+    from lightlane_spark.operators.fuzzy_dedup import prefix_filter_jaccard_join
+
+    pairs = prefix_filter_jaccard_join(_docs_with_dups(spark, sf_dir), threshold=0.7)
+    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -1321,6 +1334,7 @@ QUERIES = {
     "simhash_signatures": q_simhash_signatures,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "set_similarity_join": q_set_similarity_join,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -2533,4 +2547,26 @@ ORACLE["leakage_safe_split"] = f"""
                 THEN 'val'
                 ELSE 'test' END AS split
     FROM clusters
+"""
+
+ORACLE["set_similarity_join"] = f"""
+    WITH {_CORPUS_CTE},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
+        WHERE len(t) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT p.id_a, p.id_b,
+           round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.id_a
+    JOIN sizes zb ON zb.doc_id = p.id_b
+    WHERE n_inter * (7 + 10) >= (za.n_sh + zb.n_sh) * 7
 """

@@ -286,3 +286,71 @@ def test_leakage_safe_split_keeps_families_atomic(spark, sf_dir):
     dist = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
     assert set(dist) == {"train", "val", "test"}
     assert dist["train"] > dist["val"] and dist["train"] > dist["test"]
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def _bruteforce_jaccard_pairs(spark, corpus, threshold):
+    """Uncapped shingle self-join — the exact reference the prefix
+    filter must reproduce verbatim (losslessness oracle)."""
+    from lightlane_spark.operators.fuzzy_dedup import shingle
+
+    sh = shingle(corpus, distinct="inrow")
+    sizes = sh.groupBy("doc_id").count().withColumnRenamed("count", "n")
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .count()
+        .withColumnRenamed("count", "inter")
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    joined = inter.join(za, "id_a").join(zb, "id_b")
+    jacc = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return {
+        (r.id_a, r.id_b): round(r.j, 9)
+        for r in joined.select("id_a", "id_b", jacc.alias("j"))
+        .where(jacc >= threshold)
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.7, 0.9])
+def test_prefix_filter_join_is_lossless(spark, corpus, threshold):
+    """Prefix filtering must find EXACTLY the brute-force pair set at
+    every threshold — completeness (no pair missed despite indexing
+    only prefixes) and precision (verify discards false candidates)."""
+    from lightlane_spark.operators.fuzzy_dedup import prefix_filter_jaccard_join
+
+    small = corpus.filter("doc_id % 3 = 0 OR doc_id >= 1000000")
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in prefix_filter_jaccard_join(small, threshold=threshold).collect()
+    }
+    want = _bruteforce_jaccard_pairs(spark, small, threshold)
+    assert got == want
+    assert len(got) > 0  # fixture guarantees qualifying near-dups
+
+
+def test_prefix_filter_join_boundary_threshold(spark):
+    """A pair sitting exactly ON the rational threshold must be kept:
+    inter·(num+den) ≥ num·(n_a+n_b) is evaluated in integers, so no
+    float-boundary drop. Docs engineered to J = exactly 0.5."""
+    from lightlane_spark.operators.fuzzy_dedup import prefix_filter_jaccard_join
+
+    # grams(a) = {w1 w2 w3, w2 w3 w4} ; grams(b) = {w1 w2 w3, w2 w3 w5}
+    # inter = 1, union = 3 → J = 1/3 ; threshold 1/3 keeps it.
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w5")], "doc_id: bigint, text: string"
+    )
+    got = prefix_filter_jaccard_join(df, threshold=1 / 3).collect()
+    assert len(got) == 1 and abs(got[0].jaccard - 1 / 3) < 1e-12
+    # nudge the threshold epsilon above the rational value → dropped
+    got2 = prefix_filter_jaccard_join(df, threshold=0.334).collect()
+    assert got2 == []
