@@ -480,6 +480,7 @@ _RECHECK = [
     "ship_delay_priority",
     "frequent_pairs",
     "set_similarity_join",
+    "concurrency_curve",
     "cms_heavy_hitters",
     "bloom_prefilter",
     "ngram_lm_score",

@@ -210,3 +210,88 @@ def time_rollup(
         .groupBy(F.col("__gb.grain").alias("grain"), F.col("__gb.bucket").alias("bucket"))
         .agg(*aggs)
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    bucket: Column,
+    out_col: str = "running",
+) -> DataFrame:
+    """Cumulative sum over a GLOBAL ordering without the global-window
+    scale trap. ``Window.orderBy`` with no partition key runs the
+    whole table through ONE task — the canonical 100 TB killer. The
+    two-phase form here keeps every stage parallel:
+
+      1. per-bucket running sum (window partitioned by ``bucket``,
+         parallel across buckets),
+      2. bucket totals → cumulative offsets: a window over the BUCKET
+         relation only (rows = number of buckets, thousands not
+         billions — the only single-task structure, and it is
+         bounded by bucket cardinality, not data size),
+      3. broadcast the offsets back; final = local running + offset
+         of every earlier bucket.
+
+    ``bucket`` must be a deterministic function of ``order_col`` that
+    respects its order (e.g. ``date_trunc('day', ts)`` for a
+    timestamp order key) — partition-id tricks would tie results to
+    physical planning. ``order_col`` values must be unique within a
+    bucket (pre-aggregate ties first); uniqueness makes the running
+    value frame-unambiguous on both engines.
+    """
+    d = df.withColumn("__bk", bucket)
+    local = F.sum(value_col).over(
+        Window.partitionBy("__bk").orderBy(order_col)
+    )
+    d = d.withColumn("__local", local)
+    totals = d.groupBy("__bk").agg(F.sum(value_col).alias("__tot"))
+    offsets = totals.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(
+                Window.orderBy("__bk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__bk", "__off")
+    return (
+        d.join(F.broadcast(offsets), "__bk")
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__bk", "__local")
+    )
+
+
+def sweep_line_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Max concurrent intervals per time grain via a sweep line:
+    +1/−1 boundary events, delta pre-aggregation per distinct
+    timestamp (collapses ties AND shrinks the sweep relation to
+    distinct boundaries), then ``global_running_sum`` over boundary
+    time. Interval semantics are half-open [start, end): an interval
+    ending exactly when another starts does not overlap it.
+
+    The naive formulation is a self-join on overlap (quadratic) or a
+    single global window (one task); this is one groupBy plus the
+    two-phase running sum — every stage linear and parallel.
+    """
+    starts = df.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
+    ends = df.select(F.col(end_col).alias("t"), F.lit(-1).alias("d"))
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy("t")
+        .agg(F.sum("d").alias("delta"))
+    )
+    run = global_running_sum(
+        deltas, "t", "delta", F.date_trunc(grain, F.col("t")), out_col="conc"
+    )
+    return (
+        run.groupBy(F.date_trunc(grain, F.col("t")).alias("bucket"))
+        .agg(F.max("conc").alias("max_concurrency"))
+    )

@@ -190,7 +190,29 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_concurrency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent one-hour sessions per day via a sweep line
+    (operators/temporal.py::sweep_line_concurrency): +1/−1 boundary
+    deltas pre-aggregated per distinct timestamp, then a TWO-PHASE
+    global running sum — per-day window in parallel, cumulative
+    day-offsets over the tiny bucket relation, broadcast back. The
+    naive global Window.orderBy would run 100 TB through one task;
+    here the only single-task structure is over #days. Concurrency is
+    measured at interval boundaries (half-open [start, end))."""
+    from lightlane_spark.operators.temporal import sweep_line_concurrency
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "ts", (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_end")
+    )
+    out = sweep_line_concurrency(ev, "ts", "ts_end", grain="day")
+    return out.select(
+        F.to_date("bucket").alias("bucket"),
+        F.col("max_concurrency").cast("bigint").alias("max_concurrency"),
+    )
+
+
 QUERIES = {
+    "concurrency_curve": q_concurrency_curve,
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
     "range_join": q_range_join,
@@ -308,4 +330,17 @@ ORACLE["retention_cohorts"] = """
     FROM active a JOIN first f ON a.user_id = f.user_id
     WHERE a.day - f.cohort_day BETWEEN 0 AND 7
     GROUP BY 1, 2
+"""
+
+ORACLE["concurrency_curve"] = """
+    WITH b AS (
+        SELECT ts AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT ts + INTERVAL 1 HOUR AS t, -1 AS d FROM events
+    ),
+    deltas AS (SELECT t, SUM(d) AS delta FROM b GROUP BY t),
+    run AS (SELECT t, SUM(delta) OVER (ORDER BY t) AS conc FROM deltas)
+    SELECT CAST(date_trunc('day', t) AS DATE) AS bucket,
+           CAST(max(conc) AS BIGINT) AS max_concurrency
+    FROM run GROUP BY 1
 """

@@ -242,3 +242,71 @@ def test_resample_fill_densifies_and_fills(spark):
         ("a", 4, 1, 5.0),
         ("b", 2, 1, 7.0),    # span is one day — no padding beyond
     ]
+
+
+# ---------------------------------------------------------------------------
+# Two-phase global running sum + sweep-line concurrency
+# ---------------------------------------------------------------------------
+
+
+def test_global_running_sum_matches_single_window(spark):
+    """Two-phase (per-bucket + broadcast offsets) must equal the naive
+    global window on a fixture whose buckets are deliberately uneven
+    (some empty days, one day holding most rows)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from lightlane_spark.operators.temporal import global_running_sum
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h, m), v)
+        for h, m, v in [(0, 0, 5), (0, 30, -2), (23, 59, 7)]
+    ] + [
+        (dt.datetime(2024, 1, 4, 12, 0), 100),
+        (dt.datetime(2024, 1, 4, 12, 1), -50),
+        (dt.datetime(2024, 1, 9, 0, 0), 1),
+    ]
+    df = spark.createDataFrame(rows, "t: timestamp, v: long")
+    got = {
+        r.t: r.running
+        for r in global_running_sum(
+            df, "t", "v", F.date_trunc("day", F.col("t"))
+        ).collect()
+    }
+    naive = {
+        r.t: r.run
+        for r in df.withColumn(
+            "run", F.sum("v").over(Window.orderBy("t"))
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_sweep_line_half_open_touching_intervals(spark):
+    """[10:00, 11:00) and [11:00, 12:00) never overlap: max
+    concurrency stays 1. A genuinely overlapping third interval
+    raises it to 2."""
+    import datetime as dt
+
+    from lightlane_spark.operators.temporal import sweep_line_concurrency
+
+    d = dt.datetime
+    df = spark.createDataFrame(
+        [
+            (d(2024, 1, 1, 10), d(2024, 1, 1, 11)),
+            (d(2024, 1, 1, 11), d(2024, 1, 1, 12)),
+        ],
+        "s: timestamp, e: timestamp",
+    )
+    out = sweep_line_concurrency(df, "s", "e", grain="day").collect()
+    assert len(out) == 1 and out[0].max_concurrency == 1
+
+    df2 = df.union(
+        spark.createDataFrame(
+            [(d(2024, 1, 1, 10, 30), d(2024, 1, 1, 11, 30))],
+            "s: timestamp, e: timestamp",
+        )
+    )
+    out2 = sweep_line_concurrency(df2, "s", "e", grain="day").collect()
+    assert len(out2) == 1 and out2[0].max_concurrency == 2
