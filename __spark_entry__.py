@@ -481,6 +481,9 @@ _RECHECK = [
     "frequent_pairs",
     "set_similarity_join",
     "concurrency_curve",
+    "grouping_sets",
+    "mad_outliers",
+    "rolling_distinct_users",
     "cms_heavy_hitters",
     "bloom_prefilter",
     "ngram_lm_score",

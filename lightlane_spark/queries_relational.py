@@ -1477,7 +1477,88 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag,status),(flag),()) — the general
+    form behind rollup/cube, chosen sets only (a cube would compute
+    the unwanted (status) set too). One shuffle; Spark expands the
+    sets map-side via Expand, so the fact table is still scanned
+    once. Grouped-out keys coalesce to 'ALL' sentinels (driver
+    canonicalization can't sort NULLs)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    gs = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    )
+    return gs.agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("l_extendedprice"), "sum_price"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+        "n",
+        "sum_price",
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging per event_type: |value − median| >
+    3·MAD (median absolute deviation). Two discrete-median passes
+    (percentile_disc(0.5) — an actual data element, so cross-engine
+    hash-exact where mean/stddev would drift in the last ulp), each a
+    tiny per-type aggregate broadcast back onto the event scan; the
+    fact table is never shuffled. The classic heavy-tail-safe
+    alternative to z-scores (group_zscore) for data-quality gates."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("absdev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day — the sliding
+    count-distinct that defeats plain windows (distinct doesn't
+    decompose over frames). Contribution expansion: each distinct
+    (user, day) row is exploded to the 7 target days it counts
+    toward, then ONE count-distinct aggregation — work is 7·|user
+    days|, linear, vs the 7-way day-range self-join of the naive
+    form. Trailing windows extending past the last observed day are
+    reported (their lookback is complete by construction; leading
+    partial windows are the first 6 days, as in any trailing
+    metric)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    contrib = ev.select(
+        "user_id",
+        F.explode(F.expr("sequence(day, date_add(day, 6), interval 1 day)")).alias(
+            "target_day"
+        ),
+    )
+    return (
+        contrib.groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .orderBy("target_day")
+    )
+
+
 QUERIES = {
+    "grouping_sets": q_grouping_sets,
+    "mad_outliers": q_mad_outliers,
+    "rolling_distinct_users": q_rolling_distinct_users,
     "volume_shipping": q_volume_shipping,
     "large_volume_customers": q_large_volume_customers,
     "ship_delay_priority": q_ship_delay_priority,
@@ -2231,4 +2312,44 @@ ORACLE["frequent_pairs"] = """
     GROUP BY 1, 2
     ORDER BY support DESC, brand_a, brand_b
     LIMIT 50
+"""
+
+ORACLE["grouping_sets"] = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+"""
+
+ORACLE["mad_outliers"] = """
+    WITH med AS (
+        SELECT event_type, quantile_disc(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value,
+               abs(e.value - m.med) AS absdev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_disc(absdev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.value
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.absdev > 3 * m.mad
+"""
+
+ORACLE["rolling_distinct_users"] = """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    contrib AS (
+        SELECT ud.user_id, ud.day + CAST(i.i AS INTEGER) AS target_day
+        FROM ud, (SELECT unnest(range(7)) AS i) i
+    )
+    SELECT target_day, count(DISTINCT user_id) AS users_7d
+    FROM contrib GROUP BY 1 ORDER BY 1
 """
