@@ -484,6 +484,8 @@ _RECHECK = [
     "grouping_sets",
     "mad_outliers",
     "rolling_distinct_users",
+    "bpe_pair_counts",
+    "dpp_scan",
     "cms_heavy_hitters",
     "bloom_prefilter",
     "ngram_lm_score",

@@ -93,6 +93,15 @@ HEADLINE = [
     "leakage_safe_split",
     "compacted_load",
     "trend_detection",
+    # round-4 session-3 additions: TPC-H plan shapes, exact
+    # set-similarity join, sweep-line concurrency, robust stats
+    "volume_shipping",
+    "large_volume_customers",
+    "frequent_pairs",
+    "set_similarity_join",
+    "concurrency_curve",
+    "mad_outliers",
+    "rolling_distinct_users",
 ]
 
 

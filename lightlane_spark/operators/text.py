@@ -818,3 +818,41 @@ def weighted_topk_sample(
         .limit(k)
         .drop("__es_key")
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """The counting step of one BPE merge round: adjacent character
+    pairs weighted by word frequency, descending — the top row IS the
+    next merge a byte-pair-encoding trainer would apply.
+
+    Scale shape: tokenizer training never iterates the corpus — the
+    corpus collapses to the VOCABULARY first (one word-count shuffle,
+    output rows = |vocab|, millions not billions), and every later
+    stage works on that compressed relation: in-row pair expansion
+    (≤ len(word) pairs per vocab row, no shuffle), one pair-count
+    aggregation, then a TakeOrdered top-k cut (k rows per partition,
+    no global sort materialization). Real BPE runs this repeatedly
+    with re-segmentation; the per-round plan is exactly this.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(top_k)
+    )

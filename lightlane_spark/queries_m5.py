@@ -1295,7 +1295,19 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_doc_scores(docs)
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round's pair statistics (text.bpe_pair_stats):
+    corpus → vocabulary (one word-count shuffle), in-row adjacent
+    char-pair expansion over vocab rows, one weighted pair-count agg,
+    TakeOrdered top-50. The tokenizer-training primitive."""
+    from lightlane_spark.operators.text import bpe_pair_stats
+
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    return bpe_pair_stats(docs, top_k=50)
+
+
 QUERIES = {
+    "bpe_pair_counts": q_bpe_pair_counts,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_stateful_counts": q_streaming_stateful_counts,
     "gopher_rules": q_gopher_rules,
@@ -2569,4 +2581,21 @@ ORACLE["set_similarity_join"] = f"""
     JOIN sizes za ON za.doc_id = p.id_a
     JOIN sizes zb ON zb.doc_id = p.id_b
     WHERE n_inter * (7 + 10) >= (za.n_sh + zb.n_sh) * 7
+"""
+
+ORACLE["bpe_pair_counts"] = """
+    WITH words AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 2
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, freq
+        FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 50
 """

@@ -11,6 +11,8 @@ double (deterministic in both engines).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -1555,7 +1557,41 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: orders laid out partitioned by year,
+    then joined to a tiny literal dimension whose FILTER (not the
+    fact's) selects two years — Spark broadcasts the dim, builds the
+    partition filter AT RUNTIME from the broadcast result, and the
+    fact scan opens only the two matching year directories. The
+    lakehouse pattern where the pruning predicate lives in a
+    dimension table and never appears as a literal on the fact: at
+    100 TB this is the difference between scanning 2 partitions and
+    scanning 10 years. Plan pinned in tests/test_plan_quality.py
+    (PartitionFilters carries a dynamicpruning subquery)."""
+    import tempfile as _tf
+
+    path = os.path.join(_tf.mkdtemp(prefix="llspark_dpp_"), "orders_by_year")
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    orders.write.partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, f"y{y}") for y in range(1995, 2002)], "o_year: int, tag: string"
+    ).filter(F.col("tag").isin("y1996", "y1998"))
+    return (
+        fact.join(F.broadcast(dim), "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
 QUERIES = {
+    "dpp_scan": q_dpp_scan,
     "grouping_sets": q_grouping_sets,
     "mad_outliers": q_mad_outliers,
     "rolling_distinct_users": q_rolling_distinct_users,
@@ -2352,4 +2388,13 @@ ORACLE["rolling_distinct_users"] = """
     )
     SELECT target_day, count(DISTINCT user_id) AS users_7d
     FROM contrib GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE["dpp_scan"] = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1998)
+    GROUP BY 1 ORDER BY 1
 """

@@ -218,3 +218,52 @@ def test_local_supplier_volume_broadcasts_all_dims(spark, sf_dir):
     ps = plan_summary(q_local_supplier_volume(spark, sf_dir))
     assert ps.text.count("BroadcastHashJoin") >= 3, ps.text[:800]
     assert "CartesianProduct" not in ps.text
+
+
+def test_dpp_scan_has_dynamic_partition_filter(spark, sf_dir):
+    """The year-partitioned fact scan must carry a runtime
+    dynamicpruning partition filter derived from the broadcast dim —
+    a plain scan-all-partitions plan silently loses the 100 TB win."""
+    import __spark_entry__ as m
+
+    df = m._queries_unordered()["dpp_scan"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_prefix_filter_join_no_cartesian(spark, sf_dir):
+    """Prefix filtering must candidate-generate through the gram
+    equi-join — never a cross product."""
+    from lightlane_spark.operators.fuzzy_dedup import prefix_filter_jaccard_join
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = prefix_filter_jaccard_join(docs, threshold=0.7)
+    ps = plan_summary(out)
+    assert "CartesianProduct" not in ps.text
+    assert "BroadcastNestedLoopJoin" not in ps.text
+
+
+def test_global_running_sum_no_global_window(spark, sf_dir):
+    """The two-phase running sum must not contain a single-partition
+    window over the DATA relation: every unpartitioned Window in the
+    plan must sit on the bucket-totals side (tiny), which shows up as
+    a window whose input is an aggregate, not the raw scan. We assert
+    the cheap invariant: at most one unpartitioned window, and at
+    least one window partitioned by the bucket key."""
+    from lightlane_spark.operators.temporal import global_running_sum
+
+    ev = read_table(spark, sf_dir, "events").select("ts", F.lit(1).alias("v"))
+    deltas = ev.groupBy("ts").agg(F.sum("v").alias("d"))
+    out = global_running_sum(
+        deltas, "ts", "d", F.date_trunc("day", F.col("ts"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window .*", plan)
+    unpartitioned = [w for w in windows if "partitionBy" not in w.replace(" ", "")]
+    # Spark prints partition spec inside the Window operator line;
+    # the bucket-partitioned window mentions __bk, the offsets window
+    # doesn't. Both must exist, and no OTHER unpartitioned window may.
+    assert any("__bk" in w for w in windows), windows
+    assert len(windows) == 2, windows
