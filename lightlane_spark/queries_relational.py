@@ -1464,15 +1464,27 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
-    a = baskets.select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand_a"))
-    b = baskets.select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand_b"))
+    # In-row pair expansion over the sorted basket array: collect_set
+    # dedupes and array_sort orders, so (x, y) with x before y in the
+    # array IS brand_a < brand_b — no distinct exchange, no self-join,
+    # no double computation of the basket chain. One orderkey shuffle
+    # plus the (tiny) pair aggregation.
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, (x, i) ->"
+                " transform(slice(brands, i + 2, size(brands)),"
+                " y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(b, "okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
+        pairs.groupBy(
+            F.col("pr.brand_a").alias("brand_a"), F.col("pr.brand_b").alias("brand_b")
+        )
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.col("support").desc(), "brand_a", "brand_b")
         .limit(50)
