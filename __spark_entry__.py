@@ -486,6 +486,7 @@ _RECHECK = [
     "rolling_distinct_users",
     "bpe_pair_counts",
     "dpp_scan",
+    "window_percent_rank",
     "cms_heavy_hitters",
     "bloom_prefilter",
     "ngram_lm_score",

@@ -1602,8 +1602,36 @@ def q_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window family in one pass: percent_rank,
+    cume_dist, and ratio-to-report (share of the partition total) per
+    customer within nation — three window functions over ONE
+    partition spec, so Spark computes them in a single sort+window
+    stage (no extra exchange per function). Divisions are per-row
+    IEEE (deterministic); the partition-total share uses an exact
+    decimal sum."""
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wtot = Window.partitionBy("c_nationkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.round(
+            F.col("c_acctbal")
+            / F.sum(F.col("c_acctbal").cast("decimal(28,2)"))
+            .over(wtot)
+            .cast("double"),
+            9,
+        ).alias("bal_share"),
+    )
+
+
 QUERIES = {
     "dpp_scan": q_dpp_scan,
+    "window_percent_rank": q_window_percent_rank,
     "grouping_sets": q_grouping_sets,
     "mad_outliers": q_mad_outliers,
     "rolling_distinct_users": q_rolling_distinct_users,
@@ -2409,4 +2437,16 @@ ORACLE["dpp_scan"] = """
     FROM orders
     WHERE year(o_orderdate) IN (1996, 1998)
     GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE["window_percent_rank"] = """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume,
+           round(c_acctbal /
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2)))
+                      OVER (PARTITION BY c_nationkey) AS DOUBLE), 9)
+               AS bal_share
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
