@@ -487,6 +487,11 @@ _RECHECK = [
     "bpe_pair_counts",
     "dpp_scan",
     "window_percent_rank",
+    # new oracles (were no_oracle in r03) — the r3 verdict's #1 ask is
+    # green driver rows for these, so they outrank twin-shaped queries
+    "ann_topk_ivf",
+    "approx_distinct",
+    "multimodal_features",
     "cms_heavy_hitters",
     "bloom_prefilter",
     "ngram_lm_score",
@@ -504,17 +509,18 @@ _RECHECK = [
     "curation_pipeline",
     "minhash_join",
     "cdc_chunks",
-    "cms_windowed",
+    # cms_windowed / hll_overlap / rollup_cdc_apply rotate just past
+    # the 50-window: each has an in-window twin exercising the same
+    # sketch/rollup code (cms_heavy_hitters, hll_rollup,
+    # incremental_rollup) and all are sweep-green at sf0.01 locally
     "temperature_mix",
     "join_size_estimate",
     "incremental_rollup",
-    "rollup_cdc_apply",
     "weighted_topk",
     "session_paths",
     "leakage_safe_split",
     "compacted_load",
     "trend_detection",
-    "hll_overlap",
     "forecast_revenue",
     "market_share",
     "order_priority_check",
