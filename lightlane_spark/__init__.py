@@ -41,6 +41,7 @@ from lightlane_spark.loaders.dataskip import (
     write_manifest,
     write_with_stats,
 )
+from lightlane_spark.plans.lineage import column_lineage
 
 __all__ = [
     "get_spark",
@@ -71,6 +72,7 @@ __all__ = [
     "write_manifest",
     "pruned_scan",
     "pruned_scan_multi",
+    "column_lineage",
 ]
 
 __version__ = "0.1.0"
