@@ -487,6 +487,7 @@ _RECHECK = [
     "bpe_pair_counts",
     "dpp_scan",
     "window_percent_rank",
+    "python_datasource_scan",
     # new oracles (were no_oracle in r03) — the r3 verdict's #1 ask is
     # green driver rows for these, so they outrank twin-shaped queries
     "ann_topk_ivf",

@@ -1629,8 +1629,31 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source (Spark 4 DataSource API,
+    sources/pydatasource.py): a partition-planned synthetic generator
+    — partitions() declares the parallel split source-side, each task
+    materializes only its slice (no driver bottleneck, no post-hoc
+    repartition). Aggregated per group; every value is closed-form in
+    the row id, so the DuckDB oracle mirrors the generator over
+    range()."""
+    from lightlane_spark.sources.pydatasource import read_synth
+
+    df = read_synth(spark, 100_000, partitions=8)
+    return (
+        df.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,1)")).cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("grp")
+    )
+
+
 QUERIES = {
     "dpp_scan": q_dpp_scan,
+    "python_datasource_scan": q_python_datasource_scan,
     "window_percent_rank": q_window_percent_rank,
     "grouping_sets": q_grouping_sets,
     "mad_outliers": q_mad_outliers,
@@ -2449,4 +2472,18 @@ ORACLE["window_percent_rank"] = """
                AS bal_share
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+ORACLE["python_datasource_scan"] = """
+    WITH g AS (
+        SELECT i,
+               (i * 2654435761) % 1000003 AS user_id,
+               CAST(i % 7 AS INTEGER) AS grp,
+               CAST(i % 1000 AS DOUBLE) / 10.0 AS value
+        FROM (SELECT unnest(range(100000)) AS i)
+    )
+    SELECT grp, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,1))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM g GROUP BY grp ORDER BY grp
 """
