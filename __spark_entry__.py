@@ -488,6 +488,9 @@ _RECHECK = [
     "dpp_scan",
     "window_percent_rank",
     "python_datasource_scan",
+    "vocab_tokenize",
+    "padding_efficiency",
+    "schema_evolution_read",
     # new oracles (were no_oracle in r03) — the r3 verdict's #1 ask is
     # green driver rows for these, so they outrank twin-shaped queries
     "ann_topk_ivf",

@@ -102,6 +102,9 @@ HEADLINE = [
     "concurrency_curve",
     "mad_outliers",
     "rolling_distinct_users",
+    "bpe_pair_counts",
+    "dpp_scan",
+    "python_datasource_scan",
 ]
 
 

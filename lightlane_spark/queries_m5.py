@@ -1306,7 +1306,72 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(docs, top_k=50)
 
 
+def q_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a learned vocabulary at scale: top-1000 words by corpus
+    frequency get ids (rank order, deterministic tie-break), every
+    token row maps word→id through a BROADCAST vocab join, OOV → 0.
+    The map-only tokenization step of every training pipeline — the
+    corpus is never shuffled; the only shuffle builds the vocab
+    (output rows = |vocab|). Flat (doc_id, pos, token_id) output."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).withColumn("pos", F.col("pos") + 1)
+    wc = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window as W
+
+    vocab = (
+        wc.orderBy(F.col("cnt").desc(), "w")
+        .limit(1000)
+        .withColumn(
+            "id", F.row_number().over(W.orderBy(F.col("cnt").desc(), "w"))
+        )
+        .select("w", "id")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("id"), F.lit(0)).cast("int").alias("token_id"),
+        )
+    )
+
+
+def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing report: docs grouped into power-of-2
+    token-length buckets (the padded batch shapes a trainer would
+    use); per bucket emits doc count, real token sum, padded token
+    sum (bucket_len × docs) and the padding efficiency ratio. One
+    map-only pass + a tiny aggregation — the capacity-planning query
+    run before packing (pack_sequences is the fix when efficiency is
+    low)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size(F.split("text", " "))
+    bucket = F.expr(
+        "CAST(pow(2, ceil(log2(size(split(text, ' '))))) AS BIGINT)"
+    )
+    return (
+        docs.select(n.alias("n"), bucket.alias("bucket_len"))
+        .where(F.col("n") >= 1)
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n").cast("bigint")).alias("real_tokens"),
+        )
+        .withColumn("padded_tokens", F.col("bucket_len") * F.col("n_docs"))
+        .withColumn(
+            "efficiency",
+            F.round(F.col("real_tokens") / F.col("padded_tokens"), 9),
+        )
+        .orderBy("bucket_len")
+    )
+
+
 QUERIES = {
+    "vocab_tokenize": q_vocab_tokenize,
+    "padding_efficiency": q_padding_efficiency,
     "bpe_pair_counts": q_bpe_pair_counts,
     "streaming_window_counts": q_streaming_window_counts,
     "streaming_stateful_counts": q_streaming_stateful_counts,
@@ -2598,4 +2663,37 @@ ORACLE["bpe_pair_counts"] = """
     FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair
     LIMIT 50
+"""
+
+ORACLE["vocab_tokenize"] = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tok AS (
+        SELECT doc_id, t[CAST(i AS INTEGER)] AS w, CAST(i AS INTEGER) AS pos
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) x
+    ),
+    wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    topv AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 1000),
+    vid AS (
+        SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS id FROM topv
+    )
+    SELECT t.doc_id, t.pos,
+           CAST(COALESCE(v.id, 0) AS INTEGER) AS token_id
+    FROM tok t LEFT JOIN vid v ON t.w = v.w
+"""
+
+ORACLE["padding_efficiency"] = """
+    WITH d AS (
+        SELECT len(string_split(text, ' ')) AS n,
+               CAST(pow(2, ceil(log2(len(string_split(text, ' '))))) AS BIGINT)
+                   AS bucket_len
+        FROM documents
+    )
+    SELECT bucket_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS real_tokens,
+           bucket_len * COUNT(*) AS padded_tokens,
+           round(CAST(SUM(n) AS BIGINT) / CAST(bucket_len * COUNT(*) AS DOUBLE), 9)
+               AS efficiency
+    FROM d WHERE n >= 1
+    GROUP BY bucket_len ORDER BY bucket_len
 """

@@ -1651,8 +1651,38 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file batches: an early batch (orderkey,
+    totalprice) and a later batch (orderkey, priority, year) land in
+    the same dataset; mergeSchema unifies them at read time, missing
+    columns NULL per batch. The additive-columns lifecycle every
+    long-lived 100 TB table goes through — no rewrite of old files.
+    NULLs coalesce to sentinels (driver canonicalization can't sort
+    NULLs)."""
+    import tempfile as _tf
+
+    path = os.path.join(_tf.mkdtemp(prefix="llspark_evo_"), "orders_evo")
+    orders = read_table(spark, sf_dir, "orders")
+    b1 = orders.where("o_orderkey % 2 = 0").select("o_orderkey", "o_totalprice")
+    b2 = orders.where("o_orderkey % 2 = 1").select(
+        "o_orderkey", "o_orderpriority", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    b1.write.parquet(os.path.join(path, "b=1"))
+    b2.write.parquet(os.path.join(path, "b=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "b=1"), os.path.join(path, "b=2")
+    )
+    return merged.select(
+        "o_orderkey",
+        F.coalesce("o_totalprice", F.lit(-1.0)).alias("o_totalprice"),
+        F.coalesce("o_orderpriority", F.lit("NONE")).alias("o_orderpriority"),
+        F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+    )
+
+
 QUERIES = {
     "dpp_scan": q_dpp_scan,
+    "schema_evolution_read": q_schema_evolution_read,
     "python_datasource_scan": q_python_datasource_scan,
     "window_percent_rank": q_window_percent_rank,
     "grouping_sets": q_grouping_sets,
@@ -2486,4 +2516,18 @@ ORACLE["python_datasource_scan"] = """
            CAST(SUM(CAST(value AS DECIMAL(28,1))) AS DOUBLE) AS sum_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM g GROUP BY grp ORDER BY grp
+"""
+
+ORACLE["schema_evolution_read"] = """
+    SELECT o_orderkey,
+           o_totalprice,
+           'NONE' AS o_orderpriority,
+           -1 AS o_year
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           -1.0 AS o_totalprice,
+           o_orderpriority,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year
+    FROM orders WHERE o_orderkey % 2 = 1
 """
