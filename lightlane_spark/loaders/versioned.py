@@ -33,9 +33,14 @@ class VersionedTable:
     """A parquet table with numbered immutable versions under
     ``base_path/v=N`` and a ``_LATEST`` pointer file."""
 
-    def __init__(self, spark: SparkSession, base_path: str):
+    def __init__(self, spark: SparkSession, base_path: str, clock=None):
         self.spark = spark
         self.base_path = base_path.rstrip("/")
+        # injectable commit clock (epoch seconds) — tests pin it so
+        # AS-OF reads are reproducible; default is wall clock
+        import time as _time
+
+        self._clock = clock or _time.time
 
     # -- write --------------------------------------------------------
 
@@ -51,6 +56,7 @@ class VersionedTable:
         n = max(self.versions(), default=0) + 1
         path = self._version_path(n)
         df.write.mode("errorifexists").parquet(path)
+        self._write_commit_marker(n)
         self._write_pointer(n)
         return n
 
@@ -119,6 +125,43 @@ class VersionedTable:
             stream.close()
         return int(bytes(data).decode("ascii").strip())
 
+    def read_asof(self, ts: float) -> DataFrame:
+        """Time travel by TIMESTAMP: read the newest version whose
+        commit time is ≤ ``ts`` (epoch seconds) — 'the table as the
+        21:00 report saw it'. Commit times come from per-version
+        ``_COMMIT_TS`` markers written before the pointer flip, so an
+        AS-OF read never resolves to a version that was still being
+        written at ``ts``. Versions predating the marker (older
+        tables) are invisible to AS-OF reads; ``read(version=...)``
+        still reaches them."""
+        eligible = [v for v, t in self.history() if t <= ts]
+        if not eligible:
+            raise FileNotFoundError(
+                f"no version committed at or before {ts} at {self.base_path}"
+            )
+        return self.read(max(eligible))
+
+    def history(self) -> list[tuple[int, float]]:
+        """(version, commit_epoch_seconds) for every marked version,
+        ascending by version."""
+        out = []
+        fs, _ = self._fs_path(self.base_path)
+        for v in self.versions():
+            _, marker = self._fs_path(f"{self._version_path(v)}/_COMMIT_TS")
+            if not fs.exists(marker):
+                continue
+            stream = fs.open(marker)
+            try:
+                data = bytearray()
+                b = stream.read()
+                while b != -1 and len(data) < 64:
+                    data.append(b)
+                    b = stream.read()
+            finally:
+                stream.close()
+            out.append((v, float(bytes(data).decode("ascii").strip())))
+        return out
+
     # -- manage -------------------------------------------------------
 
     def rollback(self, version: int) -> None:
@@ -147,6 +190,14 @@ class VersionedTable:
 
     def _version_path(self, n: int) -> str:
         return f"{self.base_path}/v={n}"
+
+    def _write_commit_marker(self, n: int) -> None:
+        fs, marker = self._fs_path(f"{self._version_path(n)}/_COMMIT_TS")
+        out = fs.create(marker, True)
+        try:
+            out.write(bytearray(repr(float(self._clock())).encode("ascii")))
+        finally:
+            out.close()
 
     def _write_pointer(self, n: int) -> None:
         """Atomic pointer flip: write a temp file, rename over the old

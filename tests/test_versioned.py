@@ -127,3 +127,42 @@ def test_loader_merge_schema_evolution_end_to_end(spark, sf_dir, tmp_path):
     assert "ingest_tag" in back.columns
     assert back.filter("ingest_tag = 'batch2'").count() == staging.count()
     assert back.filter("ingest_tag IS NULL").count() == orders.count() - staging.count()
+
+
+def test_read_asof_timestamp(spark, tmp_path):
+    """AS-OF-timestamp reads resolve to the newest version committed
+    at or before the asked time (pinned injectable clock)."""
+    from lightlane_spark.loaders.versioned import VersionedTable
+
+    ticks = iter([100.0, 200.0, 300.0])
+    vt = VersionedTable(spark, str(tmp_path / "t"), clock=lambda: next(ticks))
+    vt.write_version(spark.range(1).selectExpr("id", "'a' AS tag"))
+    vt.write_version(spark.range(2).selectExpr("id", "'b' AS tag"))
+    vt.write_version(spark.range(3).selectExpr("id", "'c' AS tag"))
+
+    assert vt.history() == [(1, 100.0), (2, 200.0), (3, 300.0)]
+    assert vt.read_asof(100.0).count() == 1       # exactly at commit
+    assert vt.read_asof(250.0).count() == 2       # between commits
+    assert vt.read_asof(1e12).count() == 3        # far future → latest
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        vt.read_asof(99.9)                        # before first commit
+
+
+def test_read_asof_ignores_unmarked_versions(spark, tmp_path):
+    """Versions written without commit markers (pre-upgrade tables)
+    stay reachable by number but invisible to AS-OF reads."""
+    from lightlane_spark.loaders.versioned import VersionedTable
+
+    base = str(tmp_path / "t2")
+    vt = VersionedTable(spark, base, clock=lambda: 500.0)
+    vt.write_version(spark.range(4))
+    # simulate a legacy version: remove its marker
+    fs, marker = vt._fs_path(f"{vt._version_path(1)}/_COMMIT_TS")
+    fs.delete(marker, False)
+    vt2 = VersionedTable(spark, base, clock=lambda: 600.0)
+    vt2.write_version(spark.range(5))
+    assert [v for v, _ in vt2.history()] == [2]
+    assert vt2.read_asof(600.0).count() == 5
+    assert vt2.read(1).count() == 4
