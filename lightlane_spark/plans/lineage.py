@@ -20,9 +20,12 @@ attributes.
 Known approximations (documented, asserted in tests):
   - UNION: output attrs alias only the FIRST child's columns; the
     other branches' columns resolve through them implicitly.
-  - Generate (explode) and Python-UDF boundaries mint fresh attrs
-    with no expression children: such columns resolve to an empty
-    source set, reported as ``opaque=True``.
+  - Generate (explode/posexplode/inline): generator-output attrs are
+    linked to every column the generator expression references — an
+    exploded token column resolves to the text column it came from.
+  - Python-UDF boundaries (mapInPandas/UDTF) mint fresh attrs with
+    no expression children: such columns resolve to an empty source
+    set, reported as ``opaque=True``.
 """
 
 from __future__ import annotations
@@ -110,8 +113,21 @@ def column_lineage(df: DataFrame) -> LineageReport:
                         cols.append(obj["name"])
             leaves[label] = cols
             continue
+        if node["class"].endswith(".Generate"):
+            # explode/posexplode/inline: every generator-output attr
+            # derives from the generator expression's references
+            gen_refs = set()
+            for tree in _iter_expr_trees(node.get("generator", [])):
+                _, refs = _subtree_refs(tree, 0)
+                gen_refs |= refs
+            for tree in _iter_expr_trees(node.get("generatorOutput", [])):
+                for obj in tree:
+                    if obj["class"] == _ATTR:
+                        edges.setdefault(_expr_id(obj), set()).update(
+                            gen_refs - {_expr_id(obj)}
+                        )
         for key, value in node.items():
-            if key in ("class", "num-children"):
+            if key in ("class", "num-children", "generatorOutput"):
                 continue
             for tree in _iter_expr_trees(value):
                 i = 0

@@ -49,15 +49,27 @@ def test_window_and_rename_chain(spark, sf_dir):
     }
 
 
-def test_explode_is_opaque(spark, sf_dir):
+def test_explode_resolves_to_generator_input(spark, sf_dir):
+    """Generate nodes link generator-output attrs to the generator
+    expression's references: an exploded token column derives from
+    the text column it splits."""
     docs = read_table(spark, sf_dir, "documents")
     df = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     rep = column_lineage(df)
     assert rep.sources_of("doc_id") == {("leaf0", "doc_id")}
-    tok = next(c for c in rep.columns if c.name == "token")
-    assert tok.opaque and tok.sources == set()
+    assert rep.sources_of("token") == {("leaf0", "text")}
+
+
+def test_posexplode_both_outputs_resolve(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    rep = column_lineage(df)
+    assert rep.sources_of("pos") == {("leaf0", "text")}
+    assert rep.sources_of("w") == {("leaf0", "text")}
 
 
 def test_literal_column_has_no_sources_but_is_not_leaf_bound(spark, sf_dir):
