@@ -491,6 +491,7 @@ _RECHECK = [
     "vocab_tokenize",
     "padding_efficiency",
     "schema_evolution_read",
+    "recursive_ancestors",
     # new oracles (were no_oracle in r03) — the r3 verdict's #1 ask is
     # green driver rows for these, so they outrank twin-shaped queries
     "ann_topk_ivf",

@@ -1680,8 +1680,32 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): ancestor chains in the
+    synthetic 10-ary tree parent(k) = k div 10 over orderkeys, walked
+    from a deterministic seed sample to the root. The iterative-join
+    execution Spark plans for recursion is the same shape as the
+    engine's own connected-components loop — this query pins the SQL
+    surface; depth is bounded by the key width (≤ 8 levels), far
+    under the recursion limit."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT o_orderkey AS start_key, o_orderkey AS node, 0 AS depth
+            FROM orders_rec WHERE o_orderkey % 997 = 0
+            UNION ALL
+            SELECT start_key, node DIV 10 AS node, depth + 1
+            FROM anc WHERE node > 0
+        )
+        SELECT start_key, node, depth FROM anc
+        """
+    )
+
+
 QUERIES = {
     "dpp_scan": q_dpp_scan,
+    "recursive_ancestors": q_recursive_ancestors,
     "schema_evolution_read": q_schema_evolution_read,
     "python_datasource_scan": q_python_datasource_scan,
     "window_percent_rank": q_window_percent_rank,
@@ -2530,4 +2554,15 @@ ORACLE["schema_evolution_read"] = """
            o_orderpriority,
            CAST(year(o_orderdate) AS INTEGER) AS o_year
     FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+ORACLE["recursive_ancestors"] = """
+    WITH RECURSIVE anc AS (
+        SELECT o_orderkey AS start_key, o_orderkey AS node, 0 AS depth
+        FROM orders WHERE o_orderkey % 997 = 0
+        UNION ALL
+        SELECT start_key, node // 10 AS node, depth + 1
+        FROM anc WHERE node > 0
+    )
+    SELECT start_key, node, depth FROM anc
 """
