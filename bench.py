@@ -105,6 +105,7 @@ HEADLINE = [
     "bpe_pair_counts",
     "dpp_scan",
     "python_datasource_scan",
+    "vocab_tokenize",
 ]
 
 
