@@ -1703,8 +1703,30 @@ def q_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT (Spark 4 SQL
+    surface): top-2 orders per customer expressed as the SQL-standard
+    lateral join rather than a rank window. Spark plans the
+    correlation as a partitioned window under the hood, so the
+    execution cost matches topk_per_group — this query pins the
+    LANGUAGE feature and its deterministic tie-break."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM cust_lat c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM ord_lat o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        """
+    )
+
+
 QUERIES = {
     "dpp_scan": q_dpp_scan,
+    "lateral_topk": q_lateral_topk,
     "recursive_ancestors": q_recursive_ancestors,
     "schema_evolution_read": q_schema_evolution_read,
     "python_datasource_scan": q_python_datasource_scan,
@@ -2565,4 +2587,13 @@ ORACLE["recursive_ancestors"] = """
         FROM anc WHERE node > 0
     )
     SELECT start_key, node, depth FROM anc
+"""
+
+ORACLE["lateral_topk"] = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
 """
