@@ -6,11 +6,14 @@ The reference ships its jobs as small driver scripts around
 
     python -m lightlane_spark run job.json
     python -m lightlane_spark explain job.json   # dry-run plan, no execution
+    python -m lightlane_spark lineage job.json   # per-output-column sources
 
 ``run`` prints one JSON line of pipeline metrics (observed row counts
 per stage + elapsed seconds) to stdout; ``explain`` prints the
 formatted physical plan of the pipeline's final frame so a spec can
-be plan-reviewed before burning cluster hours.
+be plan-reviewed before burning cluster hours; ``lineage`` prints one
+JSON object mapping every output column to the leaf-relation columns
+it derives from (impact analysis, no execution).
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="lightlane_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    for cmd in ("run", "explain"):
+    for cmd in ("run", "explain", "lineage"):
         p = sub.add_parser(cmd)
         p.add_argument("spec", help="path to a JSON job spec")
         p.add_argument("--master", default=None, help="Spark master override")
@@ -44,6 +47,26 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     pipeline = build_pipeline(spark, spec)
+    if args.cmd == "lineage":
+        from lightlane_spark.plans.lineage import column_lineage
+
+        rep = column_lineage(pipeline.dataframe())
+        print(
+            json.dumps(
+                {
+                    "leaves": rep.leaves,
+                    "columns": {
+                        c.name: {
+                            "sources": sorted(f"{l}.{col}" for l, col in c.sources),
+                            "opaque": c.opaque,
+                        }
+                        for c in rep.columns
+                    },
+                },
+                sort_keys=True,
+            )
+        )
+        return 0
     if args.cmd == "explain":
         from lightlane_spark.plans.explain import dry_run, lint_plan
 

@@ -203,3 +203,34 @@ def test_curation_ops_in_spec(spark, sf_dir, tmp_path):
     assert set(back.columns) == {"doc_id", "norm_url", "lm_score"}
     assert back.where("norm_url LIKE 'http://%.ex.com/d/%?%'").count() == 0  # utm gone
     assert back.where("norm_url LIKE 'http://%.ex.com/d/%'").count() == n_groups
+
+
+def test_lineage_cli_subcommand(spark, sf_dir, tmp_path, capsys):
+    """`python -m lightlane_spark lineage spec.json` prints one JSON
+    object mapping output columns to leaf sources, no execution."""
+    import json as _json
+
+    from lightlane_spark.__main__ import main as cli_main
+
+    spec = {
+        "extract": {
+            "kind": "parquet",
+            "sf_dir": sf_dir,
+            "table": "lineitem",
+            "columns": ["l_orderkey", "l_quantity", "l_extendedprice"],
+        },
+        "transforms": [
+            {"op": "with_column", "name": "rev", "expr": "l_quantity * l_extendedprice"},
+            {"op": "select", "columns": ["l_orderkey", "rev"]},
+        ],
+    }
+    p = tmp_path / "spec.json"
+    p.write_text(_json.dumps(spec))
+    rc = cli_main(["lineage", str(p)])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["columns"]["rev"]["sources"] == [
+        "leaf0.l_extendedprice",
+        "leaf0.l_quantity",
+    ]
+    assert out["columns"]["l_orderkey"]["sources"] == ["leaf0.l_orderkey"]
