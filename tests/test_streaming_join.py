@@ -58,3 +58,45 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(exp) > 0
     assert got == exp
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join (the common enrichment pattern): a streaming
+    event scan broadcast-joined to a static dimension must equal the
+    batch join — the static side is re-resolved per micro-batch, no
+    watermark or state needed."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.sources.parquet import read_table
+    from lightlane_spark.streaming.incremental import (
+        run_to_completion,
+        stream_from_directory,
+    )
+
+    land = str(tmp_path / "landing_enrich")
+    ev = read_table(spark, sf_dir, "events")
+    ev.write.parquet(land)
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("view", "passive"), ("purchase", "convert")],
+        "event_type: string, bucket: string",
+    )
+    stream = stream_from_directory(spark, land, ev.schema)
+    enriched = stream.join(F.broadcast(dim), "event_type").select(
+        "event_id", "event_type", "bucket"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = {
+        (r.event_id, r.bucket) for r in spark.table("enrich_stream").collect()
+    }
+    exp = {
+        (r.event_id, r.bucket)
+        for r in ev.join(dim, "event_type").select("event_id", "bucket").collect()
+    }
+    assert got == exp and len(got) > 0
