@@ -169,3 +169,39 @@ def test_sketch_and_lm_at_125k_docs(spark):
         f"SCALE_SMOKE_SKETCH cms={t_cms:.1f}s bloom={t_bloom:.1f}s "
         f"lm={t_lm:.1f}s overlap={t_ov:.1f}s total={total:.1f}s"
     )
+
+
+def test_prefix_filter_join_at_125k_docs(spark):
+    """Exact prefix-filtered Jaccard join on the amplified corpus:
+    5,000 base docs × 25-member near-dup families. At τ=0.8 every
+    family is a within-family clique for its shifted variants, so the
+    TRUE result is ~hundreds of thousands of pairs — the point is
+    that candidate generation stays family-local (prefix grams are
+    the family-specific rare grams), never corpus-quadratic, and the
+    exact join completes in minutes-scale on local[32]."""
+    from lightlane_spark.operators.fuzzy_dedup import prefix_filter_jaccard_join
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = spark.range(25).withColumnRenamed("id", "copy")
+    corpus = docs.crossJoin(copies).select(
+        (F.col("doc_id") * 100 + F.col("copy")).alias("doc_id"),
+        F.when(F.col("copy") == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.concat_ws("", F.lit("tok"), F.col("copy")),
+                F.lit(" "),
+                F.col("text"),
+            )
+        )
+        .alias("text"),
+    )
+    t0 = time.monotonic()
+    pairs = prefix_filter_jaccard_join(corpus, threshold=0.8)
+    n_pairs = pairs.count()
+    wall = time.monotonic() - t0
+    # family cliques dominate; corpus-quadratic would be ~7.8e9 pairs
+    assert n_pairs > 100_000
+    assert wall < 600, f"prefix-filter smoke too slow: {wall:.0f}s"
+    print(f"SCALE_SMOKE prefix_join docs=125000 pairs={n_pairs} wall={wall:.1f}s")
