@@ -267,3 +267,37 @@ def test_global_running_sum_no_global_window(spark, sf_dir):
     # doesn't. Both must exist, and no OTHER unpartitioned window may.
     assert any("__bk" in w for w in windows), windows
     assert len(windows) == 2, windows
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Spark's runtime row-level Bloom filter: joining the fact table
+    to a selectively-filtered build side should insert a
+    bloom_filter_agg on the build side and a might-contain probe on
+    the fact scan — rows that can't match die before the shuffle. The
+    default thresholds target cluster scale (10 GB application-side
+    scans), so this test lowers them to demonstrate/pin the
+    mechanism; at 100 TB the defaults fire on their own."""
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter("o_totalprice > 400000")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1200]
+        # the join itself must still be a real equi-join
+        assert "CartesianProduct" not in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -316,3 +316,53 @@ def test_lm_doc_scores_matches_python_model(spark, docs):
             s = sum(Decimal(repr(t)) for t in terms)
             model[i] = round_half_up(float(s) / len(terms), 6)
     assert got == model
+
+
+def _python_jaccard_pairs(texts: dict, k: int, threshold: float):
+    """Independent python model: word-k-gram sets, exact Jaccard."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    grams = {}
+    for i, t in texts.items():
+        toks = t.split(" ")
+        if len(toks) < k:
+            continue
+        grams[i] = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+    out = set()
+    ids = sorted(grams)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ia, ib = ids[a], ids[b]
+            inter = len(grams[ia] & grams[ib])
+            union = len(grams[ia] | grams[ib])
+            # exact rational threshold, same as the operator
+            if union and inter * frac.denominator >= frac.numerator * union:
+                out.add((ia, ib))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=40),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+@settings(max_examples=12, deadline=None)
+def test_prefix_filter_join_matches_python_model(spark, docs, threshold):
+    """Prefix filtering must equal an independent all-pairs python
+    model on arbitrary tiny corpora — including pathological ones
+    (empty-ish docs, repeated grams, every doc identical). The tiny
+    'ab ' alphabet maximizes gram collisions, which is exactly where
+    a broken prefix/length filter would drop pairs."""
+    from lightlane_spark.operators.fuzzy_dedup import prefix_filter_jaccard_join
+
+    texts = {i: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id: bigint, text: string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_jaccard_join(df, k=2, threshold=threshold).collect()
+    }
+    assert got == _python_jaccard_pairs(texts, 2, threshold)
