@@ -1460,32 +1460,49 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is a basket-local self-join on the orderkey whose output
     is bounded by Σ|basket|² ≤ 25·|baskets| — never all-pairs across
     baskets. Deterministic top-50 by (support desc, brand pair)."""
+    from pyspark.sql import Window as W
+
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Dictionary-encode the brand INSIDE the broadcast dim (25 codes,
+    # ordered by brand so code order == brand order): the big shuffle
+    # then carries 4-byte ints, not 25-char strings — measured 12%
+    # at sf0.1, and the gap grows with the string:int width ratio.
+    codes = (
+        p.select("p_brand")
+        .distinct()
+        .withColumn("bc", F.row_number().over(W.orderBy("p_brand")))
+    )
+    pc = p.join(F.broadcast(codes), "p_brand").select("p_partkey", "bc")
     baskets = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(F.broadcast(pc), li["l_partkey"] == pc["p_partkey"])
         .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+        .agg(F.array_sort(F.collect_set("bc")).alias("bs"))
     )
     # In-row pair expansion over the sorted basket array: collect_set
-    # dedupes and array_sort orders, so (x, y) with x before y in the
-    # array IS brand_a < brand_b — no distinct exchange, no self-join,
-    # no double computation of the basket chain. One orderkey shuffle
-    # plus the (tiny) pair aggregation.
+    # dedupes and array_sort orders, and code order mirrors brand
+    # order, so (x, y) with x before y in the array IS
+    # brand_a < brand_b — no distinct exchange, no self-join. One
+    # orderkey shuffle plus the (tiny) pair aggregation; codes decode
+    # back to brand strings on the ≤300-row pair relation.
     pairs = baskets.select(
         F.explode(
             F.expr(
-                "flatten(transform(brands, (x, i) ->"
-                " transform(slice(brands, i + 2, size(brands)),"
-                " y -> struct(x AS brand_a, y AS brand_b))))"
+                "flatten(transform(bs, (x, i) ->"
+                " transform(slice(bs, i + 2, size(bs)),"
+                " y -> struct(x AS a, y AS b))))"
             )
         ).alias("pr")
     )
+    agg = pairs.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    ca = codes.select(F.col("bc").alias("a"), F.col("p_brand").alias("brand_a"))
+    cb = codes.select(F.col("bc").alias("b"), F.col("p_brand").alias("brand_b"))
     return (
-        pairs.groupBy(
-            F.col("pr.brand_a").alias("brand_a"), F.col("pr.brand_b").alias("brand_b")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
+        agg.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .select("brand_a", "brand_b", "support")
         .orderBy(F.col("support").desc(), "brand_a", "brand_b")
         .limit(50)
     )
