@@ -59,3 +59,33 @@ for name in sorted(qs):
         bad.append(name)
         print('FAIL', name, type(e).__name__, str(e)[:150], flush=True)
 print('DONE bad =', bad, flush=True)
+
+# Machine-readable sweep record: one row per query with the same
+# three checks the driver records (rows / schema / values), so
+# queries rotated out of the driver's 50-slot correctness window
+# still have a committed, checkable artifact. Opt-in via
+# SPARK_GRAFT_SWEEP_RECORD=<path> (the repo commits SWEEP_LOCAL.json
+# produced at sf0.01).
+record_path = os.environ.get('SPARK_GRAFT_SWEEP_RECORD')
+if record_path:
+    import json as _json
+    import subprocess as _sp
+
+    rev = _sp.run(
+        ['git', '-C', os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         'rev-parse', '--short', 'HEAD'],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    rec = {
+        'sf_dir': sf,
+        'git_rev': rev,
+        'n_queries': len(qs),
+        'results': {
+            name: ('fail' if name in bad else
+                   'pass' if name in osql else 'no_oracle')
+            for name in sorted(qs)
+        },
+    }
+    with open(record_path, 'w') as fh:
+        _json.dump(rec, fh, indent=1, sort_keys=True)
+    print('wrote', record_path, flush=True)
