@@ -73,7 +73,15 @@ class SynthEventsReader(DataSourceReader):
 
 
 def register_synth_source(spark) -> None:
-    """Idempotent registration (re-registering the same name is fine)."""
+    """Idempotent registration (re-registering the same name is fine).
+
+    Ships the package to Python workers first: local-mode workers
+    fork from the driver and inherit ``sys.path``, but cluster
+    executors resolve the pickled DataSource class by module
+    reference and need ``lightlane_spark`` importable."""
+    from lightlane_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     spark.dataSource.register(SynthEventsDataSource)
 
 
