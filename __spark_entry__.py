@@ -493,6 +493,8 @@ _RECHECK = [
     "schema_evolution_read",
     "recursive_ancestors",
     "lateral_topk",
+    "bm25_topk",
+    "hybrid_retrieval",
     # new oracles (were no_oracle in r03) — the r3 verdict's #1 ask is
     # green driver rows for these, so they outrank twin-shaped queries
     "ann_topk_ivf",

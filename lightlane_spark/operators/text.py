@@ -23,6 +23,8 @@ Design notes per operator:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -856,3 +858,95 @@ def bpe_pair_stats(
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(top_k)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a literal query — the lexical half of
+    every retrieval stack (Robertson/Spärck Jones weighting, Lucene
+    idf smoothing ln((N−df+0.5)/(df+0.5)+1)).
+
+    Scale shape: the token relation filters to the QUERY TERMS before
+    any aggregation, so per-query work is proportional to the
+    postings of those terms, not the corpus vocabulary; doc length
+    and the N/avgdl scalars come from one count aggregation and join
+    as 1-row broadcasts.
+
+    Determinism: every per-term score is per-row IEEE arithmetic
+    (identical in DuckDB) ROUNDED to 6dp then cast DECIMAL(18,6), so
+    the per-doc SUM is exact and order-independent — a raw double sum
+    would be summation-order-dependent and could not hash-match
+    cross-engine. Ranking ties break on the doc id.
+    """
+    terms = [str(t) for t in query_terms]
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).alias("__dl"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    )
+    hits = toks.where(F.col("tok").isin(terms))
+    tf = hits.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("__dl").alias("dl")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.select(
+        F.countDistinct(F.col(id_col)).alias("__n")
+    ).crossJoin(
+        df.select(
+            F.sum(F.size(tokenize(F.col(text_col)))).alias("__toks")
+        )
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("__toks").cast("double") / F.col("__n")
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    term_score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.sum(term_score).cast("double").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings (Cormack et al. 2009):
+    score(d) = Σ_r 1/(rrf_k + rank_r(d)) over the rankings that
+    contain d — the standard way to combine lexical (BM25) and vector
+    retrieval without score calibration.
+
+    Each ranking is (id_col, rank_col) with ranks from 1. Union +
+    one groupBy; per-ranking contributions are rounded to 12dp and
+    summed as DECIMAL(24,12) so the fused ordering is exact and
+    order-independent (a raw double Σ would depend on aggregation
+    order and could not hash-match cross-engine). Ties break on the
+    id.
+    """
+    tagged = None
+    for r in rankings:
+        part = r.select(F.col(id_col), F.col(rank_col).alias("__rk"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    contrib = F.round(1.0 / (rrf_k + F.col("__rk")), 12).cast("decimal(24,12)")
+    fused = (
+        tagged.withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("double").alias("rrf_score"))
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)

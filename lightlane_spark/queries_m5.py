@@ -1369,7 +1369,70 @@ def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query 'table join scan' (text.bm25_topk):
+    postings-proportional work, 1-row broadcast stats, decimal-exact
+    per-doc score sums (per-term scores rounded 6dp before summing so
+    the ranking hash-matches cross-engine)."""
+    from lightlane_spark.operators.text import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, ["table", "join", "scan"], k=10)
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 and hashed-BoW cosine top-50 for
+    the same query, fused by reciprocal-rank fusion (text.rrf_fuse —
+    decimal-exact contributions). The lexical+vector fusion every
+    retrieval stack runs; both legs and the fusion are exactly
+    SQL-reproducible (integer dot products, decimal RRF sums)."""
+    from pyspark.sql import Window as W
+
+    from lightlane_spark.operators.text import bm25_topk, hashed_bow, rrf_fuse
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = ["table", "join", "scan"]
+
+    lex = bm25_topk(docs, terms, k=50).withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id"))
+    )
+
+    bow = hashed_bow(docs, dims=64)
+    qbow = hashed_bow(
+        spark.createDataFrame([(0, " ".join(terms))], "doc_id: bigint, text: string")
+    ).select(F.col("dim").alias("qdim"), F.col("weight").alias("qw"))
+    norms = bow.groupBy("doc_id").agg(
+        F.sum(F.col("weight") * F.col("weight")).alias("nd")
+    )
+    qnorm = qbow.agg(F.sum(F.col("qw") * F.col("qw")).alias("nq"))
+    dots = (
+        bow.join(F.broadcast(qbow), bow["dim"] == F.col("qdim"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("qw")).alias("dot"))
+    )
+    vec = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("nd")) * F.sqrt(F.col("nq"))), 9
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rank", F.row_number().over(W.orderBy(F.col("cos").desc(), "doc_id"))
+        )
+    )
+    return rrf_fuse(
+        [lex.select("doc_id", "rank"), vec.select("doc_id", "rank")], k=20
+    )
+
+
 QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "hybrid_retrieval": q_hybrid_retrieval,
     "vocab_tokenize": q_vocab_tokenize,
     "padding_efficiency": q_padding_efficiency,
     "bpe_pair_counts": q_bpe_pair_counts,
@@ -2696,4 +2759,115 @@ ORACLE["padding_efficiency"] = """
                AS efficiency
     FROM d WHERE n >= 1
     GROUP BY bucket_len ORDER BY bucket_len
+"""
+
+ORACLE["bm25_topk"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    hits AS (SELECT * FROM toks WHERE tok IN ('table', 'join', 'scan')),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+        FROM hits GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    stats AS (
+        SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+               (SELECT SUM(len(string_split(text, ' '))) FROM documents) AS toks
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(round(
+               ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (1.0 - 0.75
+                   + 0.75 * t.dl / (CAST(s.toks AS DOUBLE) / s.n))), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) AS score
+    FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN stats s
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+"""
+
+ORACLE["hybrid_retrieval"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    hits AS (SELECT * FROM toks WHERE tok IN ('table', 'join', 'scan')),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+        FROM hits GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    stats AS (
+        SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+               (SELECT SUM(len(string_split(text, ' '))) FROM documents) AS toks
+    ),
+    bm25 AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(round(
+                   ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * t.tf * (1.2 + 1.0)
+                   / (t.tf + 1.2 * (1.0 - 0.75
+                       + 0.75 * t.dl / (CAST(s.toks AS DOUBLE) / s.n))), 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS score
+        FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN stats s
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 50
+    ),
+    lex AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm25
+    ),
+    bow AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INTEGER) AS dim,
+               count(*) AS weight
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1, 2
+    ),
+    qbow AS (
+        SELECT CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS INTEGER) AS qdim,
+               count(*) AS qw
+        FROM (SELECT unnest(['table', 'join', 'scan']) AS tok)
+        GROUP BY 1
+    ),
+    norms AS (SELECT doc_id, SUM(weight * weight) AS nd FROM bow GROUP BY 1),
+    qnorm AS (SELECT SUM(qw * qw) AS nq FROM qbow),
+    dots AS (
+        SELECT b.doc_id, SUM(b.weight * q.qw) AS dot
+        FROM bow b JOIN qbow q ON b.dim = q.qdim
+        GROUP BY b.doc_id
+    ),
+    cosed AS (
+        SELECT d.doc_id,
+               round(d.dot / (sqrt(n.nd) * sqrt(q.nq)), 9) AS cos
+        FROM dots d JOIN norms n ON d.doc_id = n.doc_id CROSS JOIN qnorm q
+        ORDER BY cos DESC, d.doc_id
+        LIMIT 50
+    ),
+    vec AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+        FROM cosed
+    ),
+    unioned AS (
+        SELECT doc_id, rank FROM lex
+        UNION ALL
+        SELECT doc_id, rank FROM vec
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(24,12)))
+                AS DOUBLE) AS rrf_score
+    FROM unioned
+    GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
 """
