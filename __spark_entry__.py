@@ -511,7 +511,6 @@ _RECHECK = [
     "waiting_suppliers",
     "url_dedup",
     "triangle_count",
-    "numeric_histogram",
     "funnel_analysis",
     "retention_cohorts",
     "curation_pipeline",
@@ -521,15 +520,11 @@ _RECHECK = [
     # the 50-window: each has an in-window twin exercising the same
     # sketch/rollup code (cms_heavy_hitters, hll_rollup,
     # incremental_rollup) and all are sweep-green at sf0.01 locally
-    "temperature_mix",
-    "join_size_estimate",
     "incremental_rollup",
-    "weighted_topk",
     "session_paths",
     "leakage_safe_split",
     "compacted_load",
     "trend_detection",
-    "forecast_revenue",
     "market_share",
     "order_priority_check",
     "avro_roundtrip",

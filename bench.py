@@ -106,6 +106,8 @@ HEADLINE = [
     "dpp_scan",
     "python_datasource_scan",
     "vocab_tokenize",
+    "bm25_topk",
+    "hybrid_retrieval",
 ]
 
 
