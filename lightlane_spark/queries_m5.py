@@ -588,6 +588,29 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the vector-DB capability every
+    retrieval stack needs): top-5 among vectors with an even label,
+    via the PRE-FILTER strategy — the predicate restricts the corpus
+    BEFORE bucketing, so the per-filter index is exact for that
+    slice and probe cost is unchanged. Pre-filter is the right call
+    when the predicate is a partition-stable dimension (tenant /
+    label / date — build per-slice buckets once); POST-filtering
+    (probe deeper, filter candidates) is the ad-hoc-predicate
+    fallback and needs k·1/selectivity probes to keep recall. Exact
+    bucket-replay oracle, same machinery as ann_topk_lsh."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ann_topk_lsh(
+        emb.filter("label % 2 = 0"),
+        emb.filter("vec_id < 10"),
+        dims=64,
+        k=5,
+        num_bits=4,
+        num_tables=4,
+    )
+    return out.select("query_id", "vec_id", "rank")
+
+
 def _recall_contract(
     probes: DataFrame, approx: DataFrame, exact: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -1477,6 +1500,7 @@ QUERIES = {
     "set_similarity_join": q_set_similarity_join,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_filtered": q_ann_topk_filtered,
     "ann_topk_ivf": q_ann_topk_ivf,
     "pq_topk": q_pq_topk,
     "embedding_neardup": q_embedding_neardup,
@@ -1503,22 +1527,25 @@ QUERIES = {
     "ngram_lm_score": q_ngram_lm_score,
 }
 
-def _ann_lsh_oracle_sql() -> str:
+def _ann_lsh_oracle_sql(corpus_where: str = "") -> str:
     """Exact oracle for q_ann_topk_lsh (dims=64, k=5, num_bits=4,
     num_tables=4, multiprobe=1). The hyperplane bucket ids are
     bit-identical across engines (see
     ``similarity.hyperplane_bits_duckdb_sql``), so the candidate sets
     match exactly; sims use list_dot_product, same precedent as the
-    ann_topk_bruteforce oracle."""
+    ann_topk_bruteforce oracle. ``corpus_where`` restricts the
+    INDEXED side only (the pre-filter strategy of
+    q_ann_topk_filtered); probes always come from the full table."""
     from lightlane_spark.operators.similarity import (
         _table_salt,
         hyperplane_bits_duckdb_sql,
     )
 
+    cw = f"WHERE {corpus_where}" if corpus_where else ""
     c_parts, q_parts = [], []
     for t in range(4):
         b = hyperplane_bits_duckdb_sql("v", 64, 4, salt=_table_salt(t))
-        c_parts.append(f"SELECT vec_id, v, {t} AS tbl, {b} AS b FROM e")
+        c_parts.append(f"SELECT vec_id, v, {t} AS tbl, {b} AS b FROM e {cw}")
         q_parts.append(
             f"SELECT vec_id AS query_id, v AS qv, {t} AS tbl, {b} AS b "
             "FROM e WHERE vec_id < 10"
@@ -1527,7 +1554,7 @@ def _ann_lsh_oracle_sql() -> str:
     q_sql = " UNION ALL ".join(q_parts)
     probes = "[b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]"
     return f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
         c AS ({c_sql}),
         q AS ({q_sql}),
         probes AS (
@@ -2313,6 +2340,7 @@ def _multimodal_features_oracle_sql(dim: int = 16, k: int = 3) -> str:
 # the same md5-derived weights the Spark side uses — bit-identical
 # sign tests, see similarity.hyperplane_bits_duckdb_sql).
 ORACLE["ann_topk_lsh"] = _ann_lsh_oracle_sql()
+ORACLE["ann_topk_filtered"] = _ann_lsh_oracle_sql("label % 2 = 0")
 ORACLE["embedding_neardup_lsh"] = _embedding_neardup_lsh_oracle_sql()
 ORACLE["multimodal_features"] = _multimodal_features_oracle_sql()
 # ann_topk_ivf emits its recall CONTRACT (see q_ann_topk_ivf): the
