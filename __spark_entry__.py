@@ -496,6 +496,7 @@ _RECHECK = [
     "bm25_topk",
     "hybrid_retrieval",
     "ann_topk_filtered",
+    "k_anonymity_check",
     # new oracles (were no_oracle in r03) — the r3 verdict's #1 ask is
     # green driver rows for these, so they outrank twin-shaped queries
     "ann_topk_ivf",

@@ -1741,8 +1741,26 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit: equivalence classes over the quasi-identifier
+    set (nation, market segment) smaller than k=8 — the k-anonymity
+    violation report run before any data release. One groupBy + a
+    HAVING; at 100 TB this is the cheapest governance gate there is,
+    and the shape generalizes to any QI set. Output is the violating
+    class with its size (suppress or generalize these rows before
+    publishing)."""
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .where(F.col("class_size") < 8)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
 QUERIES = {
     "dpp_scan": q_dpp_scan,
+    "k_anonymity_check": q_k_anonymity_check,
     "lateral_topk": q_lateral_topk,
     "recursive_ancestors": q_recursive_ancestors,
     "schema_evolution_read": q_schema_evolution_read,
@@ -2613,4 +2631,12 @@ ORACLE["lateral_topk"] = """
         WHERE o.o_custkey = c.c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
     ) t
+"""
+
+ORACLE["k_anonymity_check"] = """
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(*) < 8
+    ORDER BY 1, 2
 """
