@@ -1603,7 +1603,11 @@ def q_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate").cast("int")
     )
-    orders.write.partitionBy("o_year").parquet(path)
+    # repartition on the partition column before the partitioned write:
+    # without it every task writes a file into every year directory
+    # (tasks × years small files — the classic dynamic-partition-write
+    # mistake); with it each year's rows land in one task → one file
+    orders.repartition("o_year").write.partitionBy("o_year").parquet(path)
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame(
         [(y, f"y{y}") for y in range(1995, 2002)], "o_year: int, tag: string"
