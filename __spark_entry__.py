@@ -475,6 +475,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "product_type_profit",
+    "top_supplier",
+    "supplier_part_counts",
+    "promotion_suppliers",
     "volume_shipping",
     "large_volume_customers",
     "ship_delay_priority",

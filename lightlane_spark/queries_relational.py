@@ -2644,3 +2644,222 @@ ORACLE["k_anonymity_check"] = """
     HAVING COUNT(*) < 8
     ORDER BY 1, 2
 """
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit) adapted to this schema: profit
+    per (supplier nation, order year) for parts whose name contains
+    'rod'. The testdata ships no partsupp table, so supply cost is the
+    documented proxy ``0.6 * p_retailprice`` (per unit) — the join and
+    aggregation shape is Q9's.
+
+    Plan notes: the part filter runs BEFORE its broadcast, so the
+    fact-side hash join probes a pre-pruned build side; supplier and
+    nation broadcast; the only all-to-all shuffles are the
+    lineitem⋈orders key join and the final (nation, year) aggregation
+    with map-side partials. At 100 TB this is the canonical
+    star-join: one big-table pass, three broadcasts, one reduction."""
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("rod"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,4)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): revenue per supplier over one quarter,
+    then the supplier(s) achieving the global maximum. The reference
+    formulates this as a view + scalar subquery; here the tiny
+    per-supplier aggregate joins a broadcast single-row MAX — no
+    second scan of the fact table and no driver round-trip.
+
+    Scale: the quarter filter prunes at the parquet scan; revenue agg
+    is one shuffle on s_suppkey (map-side partial); everything after
+    operates on the supplier-sized aggregate. Decimal-exact sum makes
+    the revenue == max equality portable across engines."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "total_revenue", scale=4))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == F.col("mx"))
+        .join(F.broadcast(s), rev["supplier_no"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted: distinct
+    supplier count per (p_brand, p_type, p_size) over the observed
+    lineitem part-supplier pairs (testdata has no partsupp table), for
+    non-PROMO parts outside Brand#13 in six size classes, excluding
+    the adapted 'complaint' suppliers (s_suppkey ≡ 0 mod 10).
+
+    Scale: the excluded-supplier set and the filtered part dim both
+    broadcast; COUNT(DISTINCT) over the (brand,type,size,suppkey)
+    pairs is two hash aggregations (partial dedup before the final
+    shuffle) — Spark plans exactly that without hints."""
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (~F.col("p_type").startswith("PROMO"))
+            & (F.col("p_size").isin(9, 14, 19, 23, 36, 45))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.filter(F.col("l_suppkey") % 10 != 0)
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted: suppliers who
+    DOMINATED shipments of a 'small'-named part in 1996 — shipped more
+    than half of that part's total quantity (the availqty>half-of-
+    shipments predicate re-expressed over observable lineitem data).
+
+    Scale: per-(part,supplier) quantity is one shuffle; the per-part
+    total reuses the SAME shuffle output via a partition-local window
+    (partitionBy l_partkey after groupBy l_partkey, l_suppkey — no
+    second exchange); qualifying suppliers are a tiny set that
+    broadcast-joins the supplier dim."""
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_ps = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("ps_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    # stay in exact decimal for the dominance test (2·ps > total) — a
+    # double window-sum could order-flip at the exact-half boundary
+    dominant = (
+        per_ps.withColumn("part_qty", F.sum("ps_qty").over(w))
+        .filter(F.col("ps_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey").distinct()
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(dominant), s["s_suppkey"] == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+QUERIES["product_type_profit"] = q_product_type_profit
+QUERIES["top_supplier"] = q_top_supplier
+QUERIES["supplier_part_counts"] = q_supplier_part_counts
+QUERIES["promotion_suppliers"] = q_promotion_suppliers
+
+ORACLE["product_type_profit"] = """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%rod%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+"""
+
+ORACLE["top_supplier"] = """
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+"""
+
+ORACLE["supplier_part_counts"] = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey % 10 <> 0
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+ORACLE["promotion_suppliers"] = """
+    WITH per_ps AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS ps_qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT l_partkey,
+               SUM(ps_qty) OVER (PARTITION BY l_partkey) AS part_qty,
+               ps_qty, l_suppkey
+        FROM per_ps
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, s.s_nationkey
+    FROM tot JOIN supplier s ON tot.l_suppkey = s.s_suppkey
+    WHERE tot.ps_qty * 2 > tot.part_qty
+    ORDER BY s.s_suppkey
+"""
