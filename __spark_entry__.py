@@ -475,6 +475,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "bucketed_join",
+    "record_linkage",
+    "event_transitions",
+    "ab_test_zscore",
     "product_type_profit",
     "top_supplier",
     "supplier_part_counts",

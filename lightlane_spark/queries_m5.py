@@ -2899,3 +2899,61 @@ ORACLE["hybrid_retrieval"] = """
     ORDER BY rrf_score DESC, doc_id
     LIMIT 20
 """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over user event streams: for each
+    (from_type → to_type) adjacent pair in a user's (ts, event_id)-
+    ordered stream, the transition count and conditional probability.
+    The product-analytics building block behind "what do users do
+    next" and behavior-cohort models.
+
+    Plan: one shuffle for the per-user lead() window, one keyed
+    aggregation on the (from,to) pair — both linear; the probability
+    normalization reuses the aggregated relation via a tiny
+    partition-local window (event-type cardinality, not corpus
+    cardinality). Counts are exact BIGINTs; the single division is
+    per-row IEEE on identical integers, so cross-engine-stable."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "p",
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(wt).cast("double"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+QUERIES["event_transitions"] = q_event_transitions
+
+ORACLE["event_transitions"] = """
+    WITH t AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ), c AS (
+        SELECT from_type, to_type, count(*) AS n_trans
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans AS DOUBLE)
+             / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM c
+    ORDER BY from_type, to_type
+"""

@@ -2863,3 +2863,171 @@ ORACLE["promotion_suppliers"] = """
     WHERE tot.ps_qty * 2 > tot.part_qty
     ORDER BY s.s_suppkey
 """
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: orders and customer written as
+    8-bucket tables on the join key, then sort-merge-joined WITHOUT a
+    shuffle on either side — the physical plan's join has no Exchange
+    under it (pinned in tests/test_plan_quality.py). This is the
+    at-rest answer to repeated big⋈big joins: at 100 TB you pay the
+    bucketed layout once and every subsequent join on that key skips
+    both exchanges entirely (Spark's equivalent of the reference's
+    pre-partitioned load pipelines).
+
+    The only remaining exchange is the final tiny per-segment
+    aggregation. Decimal-exact revenue."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spark.sql("DROP TABLE IF EXISTS ll_bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS ll_bkt_customer")
+    (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").format("parquet").saveAsTable("ll_bkt_orders"))
+    (c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").format("parquet").saveAsTable("ll_bkt_customer"))
+    ob = spark.table("ll_bkt_orders")
+    cb = spark.table("ll_bkt_customer")
+    return (
+        ob.hint("merge")
+        .join(cb, ob["o_custkey"] == cb["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (Fellegi–Sunter shape): candidate pairs
+    only WITHIN (nation, segment) blocks — never all-pairs — scored
+    on per-field agreement: name edit distance ≤ 2 (strong, weight 2)
+    and account balance within 100 (weak, weight 1); pairs scoring ≥ 2
+    survive. The blocking bound is the same Σ|block|² argument as the
+    LSH bucket join: candidates stay family-local, so the pair count
+    is linear-ish in corpus size for bounded block sizes.
+
+    All features are exact integers/booleans (levenshtein is the
+    standard DP edit distance in both engines), so the oracle matches
+    bit-for-bit."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    bal_close = F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < 100.0
+    score = (
+        F.when(lev <= 2, F.lit(2)).otherwise(F.lit(0))
+        + F.when(bal_close, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("a_key"),
+            F.col("b.c_custkey").alias("b_key"),
+            lev.alias("name_dist"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= 2)
+        .orderBy("a_key", "b_key")
+    )
+
+
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test over event values (experiment readout):
+    variant = user_id mod 2, Welch z on the value metric. One
+    full-table aggregation computes both arms' count / exact-decimal
+    sum / exact-decimal sum-of-squares via conditional aggregates (no
+    second scan, no shuffle beyond the single global agg); the scalar
+    mean/variance/z arithmetic runs on identical decimal-derived
+    doubles in both engines."""
+    ev = read_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("v"), "value"
+    )
+
+    def _arm(tag: str, cond):
+        val = F.when(cond, F.col("value"))
+        sq = F.when(cond, F.col("value") * F.col("value"))
+        return [
+            F.count(val).alias(f"n_{tag}"),
+            F.sum(val.cast("decimal(28,6)")).cast("double").alias(f"s_{tag}"),
+            F.sum(sq.cast("decimal(28,6)")).cast("double").alias(f"q_{tag}"),
+        ]
+
+    agg = ev.agg(*_arm("a", F.col("v") == 0), *_arm("b", F.col("v") == 1))
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    var_a = (F.col("q_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("q_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return agg.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+QUERIES["bucketed_join"] = q_bucketed_join
+QUERIES["record_linkage"] = q_record_linkage
+QUERIES["ab_test_zscore"] = q_ab_test_zscore
+
+ORACLE["bucketed_join"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE["record_linkage"] = """
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           levenshtein(a.c_name, b.c_name) AS name_dist,
+           (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 2 ELSE 0 END
+            + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 1 ELSE 0 END)
+             AS score
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 2 ELSE 0 END
+           + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 1 ELSE 0 END) >= 2
+    ORDER BY a_key, b_key
+"""
+
+ORACLE["ab_test_zscore"] = """
+    WITH e AS (SELECT user_id % 2 AS v, value FROM events),
+    a AS (
+        SELECT
+            COUNT(value) FILTER (WHERE v = 0) AS n_a,
+            COUNT(value) FILTER (WHERE v = 1) AS n_b,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) FILTER (WHERE v = 0) AS DOUBLE) AS s_a,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) FILTER (WHERE v = 1) AS DOUBLE) AS s_b,
+            CAST(SUM(CAST(value * value AS DECIMAL(28,6))) FILTER (WHERE v = 0) AS DOUBLE) AS q_a,
+            CAST(SUM(CAST(value * value AS DECIMAL(28,6))) FILTER (WHERE v = 1) AS DOUBLE) AS q_b
+        FROM e
+    )
+    SELECT n_a, n_b,
+           s_a / n_a AS mean_a,
+           s_b / n_b AS mean_b,
+           (s_a / n_a - s_b / n_b)
+             / sqrt(((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                    + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b) AS z,
+           abs((s_a / n_a - s_b / n_b)
+             / sqrt(((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                    + ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)) > 1.96
+             AS significant
+    FROM a
+"""

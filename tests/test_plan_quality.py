@@ -301,3 +301,19 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_no_exchange_under_join(spark, sf_dir):
+    """The bucketed sort-merge join must consume both tables' bucket
+    layout directly: no ShuffleExchange may sit between either bucketed
+    scan and the join. (The only exchange allowed in the whole plan is
+    the final per-segment aggregation.) Losing this silently re-adds
+    two full-table shuffles per join at 100 TB."""
+    import __spark_entry__ as m
+
+    df = m._queries_unordered()["bucketed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan[plan.find("SortMergeJoin"):] if "SortMergeJoin" in plan else plan
+    # everything BELOW the join (its inputs) must be exchange-free
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in join_part, join_part[:1500]
