@@ -475,6 +475,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "deterministic_shuffle",
+    "group_quantiles",
     "bucketed_join",
     "record_linkage",
     "event_transitions",

@@ -108,6 +108,13 @@ HEADLINE = [
     "vocab_tokenize",
     "bm25_topk",
     "hybrid_retrieval",
+    # round-4 session-5 additions: TPC-H star-join profit, bucketed
+    # co-located join, behavior transitions, reproducible shuffle
+    "product_type_profit",
+    "bucketed_join",
+    "event_transitions",
+    "deterministic_shuffle",
+    "group_quantiles",
 ]
 
 

@@ -2957,3 +2957,47 @@ ORACLE["event_transitions"] = """
     FROM c
     ORDER BY from_type, to_type
 """
+
+
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training order: portable seeded hash of the
+    doc id → shard assignment (map-only) and within-shard position
+    (one per-shard sort window). Reruns, engine swaps, and partition-
+    count changes all produce the identical (shard, pos) manifest —
+    the property a `rand()`-based shuffle lacks — and adding documents
+    never reorders existing ones within their shard beyond insertion.
+
+    Scale: assignment is embarrassingly parallel; the per-shard
+    row_number is a sort per shard (shards are the parallelism unit —
+    at 100 TB pick shards ≫ executors and each window sort stays
+    executor-local). Hash ties break on doc_id, so the order is total
+    and deterministic."""
+    from pyspark.sql import Window
+    from lightlane_spark.functions.hashing import h32
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "key", h32(F.col("doc_id").cast("string"), seed=42)
+    ).withColumn("shard", (F.col("key") % 8).cast("int"))
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+QUERIES["deterministic_shuffle"] = q_deterministic_shuffle
+
+ORACLE["deterministic_shuffle"] = """
+    WITH k AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 AS key
+        FROM documents
+    )
+    SELECT doc_id, CAST(key % 8 AS INTEGER) AS shard,
+           row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS pos
+    FROM k
+    ORDER BY shard, pos
+"""

@@ -3031,3 +3031,50 @@ ORACLE["ab_test_zscore"] = """
              AS significant
     FROM a
 """
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group discrete quantiles (p50/p90 as value-at-rank
+    ⌈p·n⌉): one per-group sort window computes rank and group size in
+    a single exchange, then a conditional aggregate picks the
+    elements. The exact complement to `quantile_summary`'s mergeable
+    t-digest path: at 100 TB you pay one sort per group (groups are
+    the parallelism unit), where the sketch pays none — use this when
+    the quantile feeds a CONTRACT (SLA thresholds, curation cutlines)
+    and the sketch when it feeds a dashboard. Element-pick semantics
+    make the result bit-portable (no interpolation arithmetic)."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    wp = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("value"))
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            pick(0.5).alias("p50_disc"),
+            pick(0.9).alias("p90_disc"),
+            F.max("n").alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["group_quantiles"] = q_group_quantiles
+
+ORACLE["group_quantiles"] = """
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50_disc,
+           MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90_disc,
+           MAX(n) AS n_rows
+    FROM r GROUP BY 1 ORDER BY 1
+"""
