@@ -2877,10 +2877,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The only remaining exchange is the final tiny per-segment
     aggregation. Decimal-exact revenue."""
+    import shutil
+    from urllib.parse import urlparse
+
     o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    spark.sql("DROP TABLE IF EXISTS ll_bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS ll_bkt_customer")
+    # the default catalog is session-scoped but the warehouse dir is
+    # not: a table location left by a PREVIOUS session is invisible to
+    # DROP TABLE yet blocks CREATE (LOCATION_ALREADY_EXISTS) — clear
+    # both the catalog entry and any orphaned local location
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    for t in ("ll_bkt_orders", "ll_bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(os.path.join(wh.path, t), ignore_errors=True)
     (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").format("parquet").saveAsTable("ll_bkt_orders"))
     (c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
