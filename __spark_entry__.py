@@ -475,6 +475,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "bpe_train",
     "deterministic_shuffle",
     "group_quantiles",
     "bucketed_join",

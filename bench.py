@@ -115,6 +115,7 @@ HEADLINE = [
     "event_transitions",
     "deterministic_shuffle",
     "group_quantiles",
+    "bpe_train",
 ]
 
 

@@ -950,3 +950,169 @@ def rrf_fuse(
         .agg(F.sum("__c").cast("double").alias("rrf_score"))
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 3,
+    min_word_len: int = 2,
+) -> DataFrame:
+    """EXACT distributed BPE training for ``n_rounds`` merges: per
+    round, the globally most frequent adjacent token pair (ties break
+    on (count desc, a, b)) is merged into every word with the
+    standard greedy-LEFTMOST application ("aaa" + merge(a,a) → [aa,a]).
+    Returns the merge table ``(round, a, b, cnt)`` — the trainer's
+    actual artifact.
+
+    Scale shape (the whole trick): the corpus collapses to the
+    VOCABULARY first — one word-count shuffle, after which every
+    round runs on |vocab| rows, not corpus rows. Each round is one
+    pair-count aggregation over in-row expansions + a driver-side
+    top-1 scalar (ONE row per round crosses to the driver, the same
+    iterative-driver contract as the connected-components loop) + a
+    map-only JVM fold (``F.aggregate``) applying the merge in-row.
+    No Python UDFs; the greedy scan is whole-stage-codegen'd.
+
+    Reference parity: tokenizer training is beyond the reference's
+    ETL surface — included as part of the LLM-pipeline extension
+    (SURVEY §2 north-star set).
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") >= min_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "toks",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        )
+        .localCheckpoint()  # cut lineage: each round folds in place
+    )
+    spark = df.sparkSession
+    merges = []
+    for rnd in range(1, n_rounds + 1):
+        pair_cnts = (
+            words.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(toks) >= 2 THEN "
+                        "transform(sequence(1, size(toks) - 1), "
+                        "  i -> struct(element_at(toks, i) AS a, "
+                        "              element_at(toks, i + 1) AS b)) "
+                        "ELSE CAST(array() AS array<struct<a:string,b:string>>) END"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pair_cnts.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((rnd, a, b, int(cnt)))
+        la, lb = F.lit(a), F.lit(b)
+        zero = F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        )
+
+        def step(acc, t):
+            merged = F.struct(
+                F.array_append(acc["out"], F.concat(la, lb)).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            )
+            shift = F.struct(
+                F.array_append(acc["out"], acc["prev"]).alias("out"),
+                t.alias("prev"),
+            )
+            start = F.struct(acc["out"].alias("out"), t.alias("prev"))
+            return (
+                F.when((acc["prev"] == la) & (t == lb), merged)
+                .when(acc["prev"].isNull(), start)
+                .otherwise(shift)
+            )
+
+        fin = lambda acc: F.when(  # noqa: E731
+            acc["prev"].isNull(), acc["out"]
+        ).otherwise(F.array_append(acc["out"], acc["prev"]))
+        words = words.withColumn(
+            "toks", F.aggregate("toks", zero, step, fin)
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round: int, a: string, b: string, cnt: bigint"
+    )
+
+
+def bpe_train_oracle_sql(n_rounds: int = 3, min_word_len: int = 2) -> str:
+    """DuckDB twin of :func:`bpe_train`: the greedy-leftmost fold is
+    re-expressed relationally — candidate pair positions, runs of
+    CONSECUTIVE candidates (pos − row_number collapses them to one
+    run id), keep odd offsets within each run (a merge at p consumes
+    p+1, invalidating the candidate there), rebuild positions. The
+    fold and the run-parity formulation provably pick the same
+    positions, so counts match bit-for-bit."""
+    base = f"""
+    w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) >= {min_word_len}
+        GROUP BY w
+    ),
+    t0p AS (
+        SELECT w, freq, unnest(generate_series(1, length(w))) AS pos FROM w0
+    ),
+    t0 AS (
+        SELECT w, freq, pos, substring(w, CAST(pos AS INTEGER), 1) AS tok FROM t0p
+    )"""
+    rounds_sql = [base]
+    sel_parts = []
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        rounds_sql.append(f"""
+    adj{r} AS (
+        SELECT w, freq, pos, tok,
+               lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+        FROM t{p}
+    ),
+    cnt{r} AS (
+        SELECT tok AS a, nxt AS b, SUM(freq) AS cnt
+        FROM adj{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    top{r} AS (SELECT a, b, cnt FROM cnt{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    cand{r} AS (
+        SELECT adj{r}.w, adj{r}.pos
+        FROM adj{r}, top{r}
+        WHERE adj{r}.tok = top{r}.a AND adj{r}.nxt = top{r}.b
+    ),
+    keep{r} AS (
+        SELECT w, pos FROM (
+            SELECT w, pos,
+                   row_number() OVER (PARTITION BY w, run ORDER BY pos) AS rn
+            FROM (
+                SELECT w, pos,
+                       pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS run
+                FROM cand{r}
+            )
+        ) WHERE rn % 2 = 1
+    ),
+    t{r} AS (
+        SELECT w, freq,
+               row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, tok
+        FROM (
+            SELECT t.w, t.freq, t.pos,
+                   CASE WHEN k1.pos IS NOT NULL
+                        THEN t.tok || lead(t.tok) OVER (PARTITION BY t.w ORDER BY t.pos)
+                        ELSE t.tok END AS tok,
+                   k2.pos AS consumed
+            FROM adj{r} t
+            LEFT JOIN keep{r} k1 ON t.w = k1.w AND t.pos = k1.pos
+            LEFT JOIN keep{r} k2 ON t.w = k2.w AND t.pos = k2.pos + 1
+        ) WHERE consumed IS NULL
+    )""")
+        sel_parts.append(
+            f"SELECT {r} AS round, a, b, CAST(cnt AS BIGINT) AS cnt FROM top{r}"
+        )
+    return "WITH " + ",".join(rounds_sql) + "\n" + "\nUNION ALL\n".join(sel_parts)

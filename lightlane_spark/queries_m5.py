@@ -3001,3 +3001,23 @@ ORACLE["deterministic_shuffle"] = """
     FROM k
     ORDER BY shard, pos
 """
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, 3 exact merge rounds: the
+    corpus collapses to the vocabulary once, then each round = one
+    pair-count aggregation + a 1-row driver scalar + a map-only JVM
+    fold applying the greedy-leftmost merge (no Python UDFs). The
+    DuckDB oracle re-derives the same merges relationally (run-parity
+    formulation of the greedy scan)."""
+    from lightlane_spark.operators.text import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_rounds=3)
+
+
+QUERIES["bpe_train"] = q_bpe_train
+
+from lightlane_spark.operators.text import bpe_train_oracle_sql as _bpe_osql  # noqa: E402
+
+ORACLE["bpe_train"] = _bpe_osql(3)

@@ -315,3 +315,57 @@ def test_weighted_topk_sample_fixed_size_and_bias(spark):
     df2 = df.withColumn("w", F.when(F.col("doc_id") < 990, 0.0).otherwise(F.col("w")))
     out2 = weighted_topk_sample(df2, "w", k=100).collect()
     assert len(out2) == 10 and all(r.w > 0 for r in out2)
+
+
+def _py_bpe(texts, rounds, min_len=2):
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= min_len:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    out = []
+    for r in range(1, rounds + 1):
+        pc = Counter()
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                pc[(toks[i], toks[i + 1])] += words[w]
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        out.append((r, a, b, cnt))
+        for w, toks in vocab.items():
+            new, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            vocab[w] = new
+    return out
+
+
+def test_bpe_train_matches_python_model(spark):
+    """Greedy-leftmost merge semantics incl. the overlapping-run case
+    ('aaa' + merge(a,a) → [aa, a]) against a sequential reference."""
+    from lightlane_spark.operators.text import bpe_train
+
+    texts = ["aaa abab banana bandana", "the cat sat on the mat", "aaa aaa abab"]
+    df = spark.createDataFrame([(t,) for t in texts], "text: string")
+    got = [(r["round"], r["a"], r["b"], r["cnt"]) for r in bpe_train(df, n_rounds=4).collect()]
+    assert got == _py_bpe(texts, 4)
+
+
+def test_bpe_train_merged_tokens_feed_next_round(spark):
+    """After round 1 merges (a,a)→aa, round 2 must count pairs over
+    the MERGED sequences (e.g. (aa,a) exists only post-merge)."""
+    from lightlane_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text: string")
+    rows = bpe_train(df, n_rounds=2).collect()
+    assert (rows[0]["a"], rows[0]["b"]) == ("a", "a")
+    assert (rows[1]["a"], rows[1]["b"]) == ("aa", "aa")
