@@ -475,6 +475,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "abandoned_actions",
+    "time_weighted_avg",
     "bpe_train",
     "deterministic_shuffle",
     "group_quantiles",

@@ -344,3 +344,119 @@ ORACLE["concurrency_curve"] = """
            CAST(max(conc) AS BIGINT) AS max_concurrency
     FROM run GROUP BY 1
 """
+
+
+def q_abandoned_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sequential pattern (MATCH_RECOGNIZE-with-negation
+    shape): per user, clicks NOT followed by a purchase within 1 hour
+    — the abandonment/churn-signal query. Expressed as a left-anti
+    join from clicks to same-user purchases with a (0, 1h] range
+    predicate: one shuffle per side on user_id, the range runs as a
+    join-time filter, and nothing is collected or windowed globally.
+    At 100 TB both sides co-partition on user_id; the anti-join is
+    the exact, index-free form of "pattern A ¬B within t"."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("pts")
+    )
+    abandoned = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_uid"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "left_anti",
+    )
+    total = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    aband = abandoned.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_abandoned"))
+    return (
+        total.join(aband, "user_id", "left")
+        .select(
+            "user_id",
+            "n_clicks",
+            F.coalesce("n_abandoned", F.lit(0)).alias("n_abandoned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact time-weighted average of the value signal per user (TWAP
+    shape): each observation holds until the user's next event; weight
+    = microsecond gap to the next event (BIGINT-exact), value·weight
+    summed in exact decimal, one division at the end. Single lead()
+    window + one aggregation — two shuffles, both on user_id; last
+    events (no successor) carry zero weight in both engines."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.timestamp_diff("MICROSECOND", F.col("ts"), F.lead("ts").over(w))
+    weighted = ev.withColumn("dt_us", F.coalesce(dt, F.lit(0)))
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("value") * F.col("dt_us")).cast("decimal(38,6)")
+            ).cast("double").alias("vw_sum"),
+            F.sum("dt_us").alias("w_sum"),
+        )
+        .filter(F.col("w_sum") > 0)
+        .select(
+            "user_id",
+            # 6dp-rounded ratio (repo convention for >15-sig-digit
+            # numerators whose decimal→double cast can differ 1 ulp
+            # across engines; see tfidf_topk)
+            F.round(F.col("vw_sum") / F.col("w_sum"), 6).alias("twap"),
+            "w_sum",
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["abandoned_actions"] = q_abandoned_actions
+QUERIES["time_weighted_avg"] = q_time_weighted_avg
+
+ORACLE["abandoned_actions"] = """
+    WITH c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events
+        WHERE event_type = 'click'
+    ), p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS pts FROM events
+        WHERE event_type = 'purchase'
+    ), ab AS (
+        SELECT c.user_id, COUNT(*) AS n_abandoned
+        FROM c WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+        ) GROUP BY 1
+    ), tot AS (
+        SELECT user_id, COUNT(*) AS n_clicks FROM c GROUP BY 1
+    )
+    SELECT tot.user_id, tot.n_clicks,
+           COALESCE(ab.n_abandoned, 0) AS n_abandoned
+    FROM tot LEFT JOIN ab ON tot.user_id = ab.user_id
+    ORDER BY tot.user_id
+"""
+
+ORACLE["time_weighted_avg"] = """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               COALESCE(epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id))
+                 - epoch_us(CAST(ts AS TIMESTAMP)), 0) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           round(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(dt_us) AS BIGINT), 6) AS twap,
+           CAST(SUM(dt_us) AS BIGINT) AS w_sum
+    FROM e GROUP BY 1
+    HAVING SUM(dt_us) > 0
+    ORDER BY user_id
+"""
