@@ -475,6 +475,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "purchase_attribution",
+    "vocab_drift",
+    "negative_pairs",
     "abandoned_actions",
     "time_weighted_avg",
     "bpe_train",

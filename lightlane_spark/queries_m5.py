@@ -3021,3 +3021,120 @@ QUERIES["bpe_train"] = q_bpe_train
 from lightlane_spark.operators.text import bpe_train_oracle_sql as _bpe_osql  # noqa: E402
 
 ORACLE["bpe_train"] = _bpe_osql(3)
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift detector between two corpus halves (sources
+    src0-9 vs src10-19): per-term smoothed log rate-ratio, top-20
+    movers — the curation signal for "did the new crawl change the
+    vocabulary". Counts are exact ints; the single ln() per surviving
+    term is 6dp-rounded (repo convention) so ordering is engine-exact.
+    Plan: one token-count aggregation per half over the SAME exploded
+    relation (conditional aggregates, not two scans), a broadcast of
+    the two scalar totals, and a top-k cut — linear in corpus size."""
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select(
+        (F.regexp_extract("source", r"^src(\d+)$", 1).cast("int") < 10).alias("in_a"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.length("term") >= 2)
+    counts = toks.groupBy("term").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("ca"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    rate_a = (F.col("ca") + 1).cast("double") / (F.col("na") + 1).cast("double")
+    rate_b = (F.col("cb") + 1).cast("double") / (F.col("nb") + 1).cast("double")
+    return (
+        counts.join(F.broadcast(totals))
+        .withColumn("log_ratio", F.round(F.log(rate_a / rate_b), 6))
+        .select("term", "ca", "cb", "log_ratio")
+        .orderBy(F.abs(F.col("log_ratio")).desc(), "term")
+        .limit(20)
+    )
+
+
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair sampling for contrastive training:
+    docs land in 8 hash buckets, get a bucket-local pseudo-random rank
+    (portable h32 order), and each doc pairs with the docs k=1,2
+    ahead on its bucket's ring (modular wrap). Negatives only need to
+    be arbitrary non-matches, so bucket-locality is free parallelism:
+    no global window, no cross join — two bucket-keyed shuffles
+    (window + equi-join) regardless of corpus size."""
+    from pyspark.sql import Window
+    from lightlane_spark.functions.hashing import h32
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.withColumn(
+        "key", h32(F.col("doc_id").cast("string"), seed=7)
+    ).withColumn("bucket", (F.col("key") % 8).cast("int"))
+    w = Window.partitionBy("bucket").orderBy("key", "doc_id")
+    wc = Window.partitionBy("bucket")
+    ranked = keyed.withColumn("r", F.row_number().over(w)).withColumn(
+        "n_b", F.count(F.lit(1)).over(wc)
+    )
+    rhs = ranked.select(
+        F.col("bucket").alias("p_bucket"),
+        F.col("r").alias("p_r"),
+        F.col("doc_id").alias("neg_id"),
+    )
+    offsets = spark.range(1, 3).select(F.col("id").cast("int").alias("k"))
+    return (
+        ranked.crossJoin(F.broadcast(offsets))
+        .withColumn("p_rank", ((F.col("r") - 1 + F.col("k")) % F.col("n_b")) + 1)
+        .join(
+            rhs,
+            (F.col("bucket") == F.col("p_bucket"))
+            & (F.col("p_rank") == F.col("p_r")),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+        .select("doc_id", "k", "neg_id")
+        .orderBy("doc_id", "k")
+    )
+
+
+QUERIES["vocab_drift"] = q_vocab_drift
+QUERIES["negative_pairs"] = q_negative_pairs
+
+ORACLE["vocab_drift"] = """
+    WITH toks AS (
+        SELECT CAST(regexp_extract(source, '^src(\\d+)$', 1) AS INTEGER) < 10 AS in_a,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), counts AS (
+        SELECT term,
+               COUNT(*) FILTER (WHERE in_a) AS ca,
+               COUNT(*) FILTER (WHERE NOT in_a) AS cb
+        FROM toks WHERE length(term) >= 2 GROUP BY 1
+    ), totals AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts)
+    SELECT term, ca, cb,
+           round(ln( ((ca + 1) / (CAST(na AS DOUBLE) + 1))
+                   / ((cb + 1) / (CAST(nb AS DOUBLE) + 1)) ), 6) AS log_ratio
+    FROM counts, totals
+    ORDER BY abs(round(ln( ((ca + 1) / (CAST(na AS DOUBLE) + 1))
+                   / ((cb + 1) / (CAST(nb AS DOUBLE) + 1)) ), 6)) DESC, term
+    LIMIT 20
+"""
+
+ORACLE["negative_pairs"] = """
+    WITH keyed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS key
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, key, CAST(key % 8 AS INTEGER) AS bucket,
+               row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS r,
+               count(*) OVER (PARTITION BY key % 8) AS n_b
+        FROM keyed
+    )
+    SELECT a.doc_id, k.k, b.doc_id AS neg_id
+    FROM ranked a
+    CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2) k
+    JOIN ranked b
+      ON b.bucket = a.bucket
+     AND b.r = ((a.r - 1 + k.k) % a.n_b) + 1
+    WHERE b.doc_id <> a.doc_id
+    ORDER BY a.doc_id, k.k
+"""

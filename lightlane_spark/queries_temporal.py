@@ -460,3 +460,60 @@ ORACLE["time_weighted_avg"] = """
     HAVING SUM(dt_us) > 0
     ORDER BY user_id
 """
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's most
+    recent prior touch (click/view) — the as-of join applied to the
+    marketing-attribution shape. Touches are pre-deduped per
+    (user, ts) (max type — the operator's documented uniqueness
+    contract), then one backward as-of join and a tiny count by
+    attributed type. Never-touched purchases surface as NULL (kept —
+    silent drops hide attribution bugs)."""
+    from lightlane_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch_type"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    attributed = asof_join(
+        purchases,
+        touches,
+        ts_col="ts",
+        by=["user_id"],
+        value_cols=["touch_type"],
+        direction="backward",
+    )
+    return (
+        attributed.groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy(F.col("touch_type").asc_nulls_first())
+    )
+
+
+QUERIES["purchase_attribution"] = q_purchase_attribution
+
+ORACLE["purchase_attribution"] = """
+    WITH touches AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               MAX(event_type) AS touch_type
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE event_type = 'purchase'
+    ), attr AS (
+        SELECT (
+            SELECT t.touch_type FROM touches t
+            WHERE t.user_id = p.user_id AND t.ts <= p.ts
+            ORDER BY t.ts DESC LIMIT 1
+        ) AS touch_type
+        FROM p
+    )
+    SELECT touch_type, COUNT(*) AS n_purchases
+    FROM attr GROUP BY 1
+    ORDER BY touch_type ASC NULLS FIRST
+"""
