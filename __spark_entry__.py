@@ -475,6 +475,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "streaming_dedup_counts",
     "purchase_attribution",
     "vocab_drift",
     "negative_pairs",

@@ -3138,3 +3138,52 @@ ORACLE["negative_pairs"] = """
     WHERE b.doc_id <> a.doc_id
     ORDER BY a.doc_id, k.k
 """
+
+
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest under duplicate delivery: the landing zone
+    receives every event TWICE (the classic at-least-once redelivery),
+    the stream deduplicates on event_id via
+    dropDuplicatesWithinWatermark, and the downstream counts equal the
+    batch DISTINCT — the end-to-end idempotency contract. The
+    watermark bounds dedup state at 100 TB (state holds only ids
+    younger than the horizon; redeliveries are near-in-time in
+    practice); availableNow here processes one batch, so the horizon
+    never evicts mid-run and the oracle is exact."""
+    import tempfile
+    import uuid
+
+    from lightlane_spark.streaming.incremental import (
+        _as_event_time,
+        run_to_completion,
+        stream_from_directory,
+    )
+
+    base = tempfile.mkdtemp(prefix="llspark_dedup_stream_")
+    land = f"{base}/landing"
+    ev = read_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(land)
+    ev.write.mode("append").parquet(land)  # duplicate delivery
+    stream = _as_event_time(stream_from_directory(spark, land, ev.schema), "ts")
+    deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = "llsq_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    return spark.table(name).select("event_type", "n")
+
+
+QUERIES["streaming_dedup_counts"] = q_streaming_dedup_counts
+
+ORACLE["streaming_dedup_counts"] = """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n
+    FROM events GROUP BY 1
+"""
