@@ -475,6 +475,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "ivm_join",
+    "label_propagation",
     "streaming_dedup_counts",
     "purchase_attribution",
     "vocab_drift",

@@ -193,3 +193,30 @@ def incremental_agg_retract_merge(
         for c in out_cols
     ]
     return joined.select(*keys, *merged)
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Delta rows to APPEND to a materialized inner-join view
+    ``V = A ⋈ B`` after appends ΔA and ΔB (append-only IVM; for
+    updates/deletes pair with the retract path):
+
+        ΔV = (ΔA ⋈ (B ∪ ΔB)) ∪ (A ⋈ ΔB)
+
+    — the standard delta-join decomposition: every new pair contains
+    a delta row on at least one side, counted exactly once (pairs
+    with BOTH sides new land in the first term only).
+
+    Scale: each term joins a DELTA against one full side — work is
+    |Δ|·selectivity, never |A|·|B|; with the base sides bucketed on
+    the join key (see `bucketed_join`) the big side is never
+    reshuffled, which is the whole point of maintaining the view
+    instead of recomputing it at 100 TB.
+    """
+    b_new = b_old.unionByName(b_delta)
+    return a_delta.join(b_new, on=on).unionByName(a_old.join(b_delta, on=on))

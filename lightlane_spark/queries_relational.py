@@ -3088,3 +3088,151 @@ ORACLE["group_quantiles"] = """
            MAX(n) AS n_rows
     FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (delta-join
+    decomposition, operators/incremental.py::incremental_join_delta):
+    the orders⋈customer view gets appends on BOTH sides (¼ of orders,
+    ⅕ of customers); the maintained view = old view ∪ ΔV must equal
+    the full recompute — which is exactly what the oracle computes.
+    Aggregated per market segment with decimal-exact revenue so the
+    proof is hash-tight."""
+    from lightlane_spark.operators.incremental import incremental_join_delta
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a_old = orders.where("o_orderkey % 4 != 0")
+    a_delta = orders.where("o_orderkey % 4 = 0")
+    b_old = cust.where("c_custkey % 5 != 0").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    b_delta = cust.where("c_custkey % 5 = 0").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    v_old = a_old.join(b_old, on=["o_custkey"])
+    dv = incremental_join_delta(a_old, a_delta, b_old, b_delta, on=["o_custkey"])
+    v_new = v_old.unionByName(dv)
+    return (
+        v_new.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (2 rounds,
+    deterministic: most-frequent neighbor label, ties → smallest
+    label) over the blocked record-linkage graph — the 4th graph
+    operator next to connected components, PageRank, and triangle
+    count. Each round is one neighbor join + one (node, label) count
+    + one per-node argmax window — all linear in |E| with no global
+    structure, the property that lets LPA run where modularity-style
+    global methods cannot. Emits the community-size distribution."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(lev <= 2)
+        .select(
+            F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v")
+        )
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = c.select(
+        F.col("c_custkey").alias("node"), F.col("c_custkey").alias("label")
+    )
+    for _ in range(2):
+        nb = edges.join(labels, edges["u"] == labels["node"]).select(
+            F.col("v").alias("node"), "label"
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("community_size"))
+        .filter(F.col("community_size") >= 2)
+        .orderBy(F.col("community_size").desc(), "label")
+    )
+
+
+QUERIES["ivm_join"] = q_ivm_join
+QUERIES["label_propagation"] = q_label_propagation
+
+ORACLE["ivm_join"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE["label_propagation"] = """
+    WITH pairs AS (
+        SELECT a.c_custkey AS u, b.c_custkey AS v
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ), edges AS (
+        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ), l0 AS (
+        SELECT c_custkey AS node, c_custkey AS label FROM customer
+    ), n1 AS (
+        SELECT e.v AS node, l.label FROM edges e JOIN l0 l ON l.node = e.u
+    ), c1 AS (
+        SELECT node, label, COUNT(*) AS c FROM n1 GROUP BY 1, 2
+    ), p1 AS (
+        SELECT node, label AS new_label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM c1
+        ) WHERE rn = 1
+    ), l1 AS (
+        SELECT l.node, COALESCE(p.new_label, l.label) AS label
+        FROM l0 l LEFT JOIN p1 p ON p.node = l.node
+    ), n2 AS (
+        SELECT e.v AS node, l.label FROM edges e JOIN l1 l ON l.node = e.u
+    ), c2 AS (
+        SELECT node, label, COUNT(*) AS c FROM n2 GROUP BY 1, 2
+    ), p2 AS (
+        SELECT node, label AS new_label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM c2
+        ) WHERE rn = 1
+    ), l2 AS (
+        SELECT l.node, COALESCE(p.new_label, l.label) AS label
+        FROM l1 l LEFT JOIN p2 p ON p.node = l.node
+    )
+    SELECT label, COUNT(*) AS community_size
+    FROM l2 GROUP BY 1
+    HAVING COUNT(*) >= 2
+    ORDER BY community_size DESC, label
+"""
