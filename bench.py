@@ -116,6 +116,12 @@ HEADLINE = [
     "deterministic_shuffle",
     "group_quantiles",
     "bpe_train",
+    "label_propagation",
+    "ivm_join",
+    "vocab_drift",
+    "negative_pairs",
+    "time_weighted_avg",
+    "abandoned_actions",
 ]
 
 

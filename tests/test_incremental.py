@@ -118,3 +118,27 @@ def test_retract_merge_full_churn_key_goes_to_zero(spark):
     }
     assert out["a"] == (33, 2)
     assert out["b"] == (0, 0)  # fully-departed key zeroes out
+
+
+def test_incremental_join_delta_counts_both_new_once(spark):
+    """The ΔA⋈ΔB containment subtlety: a pair whose rows are new on
+    BOTH sides must appear exactly once in ΔV (it lands in the
+    ΔA⋈(B∪ΔB) term and must NOT also come from A⋈ΔB)."""
+    from pyspark.sql import functions as F
+    from lightlane_spark.operators.incremental import incremental_join_delta
+
+    a_old = spark.createDataFrame([(1, "a1")], "k: bigint, av: string")
+    a_new = spark.createDataFrame([(2, "a2")], "k: bigint, av: string")
+    b_old = spark.createDataFrame([(1, "b1")], "k: bigint, bv: string")
+    b_new = spark.createDataFrame([(1, "b1x"), (2, "b2")], "k: bigint, bv: string")
+
+    dv = incremental_join_delta(a_old, a_new, b_old, b_new, on=["k"])
+    got = sorted(tuple(r) for r in dv.collect())
+    # ΔA⋈(B∪ΔB): (2,a2,b2); A⋈ΔB: (1,a1,b1x). (2,a2,b2) appears once.
+    assert got == [(1, "a1", "b1x"), (2, "a2", "b2")]
+
+    v_new = a_old.unionByName(a_new).join(b_old.unionByName(b_new), on=["k"])
+    v_maintained = a_old.join(b_old, on=["k"]).unionByName(dv)
+    assert sorted(tuple(r) for r in v_new.collect()) == sorted(
+        tuple(r) for r in v_maintained.collect()
+    )
