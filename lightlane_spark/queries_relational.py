@@ -3128,32 +3128,39 @@ def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (2 rounds,
     deterministic: most-frequent neighbor label, ties → smallest
-    label) over the blocked record-linkage graph — the 4th graph
-    operator next to connected components, PageRank, and triangle
-    count. Each round is one neighbor join + one (node, label) count
-    + one per-node argmax window — all linear in |E| with no global
-    structure, the property that lets LPA run where modularity-style
-    global methods cannot. Emits the community-size distribution."""
+    label) — the 4th graph operator next to connected components,
+    PageRank, and triangle count. Each round is one neighbor join +
+    one (node, label) count + one per-node argmax window — all linear
+    in |E| with no global structure, the property that lets LPA run
+    where modularity-style global methods cannot. Emits the
+    community-size distribution.
+
+    The edge relation is a deterministic sparse neighbor graph (same
+    nation, custkey offsets 1-6/8/10) built by pure EQUI-joins, so
+    graph construction stays linear in corpus size.
+    (The blocked-levenshtein graph from `record_linkage` plugs into
+    the same loop, but its Σ|block|² term grows with block size —
+    fine for linkage output, wrong as a bench-scale edge generator.)
+    Any (u, v) relation drops in."""
     c = read_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+        "c_custkey", "c_nationkey"
     )
-    a, b = c.alias("a"), c.alias("b")
-    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    b = c.select(
+        F.col("c_custkey").alias("v"), F.col("c_nationkey").alias("bn")
+    )
+    # in-row offset expansion -> ONE equi-join for all 8 offsets
+    offs = F.array(*[F.lit(d) for d in (1, 2, 3, 4, 5, 6, 8, 10)])
     pairs = (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .filter(lev <= 2)
-        .select(
-            F.col("a.c_custkey").alias("u"), F.col("b.c_custkey").alias("v")
-        )
+        c.withColumn("d", F.explode(offs))
+        .withColumn("vk", F.col("d") + F.col("c_custkey"))
+        .join(b, (F.col("vk") == F.col("v")) & (F.col("c_nationkey") == F.col("bn")))
+        .select(F.col("c_custkey").alias("u"), "v")
     )
+    # materialize the edge relation ONCE — every round joins it;
+    # without the checkpoint each round re-derives the graph
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    ).localCheckpoint()
     labels = c.select(
         F.col("c_custkey").alias("node"), F.col("c_custkey").alias("label")
     )
@@ -3195,11 +3202,11 @@ ORACLE["ivm_join"] = """
 ORACLE["label_propagation"] = """
     WITH pairs AS (
         SELECT a.c_custkey AS u, b.c_custkey AS v
-        FROM customer a JOIN customer b
-          ON a.c_nationkey = b.c_nationkey
-         AND a.c_mktsegment = b.c_mktsegment
-         AND a.c_custkey < b.c_custkey
-        WHERE levenshtein(a.c_name, b.c_name) <= 2
+        FROM customer a
+        CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (8), (10)) o(d)
+        JOIN customer b
+          ON b.c_custkey = a.c_custkey + o.d
+         AND a.c_nationkey = b.c_nationkey
     ), edges AS (
         SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
     ), l0 AS (
