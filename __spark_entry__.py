@@ -475,6 +475,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "blockhash_near_dup",
     "ivm_join",
     "label_propagation",
     "streaming_dedup_counts",

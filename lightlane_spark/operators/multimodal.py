@@ -221,3 +221,102 @@ def sample_frames(
     return df.select(
         id_col, n.alias("n_bytes"), F.explode(offsets).alias("frame_offset")
     )
+
+
+BLOCKHASH_SCHEMA = "doc_id bigint, sig bigint"
+
+# 14 chunk-nibbles (56 bits, fits signed 64); 4 bands sized 4/4/3/3
+# nibbles — pigeonhole: ≤3 mismatched chunks leave ≥1 band untouched,
+# so exact band-key matching is a LOSSLESS candidate filter for
+# distance ≤ 3 (same argument as MinHash-LSH banding).
+BLOCKHASH_CHUNKS = 14
+BLOCKHASH_BANDS = [(0, 16), (16, 16), (32, 12), (44, 12)]  # (bit offset, width)
+
+
+def blockhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ssdeep-style chunked block-hash over opaque BINARY payloads:
+    the payload splits into 14 equal byte ranges (fixed grid), each
+    chunk contributes the low nibble of its md5 — a 56-bit structural
+    fingerprint where same-length payloads differing in a local edit
+    differ in 1-2 nibbles. Arrow-batched mapInPandas (the binary
+    column never becomes a string); linear, no shuffle.
+
+    Known limitation, by design of fixed-grid block hashing: an edit
+    that CHANGES LENGTH shifts every chunk boundary and randomizes
+    the signature — rolling-boundary (CTPH) hashing fixes that at the
+    cost of content-defined chunking; this operator is the grid
+    variant."""
+    import hashlib
+
+    n_chunks = BLOCKHASH_CHUNKS
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sigs = [], []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n = len(b)
+                sig = 0
+                for i in range(n_chunks):
+                    lo = (i * n) // n_chunks
+                    hi = ((i + 1) * n) // n_chunks
+                    nib = int(hashlib.md5(b[lo:hi]).hexdigest()[0], 16)
+                    sig |= nib << (4 * i)
+                ids.append(pid)
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col)
+    ).mapInPandas(gen, BLOCKHASH_SCHEMA)
+
+
+def blockhash_near_pairs(sig_df: DataFrame, max_diff_chunks: int = 3) -> DataFrame:
+    """Near-dup pairs from block-hash signatures: band-bucket join
+    (lossless for distance ≤ 3 by pigeonhole over the 4 bands), then
+    the exact chunk-mismatch count on candidates only — never
+    all-pairs. Mirrors the MinHash-LSH candidate shape; Σ|bucket|²
+    is bounded because full-band collisions require 4/3 identical
+    chunk hashes."""
+    bands = []
+    for band_id, (off, width) in enumerate(BLOCKHASH_BANDS):
+        mask = (1 << width) - 1
+        bands.append(
+            sig_df.select(
+                "doc_id",
+                "sig",
+                F.lit(band_id).alias("band"),
+                (F.shiftright("sig", off).bitwiseAND(F.lit(mask))).alias("key"),
+            )
+        )
+    b = bands[0]
+    for p in bands[1:]:
+        b = b.unionByName(p)
+    left = b.select(
+        F.col("doc_id").alias("a_id"), F.col("sig").alias("sa"), "band", "key"
+    )
+    right = b.select(
+        F.col("doc_id").alias("b_id"), F.col("sig").alias("sb"), "band", "key"
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sa", "sb")
+        .distinct()
+    )
+    diff = None
+    for i in range(BLOCKHASH_CHUNKS):
+        na = F.shiftright("sa", 4 * i).bitwiseAND(F.lit(15))
+        nb = F.shiftright("sb", 4 * i).bitwiseAND(F.lit(15))
+        term = F.when(na != nb, 1).otherwise(0)
+        diff = term if diff is None else diff + term
+    return (
+        cand.withColumn("n_diff_chunks", diff)
+        .filter(F.col("n_diff_chunks") <= max_diff_chunks)
+        .select("a_id", "b_id", "n_diff_chunks")
+        .orderBy("a_id", "b_id")
+    )

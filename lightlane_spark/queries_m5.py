@@ -3187,3 +3187,94 @@ ORACLE["streaming_dedup_counts"] = """
     SELECT event_type, COUNT(DISTINCT event_id) AS n
     FROM events GROUP BY 1
 """
+
+
+def q_blockhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fuzzy-hash dedup: ssdeep-style chunked block-hash
+    over opaque binary payloads (operators/multimodal.py::
+    blockhash_signatures), lossless 4-band candidate join, exact
+    chunk-mismatch count ≤ 3. The corpus is documents ∪ same-length
+    locally-perturbed twins (last 5 bytes rewritten — the
+    deterministic 'same asset, retouched corner' fixture), so every
+    twin must be found: grid block hashing catches same-length local
+    edits; length-changing edits need rolling-boundary CTPH (noted in
+    the operator docstring)."""
+    from lightlane_spark.operators.multimodal import (
+        blockhash_near_pairs,
+        blockhash_signatures,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 20)
+    )
+    twins = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 5)"), F.lit("xxxxx")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(twins).withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    sigs = blockhash_signatures(corpus)
+    return blockhash_near_pairs(sigs, max_diff_chunks=3)
+
+
+def _blockhash_oracle_sql() -> str:
+    """DuckDB twin of the block-hash chain (ASCII corpus ⇒ character
+    arithmetic equals byte arithmetic; verified ascii-only in the
+    driver fixture)."""
+    from lightlane_spark.operators.multimodal import (
+        BLOCKHASH_BANDS,
+        BLOCKHASH_CHUNKS,
+    )
+
+    nib = (
+        "(('0x' || substr(md5(substring(text, ({i}*n)//14 + 1, "
+        "(({i}+1)*n)//14 - ({i}*n)//14)), 1, 1))::BIGINT << {sh})"
+    )
+    sig_expr = " + ".join(
+        nib.format(i=i, sh=4 * i) for i in range(BLOCKHASH_CHUNKS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {bid} AS band, (sig >> {off}) & {(1 << w) - 1} AS key FROM sig"
+        for bid, (off, w) in enumerate(BLOCKHASH_BANDS)
+    )
+    diff_expr = " + ".join(
+        f"(CASE WHEN ((a.sig >> {4*i}) & 15) <> ((b.sig >> {4*i}) & 15) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(BLOCKHASH_CHUNKS)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE length(text) > 20
+    ), corpus AS (
+        SELECT doc_id, text FROM base
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id,
+               substring(text, 1, length(text) - 5) || 'xxxxx' AS text
+        FROM base
+    ), lens AS (
+        SELECT doc_id, text, length(text) AS n FROM corpus
+    ), sig AS (
+        SELECT doc_id, CAST({sig_expr} AS BIGINT) AS sig FROM lens
+    ), bands AS (
+        {band_rows}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    )
+    SELECT c.a_id, c.b_id, ({diff_expr}) AS n_diff_chunks
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.a_id
+    JOIN sig b ON b.doc_id = c.b_id
+    WHERE ({diff_expr}) <= 3
+    ORDER BY c.a_id, c.b_id
+    """
+
+
+QUERIES["blockhash_near_dup"] = q_blockhash_near_dup
+ORACLE["blockhash_near_dup"] = _blockhash_oracle_sql()

@@ -198,3 +198,28 @@ def test_cosine_neardup_lsh_self_blocked(spark, sf_dir):
     # blocking is real: candidate pairs are far below the all-pairs count
     n = emb.count() + 5
     assert out.count() < n * (n - 1) / 20
+
+
+def test_blockhash_catches_same_length_edit_not_length_change(spark):
+    """Grid block hashing contract: a same-length local edit lands in
+    1-2 chunks (pair found); a length-changing edit shifts every
+    chunk boundary (pair lost) — the documented CTPH trade-off."""
+    from pyspark.sql import functions as F
+    from lightlane_spark.operators.multimodal import (
+        blockhash_near_pairs,
+        blockhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base[:-6] + "XXXXXX"),     # same length, local edit
+        (3, base + "trailing growth"),  # length change
+    ]
+    df = spark.createDataFrame(rows, "doc_id: bigint, text: string").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    pairs = blockhash_near_pairs(blockhash_signatures(df), max_diff_chunks=3)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
