@@ -475,6 +475,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "k_anonymize_suppress",
+    "feature_digitize",
     "blockhash_near_dup",
     "ivm_join",
     "label_propagation",

@@ -3243,3 +3243,123 @@ ORACLE["label_propagation"] = """
     HAVING COUNT(*) >= 2
     ORDER BY community_size DESC, label
 """
+
+
+def q_k_anonymize_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT by suppression (the repair step after
+    `k_anonymity_check`): quasi-identifier classes smaller than k=8
+    get their QIs suppressed (nation → -1, segment → '*'), pooling
+    the risky rows into one generalized class. Returns the anonymized
+    class table. One class-size aggregation + one broadcast join of
+    the (tiny) violating-class list against the data — the class list
+    is bounded by QI-combination cardinality, never data size."""
+    c = read_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    viol = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < 8)
+        .select(
+            F.col("c_nationkey").alias("vn"), F.col("c_mktsegment").alias("vs")
+        )
+    )
+    marked = c.join(
+        F.broadcast(viol),
+        (F.col("c_nationkey") == F.col("vn"))
+        & (F.col("c_mktsegment") == F.col("vs")),
+        "left",
+    )
+    anon = marked.select(
+        F.when(F.col("vn").isNotNull(), F.lit(-1))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nation_qi"),
+        F.when(F.col("vs").isNotNull(), F.lit("*"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment_qi"),
+    )
+    return (
+        anon.groupBy("nation_qi", "segment_qi")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .orderBy("nation_qi", "segment_qi")
+    )
+
+
+def q_feature_digitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-transform feature binning with EXACT boundaries: per
+    event_type quartile cut points via value-at-rank (the
+    `group_quantiles` element-pick, bit-portable), broadcast back,
+    every event digitized into q1..q4. The fit output is
+    group-cardinality-sized (broadcastable no matter the corpus);
+    the transform is a map-only broadcast join — the standard
+    train-time/serve-time split done exactly."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    wp = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("value"))
+    )
+    bounds = r.groupBy(F.col("event_type").alias("bt")).agg(
+        pick(0.25).alias("q1"), pick(0.5).alias("q2"), pick(0.75).alias("q3")
+    )
+    digitized = ev.join(
+        F.broadcast(bounds), F.col("event_type") == F.col("bt")
+    ).select(
+        "event_type",
+        F.when(F.col("value") <= F.col("q1"), "b1")
+        .when(F.col("value") <= F.col("q2"), "b2")
+        .when(F.col("value") <= F.col("q3"), "b3")
+        .otherwise("b4")
+        .alias("bucket"),
+    )
+    return (
+        digitized.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+QUERIES["k_anonymize_suppress"] = q_k_anonymize_suppress
+QUERIES["feature_digitize"] = q_feature_digitize
+
+ORACLE["k_anonymize_suppress"] = """
+    WITH viol AS (
+        SELECT c_nationkey AS vn, c_mktsegment AS vs
+        FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 8
+    ), anon AS (
+        SELECT CASE WHEN v.vn IS NOT NULL THEN -1 ELSE c.c_nationkey END AS nation_qi,
+               CASE WHEN v.vs IS NOT NULL THEN '*' ELSE c.c_mktsegment END AS segment_qi
+        FROM customer c
+        LEFT JOIN viol v ON c.c_nationkey = v.vn AND c.c_mktsegment = v.vs
+    )
+    SELECT nation_qi, segment_qi, COUNT(*) AS class_size
+    FROM anon GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+ORACLE["feature_digitize"] = """
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ), bounds AS (
+        SELECT event_type AS bt,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN value END) AS q1,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN value END) AS q2,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN value END) AS q3
+        FROM r GROUP BY 1
+    )
+    SELECT e.event_type,
+           CASE WHEN e.value <= b.q1 THEN 'b1'
+                WHEN e.value <= b.q2 THEN 'b2'
+                WHEN e.value <= b.q3 THEN 'b3'
+                ELSE 'b4' END AS bucket,
+           COUNT(*) AS n
+    FROM events e JOIN bounds b ON e.event_type = b.bt
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
