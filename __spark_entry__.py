@@ -475,6 +475,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "rollup_grouping_id",
     "k_anonymize_suppress",
     "feature_digitize",
     "blockhash_near_dup",

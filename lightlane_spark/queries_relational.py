@@ -3363,3 +3363,43 @@ ORACLE["feature_digitize"] = """
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING_ID: the disambiguation the COALESCE-based
+    rollup output cannot provide — a NULL grouping key from the DATA
+    is distinguishable from a NULL meaning 'rolled up' only via the
+    grouping bitmap. Orders rolled up over (status, priority) with
+    the bitmap column; same single Expand+aggregate plan as plain
+    rollup (the bitmap is free)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("~")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("~")).alias("priority"),
+            "gid",
+            "n",
+            "revenue",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+QUERIES["rollup_grouping_id"] = q_rollup_grouping_id
+
+ORACLE["rollup_grouping_id"] = """
+    SELECT COALESCE(o_orderstatus, '~') AS status,
+           COALESCE(o_orderpriority, '~') AS priority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+"""
