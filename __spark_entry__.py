@@ -466,10 +466,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # every declared query has been through the window at least once, so
 # the window front-loads, in order:
 #   1. queries that are brand-new this round (first driver check) —
-#      the round-4 sessions added 25 of them (sketches, LM scoring,
-#      data skipping, semantic dedup, corpus overlap, TPC-H plan
-#      shapes, URL/triangle/funnel/retention/curation/minhash-join/
-#      cdc-chunks, Avro/JDBC/PQ/stateful-streaming),
+#      session 5 added 24 (TPC-H Q9/15/16/20, bucketed join, record
+#      linkage, event transitions, z-test, BPE training, training
+#      shuffle, quantiles, IVM join, LPA, block-hash dedup,
+#      governance/binning, attribution/TWAP/abandonment, streaming
+#      dedup, drift, negative pairs) on top of the ~34 from earlier
+#      round-4 sessions; the oldest of those rotate just past the
+#      50-slot window and stay covered by SWEEP_LOCAL.json,
 #   2. queries whose implementation changed this round,
 #   3. oldest-green queries filling the remaining slots; recently
 #      green ones rotate to the back.
