@@ -122,6 +122,10 @@ HEADLINE = [
     "negative_pairs",
     "time_weighted_avg",
     "abandoned_actions",
+    "blockhash_near_dup",
+    "record_linkage",
+    "purchase_attribution",
+    "feature_digitize",
 ]
 
 

@@ -2911,12 +2911,18 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked record linkage (Fellegi–Sunter shape): candidate pairs
-    only WITHIN (nation, segment) blocks — never all-pairs — scored
-    on per-field agreement: name edit distance ≤ 2 (strong, weight 2)
-    and account balance within 100 (weak, weight 1); pairs scoring ≥ 2
-    survive. The blocking bound is the same Σ|block|² argument as the
-    LSH bucket join: candidates stay family-local, so the pair count
-    is linear-ish in corpus size for bounded block sizes.
+    only WITHIN (nation, segment, registration-batch) blocks — never
+    all-pairs — scored on per-field agreement: name edit distance ≤ 2
+    (strong, weight 2) and account balance within 100 (weak,
+    weight 1); pairs scoring ≥ 2 survive.
+
+    The batch key (custkey div 1000) is what makes the Σ|block|²
+    bound REAL: without it the (nation, segment) blocks grow linearly
+    with the corpus and the pairwise term quadratically (measured
+    5.0 s at sf0.1); with it block size is constant, so candidate
+    count — and the plan — scales linearly. Cross-batch matches need
+    a second blocking pass on a different key (multi-pass blocking,
+    standard ER practice; same recall argument as LSH band count).
 
     All features are exact integers/booleans (levenshtein is the
     standard DP edit distance in both engines), so the oracle matches
@@ -2930,6 +2936,8 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         b,
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
         & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & ((F.col("a.c_custkey") / 1000).cast("int")
+           == (F.col("b.c_custkey") / 1000).cast("int"))
         & (F.col("a.c_custkey") < F.col("b.c_custkey")),
     )
     lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
@@ -3011,6 +3019,7 @@ ORACLE["record_linkage"] = """
     FROM customer a JOIN customer b
       ON a.c_nationkey = b.c_nationkey
      AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey // 1000 = b.c_custkey // 1000
      AND a.c_custkey < b.c_custkey
     WHERE (CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 2 ELSE 0 END
            + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 100.0 THEN 1 ELSE 0 END) >= 2
