@@ -478,6 +478,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "binary_file_scan",
     "rollup_grouping_id",
     "k_anonymize_suppress",
     "feature_digitize",

@@ -3278,3 +3278,50 @@ def _blockhash_oracle_sql() -> str:
 
 QUERIES["blockhash_near_dup"] = q_blockhash_near_dup
 ORACLE["blockhash_near_dup"] = _blockhash_oracle_sql()
+
+
+def q_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingestion through Spark's `binaryFile` source: a
+    landing directory of per-asset blob files (fixture: one file per
+    document, driver-written — the test stand-in for an object-store
+    bucket) scanned as (path, length, content), ids recovered from
+    filenames, content verified by checksum. At 100 TB the same scan
+    runs over the bucket listing with partition-parallel file reads;
+    blob bytes never pass through strings. maxPartitionBytes governs
+    files-per-task packing for many-small-file layouts (the
+    compaction story in `compacted_load` is the writer-side cure)."""
+    import tempfile
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="llspark_blobs_")
+    # fixture-writer (driver-side, bounded by the fixture corpus —
+    # production assets arrive via the object store, not this loop)
+    for did, text in sorted(
+        (r["doc_id"], r["text"]) for r in docs.collect()
+    ):
+        with open(f"{base}/{did}.bin", "wb") as fh:
+            fh.write(text.encode("utf-8"))
+    scanned = spark.read.format("binaryFile").load(base)
+    return (
+        scanned.select(
+            F.regexp_extract(
+                F.element_at(F.split(F.col("path"), "/"), -1), r"^(\d+)\.bin$", 1
+            )
+            .cast("bigint")
+            .alias("doc_id"),
+            F.length("content").alias("n_bytes"),
+            F.md5("content").alias("checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["binary_file_scan"] = q_binary_file_scan
+
+ORACLE["binary_file_scan"] = """
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    ORDER BY doc_id
+"""
