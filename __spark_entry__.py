@@ -478,6 +478,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "period_over_period",
+    "cumulative_users",
+    "fulfillment_lag",
     "binary_file_scan",
     "rollup_grouping_id",
     "k_anonymize_suppress",

@@ -3412,3 +3412,131 @@ ORACLE["rollup_grouping_id"] = """
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     ORDER BY gid, status, priority
 """
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change: monthly decimal-exact totals,
+    lag window for the prior month, 6dp-rounded pct change (repo
+    float convention). The window runs over the MONTH-cardinality
+    aggregate, not the fact table — one fact shuffle, one tiny sorted
+    window; NULL first-month change kept as the -1 sentinel (driver
+    canonicalization cannot order NULLs)."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(_dec_sum(F.col("o_totalprice"), "revenue"))
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev", F.lag("revenue").over(w))
+        .select(
+            "month",
+            "revenue",
+            F.coalesce(
+                F.round((F.col("revenue") - F.col("prev")) / F.col("prev"), 6),
+                F.lit(-999.0),
+            ).alias("pct_change"),
+        )
+        .orderBy("month")
+    )
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users by day: first-seen day per user (one
+    aggregation), daily new-user counts, then a running sum over the
+    DAY-cardinality relation — the two-phase shape that never runs a
+    global window over raw events. The BI 'total audience' curve."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily_new = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day")
+    return (
+        daily_new.withColumn("total_users", F.sum("new_users").over(w))
+        .orderBy("first_day")
+    )
+
+
+def q_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship lag distribution: per order the days from
+    order date to MIN lineitem ship date, bucketed into a lag
+    histogram. The per-order MIN reduces the fact table BEFORE the
+    orders join (aggregate-then-join, same discipline as Q18); the
+    histogram is a second tiny aggregation. Exact integer day
+    arithmetic in both engines."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    lag = (
+        o.join(first_ship, o["o_orderkey"] == first_ship["l_orderkey"])
+        .select(
+            F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate")).alias(
+                "lag_days"
+            )
+        )
+    )
+    bucket = (
+        F.when(F.col("lag_days") <= 7, "0-7")
+        .when(F.col("lag_days") <= 30, "8-30")
+        .when(F.col("lag_days") <= 90, "31-90")
+        .otherwise("90+")
+    )
+    return (
+        lag.groupBy(bucket.alias("lag_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("lag_bucket")
+    )
+
+
+QUERIES["period_over_period"] = q_period_over_period
+QUERIES["cumulative_users"] = q_cumulative_users
+QUERIES["fulfillment_lag"] = q_fulfillment_lag
+
+ORACLE["period_over_period"] = """
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           COALESCE(round((revenue - lag(revenue) OVER (ORDER BY month))
+                          / lag(revenue) OVER (ORDER BY month), 6),
+                    -999.0) AS pct_change
+    FROM m ORDER BY month
+"""
+
+ORACLE["cumulative_users"] = """
+    WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1
+    ), d AS (
+        SELECT first_day, COUNT(*) AS new_users FROM f GROUP BY 1
+    )
+    SELECT first_day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+    FROM d ORDER BY first_day
+"""
+
+ORACLE["fulfillment_lag"] = """
+    WITH fs AS (
+        SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+        FROM lineitem GROUP BY 1
+    ), lag_t AS (
+        SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(fs.first_ship AS DATE)) AS lag_days
+        FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+    )
+    SELECT CASE WHEN lag_days <= 7 THEN '0-7'
+                WHEN lag_days <= 30 THEN '8-30'
+                WHEN lag_days <= 90 THEN '31-90'
+                ELSE '90+' END AS lag_bucket,
+           COUNT(*) AS n_orders
+    FROM lag_t GROUP BY 1 ORDER BY 1
+"""
