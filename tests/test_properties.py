@@ -366,3 +366,62 @@ def test_prefix_filter_join_matches_python_model(spark, docs, threshold):
         for r in prefix_filter_jaccard_join(df, k=2, threshold=threshold).collect()
     }
     assert got == _python_jaccard_pairs(texts, 2, threshold)
+
+
+def _greedy_merge(toks, a, b):
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _run_parity_merge(toks, a, b):
+    """The relational formulation bpe_train's DuckDB oracle uses:
+    candidate positions → runs of consecutive candidates → keep odd
+    offsets within each run → rebuild."""
+    cand = [
+        i
+        for i in range(len(toks) - 1)
+        if toks[i] == a and toks[i + 1] == b
+    ]
+    keep = set()
+    run_start = None
+    prev = None
+    for p in cand:
+        if prev is None or p != prev + 1:
+            run_start = p
+        if (p - run_start) % 2 == 0:
+            keep.add(p)
+        prev = p
+    out, i = [], 0
+    while i < len(toks):
+        if i in keep:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "ab", "aa", "c"]), max_size=40),
+)
+@settings(max_examples=500)
+def test_bpe_greedy_fold_equals_run_parity_formulation(toks):
+    """The sequential greedy-leftmost fold (Spark JVM aggregate) and
+    the run-parity window formulation (DuckDB oracle) must pick the
+    SAME merge positions on every input — including overlapping runs
+    like a,a,a and adjacent disjoint candidates. This is the
+    equivalence the cross-engine oracle of `bpe_train` rests on."""
+    for a, b in [("a", "a"), ("a", "b"), ("aa", "a"), ("b", "c")]:
+        assert _greedy_merge(toks, a, b) == _run_parity_merge(toks, a, b), (
+            toks,
+            a,
+            b,
+        )

@@ -205,3 +205,27 @@ def test_prefix_filter_join_at_125k_docs(spark):
     assert n_pairs > 100_000
     assert wall < 600, f"prefix-filter smoke too slow: {wall:.0f}s"
     print(f"SCALE_SMOKE prefix_join docs=125000 pairs={n_pairs} wall={wall:.1f}s")
+
+
+def test_bpe_train_at_125k_docs(spark):
+    """BPE trainer on the amplified 125k-doc corpus, 3 rounds: the
+    vocab-collapse claim under load — per-round work is bounded by
+    |vocab| (amplification multiplies corpus rows 25x but barely
+    grows the vocabulary, so rounds cost near the same as sf0.1)."""
+    from lightlane_spark.operators.text import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = spark.range(25).withColumnRenamed("id", "copy")
+    corpus = docs.crossJoin(copies).select(
+        (F.col("doc_id") * 100 + F.col("copy")).alias("doc_id"),
+        F.concat(F.concat_ws("", F.lit("tok"), F.col("copy")), F.lit(" "), F.col("text")).alias("text"),
+    )
+    t0 = time.monotonic()
+    merges = bpe_train(corpus, n_rounds=3).collect()
+    wall = time.monotonic() - t0
+    assert len(merges) == 3
+    # 25x the corpus must not mean 25x the trainer time: vocab-bound
+    assert wall < 240, f"bpe scale smoke too slow: {wall:.0f}s"
+    print(f"SCALE_SMOKE bpe_train rounds=3 merges={merges} wall={wall:.1f}s")
