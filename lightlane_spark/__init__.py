@@ -42,6 +42,12 @@ from lightlane_spark.loaders.dataskip import (
     write_with_stats,
 )
 from lightlane_spark.plans.lineage import column_lineage
+from lightlane_spark.operators.text import bpe_train, dataset_split
+from lightlane_spark.operators.multimodal import (
+    blockhash_near_pairs,
+    blockhash_signatures,
+)
+from lightlane_spark.operators.incremental import incremental_join_delta
 
 __all__ = [
     "get_spark",
@@ -73,6 +79,11 @@ __all__ = [
     "pruned_scan",
     "pruned_scan_multi",
     "column_lineage",
+    "bpe_train",
+    "dataset_split",
+    "blockhash_signatures",
+    "blockhash_near_pairs",
+    "incremental_join_delta",
 ]
 
 __version__ = "0.1.0"
