@@ -478,6 +478,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "hierarchy_share",
     "period_over_period",
     "cumulative_users",
     "fulfillment_lag",

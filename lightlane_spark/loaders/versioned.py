@@ -222,3 +222,39 @@ class VersionedTable:
         hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
         path = jvm.org.apache.hadoop.fs.Path(path_str)
         return path.getFileSystem(hconf), path
+
+    # -- governance ---------------------------------------------------
+
+    def forget(
+        self,
+        predicate: str,
+        audit_cols: list[str] | None = None,
+    ) -> tuple[int, DataFrame]:
+        """Right-to-erasure: delete every row matching ``predicate``
+        from the latest version into a NEW version, returning
+        ``(new_version, audit_df)`` where the audit frame holds the
+        requested ``audit_cols`` (default: none — count only) of the
+        erased rows plus the erasure version. The deleted data stays
+        in PRIOR versions until :meth:`vacuum` reclaims them — the
+        erasure is complete only after vacuum, which is exactly the
+        retention nuance GDPR tooling must surface, so it is explicit
+        here rather than hidden.
+
+        Scale: one filtered rewrite of the current version (map-only
+        scan+filter per partition); the audit frame is the matched
+        subset, typically tiny."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError("forget() on an empty table")
+        current = self.read(latest)
+        erased = current.filter(predicate)
+        kept = current.filter(f"NOT ({predicate})")
+        new_version = self.write_version(kept)
+        from pyspark.sql import functions as F
+
+        audit = erased.select(*(audit_cols or [])).agg(
+            F.count(F.lit(1)).alias("n_erased")
+        ) if not audit_cols else erased.select(
+            *audit_cols, F.lit(new_version).alias("erased_in_version")
+        )
+        return new_version, audit

@@ -3540,3 +3540,63 @@ ORACLE["fulfillment_lag"] = """
            COUNT(*) AS n_orders
     FROM lag_t GROUP BY 1 ORDER BY 1
 """
+
+
+def q_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent at two hierarchy levels: nation revenue share
+    within its region, and region share of world revenue, in one
+    pass. The windows (per-region and global) run over the
+    (region, nation)-cardinality AGGREGATE — bounded by geography,
+    never corpus size — so the unpartitioned window is safe (the
+    two-phase global-sum discipline applies to data-sized relations
+    only). Ratios 6dp-rounded per repo convention."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    agg = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(_dec_sum(F.col("o_totalprice"), "revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return agg.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("revenue").over(w_region) / F.sum("revenue").over(w_all), 6
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
+
+
+QUERIES["hierarchy_share"] = q_hierarchy_share
+
+ORACLE["hierarchy_share"] = """
+    WITH agg AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation, revenue,
+           round(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           round(SUM(revenue) OVER (PARTITION BY region)
+                 / SUM(revenue) OVER (), 6) AS region_share_of_total
+    FROM agg
+    ORDER BY region, nation
+"""

@@ -166,3 +166,29 @@ def test_read_asof_ignores_unmarked_versions(spark, tmp_path):
     assert [v for v, _ in vt2.history()] == [2]
     assert vt2.read_asof(600.0).count() == 5
     assert vt2.read(1).count() == 4
+
+
+def test_forget_erases_forward_but_not_history_until_vacuum(spark, tmp_path):
+    """Right-to-erasure contract: forget() removes matching rows from
+    the NEW latest version and reports them in the audit frame; prior
+    versions still contain the data (time travel would resurface it)
+    until vacuum() reclaims them — the retention nuance the API
+    surfaces explicitly."""
+    from lightlane_spark.loaders.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt"))
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "user_id: bigint, name: string"
+    )
+    v1 = vt.write_version(df)
+    v2, audit = vt.forget("user_id = 2", audit_cols=["user_id"])
+    assert v2 > v1
+    got = sorted(r["user_id"] for r in vt.read().collect())
+    assert got == [1, 3]
+    arows = audit.collect()
+    assert [r["user_id"] for r in arows] == [2]
+    assert arows[0]["erased_in_version"] == v2
+    # history still holds the erased row until vacuum
+    assert sorted(r["user_id"] for r in vt.read(v1).collect()) == [1, 2, 3]
+    vt.vacuum(keep_last=1)
+    assert vt.versions() == [v2]
