@@ -478,6 +478,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "streaming_interval_join",
+    "pivot_multi",
     "hierarchy_share",
     "period_over_period",
     "cumulative_users",

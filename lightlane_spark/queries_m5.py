@@ -3325,3 +3325,77 @@ ORACLE["binary_file_scan"] = """
     FROM documents
     ORDER BY doc_id
 """
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the streaming engine
+    (streaming/incremental.py::stream_stream_join): views joined to
+    same-user clicks within 30 minutes — the impressions→clicks
+    attribution shape — then counted per user. Both the watermark and
+    the time-range predicate are load-bearing for state eviction at
+    scale; with availableNow everything lands in one batch, so the
+    result equals the batch interval join the oracle computes."""
+    import tempfile
+    import uuid
+
+    from lightlane_spark.streaming.incremental import (
+        run_to_completion,
+        stream_from_directory,
+        stream_stream_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    base = tempfile.mkdtemp(prefix="llspark_ssj_")
+    views_land, clicks_land = f"{base}/views", f"{base}/clicks"
+    views_b = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    views_b.write.mode("overwrite").parquet(views_land)
+    clicks_b.write.mode("overwrite").parquet(clicks_land)
+    views = stream_from_directory(spark, views_land, views_b.schema)
+    clicks = stream_from_directory(spark, clicks_land, clicks_b.schema)
+    joined = stream_stream_join(
+        views,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="c_ts",
+        watermark="3650 days",
+        max_delay="30 minutes",
+    )
+    # stream-stream joins feed APPEND sinks (a downstream streaming agg
+    # would need Complete mode, which joins don't support): materialize
+    # the matched pairs, count from the sink — the lambda-free version
+    # of "join in the stream, aggregate at read time"
+    matched = joined.select(F.col("l.user_id").alias("user_id"))
+    name = "llsq_" + uuid.uuid4().hex[:8]
+    q = (
+        matched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .orderBy("user_id")
+    )
+
+
+QUERIES["streaming_interval_join"] = q_streaming_interval_join
+
+ORACLE["streaming_interval_join"] = """
+    SELECT v.user_id, COUNT(*) AS n_attributed
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'view') v
+    JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+          WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.c_ts >= v.ts
+     AND c.c_ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY 1 ORDER BY 1
+"""

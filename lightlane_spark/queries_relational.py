@@ -3600,3 +3600,42 @@ ORACLE["hierarchy_share"] = """
     FROM agg
     ORDER BY region, nation
 """
+
+
+def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per cell: per segment × status,
+    both order count and decimal-exact revenue in one Expand+aggregate
+    pass (explicit pivot values — no distinct-value probe job)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    p = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("o_totalprice"), "rev"),
+        )
+    )
+    return p.select(
+        "c_mktsegment",
+        F.coalesce("O_n", F.lit(0)).alias("open_n"),
+        F.coalesce("O_rev", F.lit(0.0)).alias("open_rev"),
+        F.coalesce("F_n", F.lit(0)).alias("filled_n"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("filled_rev"),
+    ).orderBy("c_mktsegment")
+
+
+QUERIES["pivot_multi"] = q_pivot_multi
+
+ORACLE["pivot_multi"] = """
+    SELECT c.c_mktsegment,
+           COUNT(*) FILTER (WHERE o.o_orderstatus = 'O') AS open_n,
+           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
+                    FILTER (WHERE o.o_orderstatus = 'O') AS DOUBLE), 0.0) AS open_rev,
+           COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS filled_n,
+           COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2)))
+                    FILTER (WHERE o.o_orderstatus = 'F') AS DOUBLE), 0.0) AS filled_rev
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+"""
