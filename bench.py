@@ -126,6 +126,11 @@ HEADLINE = [
     "record_linkage",
     "purchase_attribution",
     "feature_digitize",
+    "hierarchy_share",
+    "pivot_multi",
+    "period_over_period",
+    "fulfillment_lag",
+    "new_vs_returning",
 ]
 
 

@@ -3639,3 +3639,43 @@ ORACLE["pivot_multi"] = """
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1 ORDER BY 1
 """
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning activity split: each (user, day) active
+    pair classed by whether the day is the user's first-seen day.
+    Two aggregations (first-seen per user; distinct active days) and
+    one co-partitioned join — the event log is never self-joined or
+    window-scanned. Counts exact."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    active = ev.distinct()
+    first_seen = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias("new_users"),
+            F.count(F.when(F.col("day") != F.col("first_day"), 1)).alias(
+                "returning_users"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["new_vs_returning"] = q_new_vs_returning
+
+ORACLE["new_vs_returning"] = """
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), f AS (
+        SELECT user_id, MIN(day) AS first_day FROM active GROUP BY 1
+    )
+    SELECT a.day,
+           COUNT(*) FILTER (WHERE a.day = f.first_day) AS new_users,
+           COUNT(*) FILTER (WHERE a.day <> f.first_day) AS returning_users
+    FROM active a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1 ORDER BY 1
+"""
