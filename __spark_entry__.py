@@ -478,6 +478,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "aqp_revenue_estimate",
     "new_vs_returning",
     "streaming_interval_join",
     "pivot_multi",

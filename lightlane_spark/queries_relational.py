@@ -3679,3 +3679,67 @@ ORACLE["new_vs_returning"] = """
     FROM active a JOIN f ON a.user_id = f.user_id
     GROUP BY 1 ORDER BY 1
 """
+
+
+def q_aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing, honestly measured: revenue per
+    order-priority estimated from a DETERMINISTIC 1% hash sample
+    (portable md5 of the order key — the same rows in any engine, so
+    the estimate itself is exactly reproducible), scaled ×100, with
+    the relative error against the exact answer computed alongside.
+    At 100 TB the sample scan touches 1% of the data for a
+    dashboard-grade answer; the error column is what makes it
+    engineering instead of hope. Every output is deterministic: the
+    decimal sums are exact and the one division is 6dp-rounded."""
+    o = read_table(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+    sampled = o.filter(h.cast("long") % 100 == 0)
+    est = sampled.groupBy("o_orderpriority").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(28,2)")) * 100)
+        .cast("double")
+        .alias("est_revenue"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("p2")).agg(
+        _dec_sum(F.col("o_totalprice"), "exact_revenue")
+    )
+    return (
+        est.join(exact, est["o_orderpriority"] == F.col("p2"))
+        .select(
+            "o_orderpriority",
+            "n_sampled",
+            "est_revenue",
+            "exact_revenue",
+            F.round(
+                F.abs(F.col("est_revenue") - F.col("exact_revenue"))
+                / F.col("exact_revenue"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+QUERIES["aqp_revenue_estimate"] = q_aqp_revenue_estimate
+
+ORACLE["aqp_revenue_estimate"] = """
+    WITH s AS (
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) * 100 AS DOUBLE)
+                 AS est_revenue,
+               COUNT(*) AS n_sampled
+        FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 = 0
+        GROUP BY 1
+    ), e AS (
+        SELECT o_orderpriority AS p2,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                 AS exact_revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT s.o_orderpriority, s.n_sampled, s.est_revenue, e.exact_revenue,
+           round(abs(s.est_revenue - e.exact_revenue) / e.exact_revenue, 6)
+             AS rel_err
+    FROM s JOIN e ON s.o_orderpriority = e.p2
+    ORDER BY s.o_orderpriority
+"""
