@@ -478,6 +478,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      green ones rotate to the back.
 _RECHECK = [
     # brand new this round
+    "supplier_lead_time",
+    "referential_audit",
     "aqp_revenue_estimate",
     "new_vs_returning",
     "streaming_interval_join",

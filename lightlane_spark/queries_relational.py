@@ -3743,3 +3743,120 @@ ORACLE["aqp_revenue_estimate"] = """
     FROM s JOIN e ON s.o_orderpriority = e.p2
     ORDER BY s.o_orderpriority
 """
+
+
+def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfillment lead time: mean days from order date
+    to each of the supplier's lineitem ship dates — decimal-exact day
+    sums divided by exact counts (deterministic double). One fact⋈fact
+    key join (lineitem⋈orders on orderkey) then a supplier-keyed
+    aggregation; top-20 slowest with deterministic tie-break."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("lag_days"),
+    )
+    return (
+        lag.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(F.col("lag_days").cast("decimal(28,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_lead_days"),
+        )
+        .orderBy(F.col("avg_lead_days").desc(), "l_suppkey")
+        .limit(20)
+    )
+
+
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts for lineitem→orders, lineitem→part, lineitem→supplier, and
+    orders→customer — each a LEFT-ANTI join (the join key is the only
+    column read; filters push to the scans), unioned into one report.
+    The DQ gate a warehouse runs after every load; at 100 TB each
+    check is one key-join shuffle, and dimension-sided checks
+    broadcast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    checks = [
+        (
+            "lineitem->orders",
+            li.select("l_orderkey").join(
+                o.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "lineitem->part",
+            li.select("l_partkey").join(
+                read_table(spark, sf_dir, "part").select("p_partkey"),
+                F.col("l_partkey") == F.col("p_partkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "lineitem->supplier",
+            li.select("l_suppkey").join(
+                read_table(spark, sf_dir, "supplier").select("s_suppkey"),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "orders->customer",
+            o.select("o_custkey").join(
+                read_table(spark, sf_dir, "customer").select("c_custkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(name).alias("relationship"), "n_orphans"
+        )
+        for name, df in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relationship")
+
+
+QUERIES["supplier_lead_time"] = q_supplier_lead_time
+QUERIES["referential_audit"] = q_referential_audit
+
+ORACLE["supplier_lead_time"] = """
+    SELECT l.l_suppkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE)) AS DECIMAL(28,0)))
+                AS DOUBLE) / COUNT(*) AS avg_lead_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    ORDER BY avg_lead_days DESC, l_suppkey
+    LIMIT 20
+"""
+
+ORACLE["referential_audit"] = """
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    ORDER BY relationship
+"""
