@@ -462,128 +462,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness run truncates at 50 queries. After round 3
-# every declared query has been through the window at least once, so
-# the window front-loads, in order:
-#   1. queries that are brand-new this round (first driver check) —
-#      session 5 added 24 (TPC-H Q9/15/16/20, bucketed join, record
-#      linkage, event transitions, z-test, BPE training, training
-#      shuffle, quantiles, IVM join, LPA, block-hash dedup,
-#      governance/binning, attribution/TWAP/abandonment, streaming
-#      dedup, drift, negative pairs) on top of the ~34 from earlier
-#      round-4 sessions; the oldest of those rotate just past the
-#      50-slot window and stay covered by SWEEP_LOCAL.json,
-#   2. queries whose implementation changed this round,
-#   3. oldest-green queries filling the remaining slots; recently
-#      green ones rotate to the back.
+# The driver's correctness run truncates at 50 queries. Round-5
+# rotation policy (VERDICT r4 ask #4): every one of the 217 declared
+# queries is sweep-green (SWEEP_LOCAL.json), so the window front-loads
+# by DRIVER-row staleness:
+#   1. ship_delay_priority — the single red r4 driver row (hash-only
+#      mismatch that re-verifies bit-exact locally); output now pinned
+#      to bigint on both sides. Stays first until a green driver row.
+#   2. queries whose implementation or oracle changed this round.
+#   3. the 47 queries that have NEVER had a driver row (added in late
+#      r4 sessions after the window filled) — first driver check.
+#   4. oldest driver-green groups (r1, then r2); r3/r4-green queries
+#      rotate to the back and stay covered by the committed sweep.
 _RECHECK = [
-    # brand new this round
-    "supplier_lead_time",
-    "referential_audit",
-    "aqp_revenue_estimate",
-    "new_vs_returning",
-    "streaming_interval_join",
-    "pivot_multi",
-    "hierarchy_share",
-    "period_over_period",
-    "cumulative_users",
-    "fulfillment_lag",
-    "binary_file_scan",
-    "rollup_grouping_id",
-    "k_anonymize_suppress",
-    "feature_digitize",
-    "blockhash_near_dup",
-    "ivm_join",
-    "label_propagation",
-    "streaming_dedup_counts",
-    "purchase_attribution",
-    "vocab_drift",
-    "negative_pairs",
-    "abandoned_actions",
-    "time_weighted_avg",
-    "bpe_train",
-    "deterministic_shuffle",
-    "group_quantiles",
-    "bucketed_join",
-    "record_linkage",
-    "event_transitions",
-    "ab_test_zscore",
-    "product_type_profit",
-    "top_supplier",
-    "supplier_part_counts",
-    "promotion_suppliers",
-    "volume_shipping",
-    "large_volume_customers",
+    # 1. the one red r4 row — pinned first until driver-green
     "ship_delay_priority",
+    # 2. changed this round (bigint pin / plan trim / oracle TRY_CAST /
+    #    uuid-suffixed bucketed tables / versioned NULL-predicate fix)
     "frequent_pairs",
-    "set_similarity_join",
-    "concurrency_curve",
-    "grouping_sets",
-    "mad_outliers",
-    "rolling_distinct_users",
-    "bpe_pair_counts",
-    "dpp_scan",
-    "window_percent_rank",
-    "python_datasource_scan",
-    "vocab_tokenize",
-    "padding_efficiency",
-    "schema_evolution_read",
-    "recursive_ancestors",
-    "lateral_topk",
-    "bm25_topk",
-    "hybrid_retrieval",
+    "vocab_drift",
+    "bucketed_join",
+    "versioned_merge",
+    "promotion_suppliers",
+    "period_over_period",
+    # 3. never driver-checked (late-r4 additions) — stalest of all
     "ann_topk_filtered",
-    "k_anonymity_check",
-    # new oracles (were no_oracle in r03) — the r3 verdict's #1 ask is
-    # green driver rows for these, so they outrank twin-shaped queries
-    "ann_topk_ivf",
-    "approx_distinct",
-    "multimodal_features",
-    "cms_heavy_hitters",
-    "bloom_prefilter",
-    "ngram_lm_score",
-    "pruned_scan",
-    "semantic_dedup",
-    "corpus_overlap",
-    "local_supplier_volume",
-    "disjunctive_join_filter",
-    "waiting_suppliers",
-    "url_dedup",
-    "triangle_count",
-    "funnel_analysis",
-    "retention_cohorts",
-    "curation_pipeline",
-    "minhash_join",
-    "cdc_chunks",
-    # cms_windowed / hll_overlap / rollup_cdc_apply rotate just past
-    # the 50-window: each has an in-window twin exercising the same
-    # sketch/rollup code (cms_heavy_hitters, hll_rollup,
-    # incremental_rollup) and all are sweep-green at sf0.01 locally
-    "incremental_rollup",
-    "session_paths",
-    "leakage_safe_split",
-    "compacted_load",
-    "trend_detection",
-    "market_share",
-    "order_priority_check",
     "avro_roundtrip",
-    "jdbc_roundtrip",
-    "streaming_stateful_counts",
-    "pq_topk",
-    "resample_fill",
-    "hll_rollup",
+    "bloom_prefilter",
+    "bm25_topk",
+    "cdc_chunks",
+    "cms_heavy_hitters",
+    "cms_windowed",
+    "compacted_load",
+    "corpus_overlap",
+    "curation_pipeline",
+    "disjunctive_join_filter",
+    "dormant_customers",
+    "forecast_revenue",
+    "funnel_analysis",
     "gopher_rules",
     "group_zscore",
-    # new oracles (were no_oracle in r03)
-    "ann_topk_ivf",
-    "approx_distinct",
-    "multimodal_features",
-    # implementation changed in round 4
-    "corr_matrix",
-    "zorder_key",
-    "versioned_merge",
-    "ngram_jaccard",
-    # last green in r01 (oldest first by name)
+    "hll_overlap",
+    "hll_rollup",
+    "hybrid_retrieval",
+    "incremental_rollup",
+    "jdbc_roundtrip",
+    "join_size_estimate",
+    "k_anonymity_check",
+    "lateral_topk",
+    "leakage_safe_split",
+    "local_supplier_volume",
+    "market_share",
+    "min_cost_supplier",
+    "minhash_join",
+    "ngram_lm_score",
+    "numeric_histogram",
+    "order_priority_check",
+    "pq_topk",
+    "pruned_scan",
+    "recursive_ancestors",
+    "resample_fill",
+    "retention_cohorts",
+    "rollup_cdc_apply",
+    "semantic_dedup",
+    "session_paths",
+    "streaming_stateful_counts",
+    "temperature_mix",
+    "trend_detection",
+    "triangle_count",
+    "url_dedup",
+    "waiting_suppliers",
+    "weighted_topk",
+    # 4. last driver-green in r01
     "bow_similarity",
     "chunk_documents",
     "corpus_prep",
@@ -607,7 +557,7 @@ _RECHECK = [
     "text_quality",
     "tfidf_topk",
     "vocab_topk",
-    # last green in r02 — fills the window to 50
+    # last driver-green in r02
     "ann_topk_bruteforce",
     "asof_join",
     "asof_join_forward",
@@ -620,6 +570,41 @@ _RECHECK = [
     "exists_subquery",
     "groupby_cube",
     "groupby_rollup",
+    "grouped_topk_pandas",
+    "hash_sample",
+    "having_filter",
+    "intersect_except",
+    "join_3way",
+    "join_full_outer",
+    "join_left_semi",
+    "join_right_outer",
+    "json_sink_roundtrip",
+    "moving_avg",
+    "ngram_jaccard",
+    "orc_roundtrip",
+    "ordered_agg",
+    "pivot",
+    "quantile_summary",
+    "range_join",
+    "returned_items",
+    "revenue_by_part_type",
+    "salted_join",
+    "scalar_subquery",
+    "shipping_priority",
+    "simhash_signatures",
+    "small_order_revenue",
+    "snapshot_diff",
+    "supplier_rank",
+    "table_profile",
+    "time_rollup",
+    "topk_per_group",
+    "unpivot",
+    "variant_extract",
+    "window_first_last",
+    "window_ntile",
+    "window_rank_lag",
+    "window_running_sum",
+    "xml_roundtrip",
 ]
 
 

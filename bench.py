@@ -212,17 +212,49 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v is not None), 4)
-    payload = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    failed = sorted(n for n, v in timings.items() if v is None)
+    # Full per-query detail goes to a committed file (and stderr for
+    # humans): round 4's 91-query single-line JSON exceeded the
+    # driver's tail-capture window, so the official bench artifact was
+    # unparseable (parsed: null). stdout's FINAL line is now a compact
+    # payload that always fits the capture window.
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    failed = sorted(n for n, v in timings.items() if v is None)
     if failed:
-        payload["failed"] = failed
-    print(json.dumps(payload))
+        detail["failed"] = failed
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # read-only checkout must not kill the bench
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": sum(1 for v in timings.values() if v is not None),
+        "queries": {
+            n: timings[n]
+            for n in sorted(
+                (n for n, v in timings.items() if v is not None),
+                key=lambda n: -timings[n],
+            )[:10]
+        },
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if failed:
+        compact["failed"] = failed
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

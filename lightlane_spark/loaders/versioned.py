@@ -242,18 +242,30 @@ class VersionedTable:
 
         Scale: one filtered rewrite of the current version (map-only
         scan+filter per partition); the audit frame is the matched
-        subset, typically tiny."""
+        subset, typically tiny.
+
+        NULL semantics: rows where ``predicate`` evaluates to NULL are
+        KEPT (and absent from the audit) — a three-valued-logic split
+        (``filter(p)`` / ``filter(NOT p)``) would silently drop them
+        from BOTH sides, i.e. un-audited over-deletion in a
+        right-to-erasure API. Both branches coalesce the predicate to
+        false so kept ∪ erased == current exactly.
+
+        Note the audit frame is lazy over the PRIOR version's files —
+        collect or persist it before :meth:`vacuum` reclaims that
+        version, or the audit scan fails."""
         latest = self.latest_version()
         if latest is None:
             raise ValueError("forget() on an empty table")
         current = self.read(latest)
-        erased = current.filter(predicate)
-        kept = current.filter(f"NOT ({predicate})")
+        erased = current.filter(f"coalesce(({predicate}), false)")
+        kept = current.filter(f"NOT coalesce(({predicate}), false)")
         new_version = self.write_version(kept)
         from pyspark.sql import functions as F
 
         audit = erased.select(*(audit_cols or [])).agg(
-            F.count(F.lit(1)).alias("n_erased")
+            F.count(F.lit(1)).alias("n_erased"),
+            F.lit(new_version).alias("erased_in_version"),
         ) if not audit_cols else erased.select(
             *audit_cols, F.lit(new_version).alias("erased_in_version")
         )

@@ -3100,7 +3100,7 @@ QUERIES["negative_pairs"] = q_negative_pairs
 
 ORACLE["vocab_drift"] = """
     WITH toks AS (
-        SELECT CAST(regexp_extract(source, '^src(\\d+)$', 1) AS INTEGER) < 10 AS in_a,
+        SELECT TRY_CAST(regexp_extract(source, '^src(\\d+)$', 1) AS INTEGER) < 10 AS in_a,
                unnest(string_split(text, ' ')) AS term
         FROM documents
     ), counts AS (

@@ -1445,8 +1445,13 @@ def q_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(bucket.alias("delay_bucket"), urgent.alias("is_urgent"))
         .groupBy("delay_bucket")
         .agg(
-            F.sum("is_urgent").alias("urgent_count"),
-            F.sum(1 - F.col("is_urgent")).alias("normal_count"),
+            # Pinned to bigint on BOTH sides (oracle casts too): DuckDB
+            # SUM(int) is HUGEINT, and the one red driver row this query
+            # ever produced (r4) was a hash mismatch with green
+            # rows+schema — leave no integer-width nuance to the
+            # comparator.
+            F.sum("is_urgent").cast("bigint").alias("urgent_count"),
+            F.sum(1 - F.col("is_urgent")).cast("bigint").alias("normal_count"),
         )
         .orderBy("delay_bucket")
     )
@@ -1460,18 +1465,22 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is a basket-local self-join on the orderkey whose output
     is bounded by Σ|basket|² ≤ 25·|baskets| — never all-pairs across
     baskets. Deterministic top-50 by (support desc, brand pair)."""
-    from pyspark.sql import Window as W
-
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     # Dictionary-encode the brand INSIDE the broadcast dim (25 codes,
     # ordered by brand so code order == brand order): the big shuffle
     # then carries 4-byte ints, not 25-char strings — measured 12%
     # at sf0.1, and the gap grows with the string:int width ratio.
-    codes = (
-        p.select("p_brand")
-        .distinct()
-        .withColumn("bc", F.row_number().over(W.orderBy("p_brand")))
+    # The dictionary is DERIVED once: distributed distinct over the
+    # part dim, then the ≤|brand-domain| (25 in TPC-H) result becomes
+    # a local relation. Deriving it lazily embedded the
+    # distinct+window subtree at all three use sites (pc/ca/cb) —
+    # 3×2 = 6 of the r4 plan's 8 exchanges were that recomputation.
+    brands = sorted(
+        r[0] for r in p.select("p_brand").distinct().collect()
+    )  # bounded-by-contract collect: brand-domain cardinality
+    codes = spark.createDataFrame(
+        [(b, i + 1) for i, b in enumerate(brands)], "p_brand: string, bc: int"
     )
     pc = p.join(F.broadcast(codes), "p_brand").select("p_partkey", "bc")
     baskets = (
@@ -2504,10 +2513,10 @@ ORACLE["ship_delay_priority"] = """
                             CAST(l.l_shipdate AS DATE)) <= 60 THEN 'MEDIUM'
              ELSE 'SLOW'
            END AS delay_bucket,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS urgent_count,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS normal_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS normal_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
@@ -2757,11 +2766,15 @@ def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     than half of that part's total quantity (the availqty>half-of-
     shipments predicate re-expressed over observable lineitem data).
 
-    Scale: per-(part,supplier) quantity is one shuffle; the per-part
-    total reuses the SAME shuffle output via a partition-local window
-    (partitionBy l_partkey after groupBy l_partkey, l_suppkey — no
-    second exchange); qualifying suppliers are a tiny set that
-    broadcast-joins the supplier dim."""
+    Scale: ONE exchange on l_partkey feeds both aggregations — the
+    explicit repartition(l_partkey) satisfies the
+    groupBy(l_partkey, l_suppkey) ClusteredDistribution (subset-key
+    HashPartitioning) AND the per-part window, so neither inserts its
+    own exchange. (HashPartitioning(a,b) would NOT satisfy
+    ClusteredDistribution(a), so grouping first and windowing after
+    costs a second shuffle — plan-asserted in test_plan_quality.)
+    Qualifying suppliers are a tiny set that broadcast-joins the
+    supplier dim."""
     p = (
         read_table(spark, sf_dir, "part")
         .filter(F.col("p_name").startswith("small"))
@@ -2773,6 +2786,7 @@ def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_partkey", "l_suppkey", "l_quantity")
     per_ps = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).alias("ps_qty"))
     )
@@ -2876,27 +2890,45 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-partitioned load pipelines).
 
     The only remaining exchange is the final tiny per-segment
-    aggregation. Decimal-exact revenue."""
+    aggregation. Decimal-exact revenue.
+
+    Concurrency: the bucketed tables are uuid-suffixed per call —
+    fixed names would race across a concurrent bench/sweep sharing
+    one warehouse dir. The returned DataFrame is lazy over managed
+    tables (DROP would delete their data before the caller consumes
+    the result), so each call instead garbage-collects PRIOR calls'
+    leftovers, age-gated to >30 min so an in-flight concurrent call
+    is never reclaimed under its feet."""
     import shutil
+    import time
+    import uuid
     from urllib.parse import urlparse
 
     o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     # the default catalog is session-scoped but the warehouse dir is
     # not: a table location left by a PREVIOUS session is invisible to
-    # DROP TABLE yet blocks CREATE (LOCATION_ALREADY_EXISTS) — clear
-    # both the catalog entry and any orphaned local location
+    # DROP TABLE yet blocks CREATE (LOCATION_ALREADY_EXISTS) — GC
+    # stale uuid-named leftovers (catalog entries + orphaned local
+    # locations); ours are uuid-fresh so never collide with a peer
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    for t in ("ll_bkt_orders", "ll_bkt_customer"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        if wh.scheme in ("", "file"):
-            shutil.rmtree(os.path.join(wh.path, t), ignore_errors=True)
+    if wh.scheme in ("", "file") and os.path.isdir(wh.path):
+        now = time.time()
+        catalog_tables = {r.name for r in spark.catalog.listTables()}
+        for d in os.listdir(wh.path):
+            full = os.path.join(wh.path, d)
+            if d.startswith("ll_bkt_") and now - os.path.getmtime(full) > 1800:
+                if d in catalog_tables:
+                    spark.sql(f"DROP TABLE IF EXISTS {d}")
+                shutil.rmtree(full, ignore_errors=True)
+    tag = uuid.uuid4().hex[:12]
+    t_orders, t_customer = f"ll_bkt_o_{tag}", f"ll_bkt_c_{tag}"
     (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").format("parquet").saveAsTable("ll_bkt_orders"))
+      .mode("overwrite").format("parquet").saveAsTable(t_orders))
     (c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .mode("overwrite").format("parquet").saveAsTable("ll_bkt_customer"))
-    ob = spark.table("ll_bkt_orders")
-    cb = spark.table("ll_bkt_customer")
+      .mode("overwrite").format("parquet").saveAsTable(t_customer))
+    ob = spark.table(t_orders)
+    cb = spark.table(t_customer)
     return (
         ob.hint("merge")
         .join(cb, ob["o_custkey"] == cb["c_custkey"])
@@ -3419,8 +3451,8 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag window for the prior month, 6dp-rounded pct change (repo
     float convention). The window runs over the MONTH-cardinality
     aggregate, not the fact table — one fact shuffle, one tiny sorted
-    window; NULL first-month change kept as the -1 sentinel (driver
-    canonicalization cannot order NULLs)."""
+    window; NULL first-month change kept as the -999.0 sentinel
+    (driver canonicalization cannot order NULLs)."""
     from pyspark.sql import Window
 
     o = read_table(spark, sf_dir, "orders")

@@ -172,3 +172,69 @@ def test_lint_plan_flags_scale_smells(spark, sf_dir):
         F.countDistinct("o_orderstatus"),
     )
     assert any("Expand" in w for w in lint_plan(md))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 ask #7: vendor-dialect matrix. The Derby dialect runs LIVE
+# (tests/test_jdbc_live.py); this matrix pins BOTH renderings of the
+# same merge dance side-by-side so a dialect regression is caught
+# without a server.
+# ---------------------------------------------------------------------------
+
+_DIALECT_SHAPES = {
+    "mysql": {
+        # reference shape (mysql_loader.py:92-113): unquoted idents,
+        # LIKE-clone, ALTER…RENAME, defensive IF EXISTS everywhere
+        "n_stmts": 7,
+        "create": "CREATE TABLE z_etl_orders_reconcile LIKE orders",
+        "join_frag": "a.o_orderkey = b.o_orderkey AND a.o_custkey = b.o_custkey",
+        "null_probe": "WHERE b.o_orderkey IS NULL",
+        "rename_out": "ALTER TABLE orders RENAME TO orders_bak",
+        "rename_in": "ALTER TABLE z_etl_orders_reconcile RENAME TO orders",
+        "drop_tail": ["DROP TABLE IF EXISTS orders_bak",
+                      "DROP TABLE IF EXISTS z_etl_orders_staging"],
+    },
+    "derby": {
+        # ANSI shape: quoted case-sensitive idents (Spark's writer
+        # creates lowercase columns Derby would fold), WITH NO DATA
+        # clone, RENAME TABLE, unconditional drops (temp names only
+        # ever created by this list)
+        "n_stmts": 6,
+        "create": "CREATE TABLE z_etl_orders_reconcile AS SELECT * FROM orders WITH NO DATA",
+        "join_frag": 'a."o_orderkey" = b."o_orderkey" AND a."o_custkey" = b."o_custkey"',
+        "null_probe": 'WHERE b."o_orderkey" IS NULL',
+        "rename_out": "RENAME TABLE orders TO orders_bak",
+        "rename_in": "RENAME TABLE z_etl_orders_reconcile TO orders",
+        "drop_tail": ["DROP TABLE orders_bak",
+                      "DROP TABLE z_etl_orders_staging"],
+    },
+}
+
+
+@pytest.mark.parametrize("dialect", sorted(_DIALECT_SHAPES))
+def test_jdbc_merge_dialect_matrix(dialect):
+    from lightlane_spark.sources.jdbc import jdbc_merge_statements
+
+    shape = _DIALECT_SHAPES[dialect]
+    stmts = jdbc_merge_statements(
+        "orders", "z_etl_orders_staging", ["o_orderkey", "o_custkey"],
+        dialect=dialect,
+    )
+    assert len(stmts) == shape["n_stmts"], stmts
+    assert shape["create"] in stmts
+    insert = next(s for s in stmts if s.startswith("INSERT"))
+    # the logical dance is dialect-invariant: anti-join on ALL pks,
+    # null-probe on the first, UNION ALL the staging rows
+    assert shape["join_frag"] in insert
+    assert shape["null_probe"] in insert
+    assert "UNION ALL SELECT * FROM z_etl_orders_staging" in insert
+    # rename order: retire target BEFORE installing reconcile
+    assert stmts.index(shape["rename_out"]) < stmts.index(shape["rename_in"])
+    assert stmts[-2:] == shape["drop_tail"]
+
+
+def test_jdbc_merge_unknown_dialect_rejected():
+    from lightlane_spark.sources.jdbc import jdbc_merge_statements
+
+    with pytest.raises(ValueError, match="dialect"):
+        jdbc_merge_statements("t", "s", ["k"], dialect="oracle")

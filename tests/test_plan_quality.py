@@ -369,3 +369,31 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_frequent_pairs_plan_has_two_exchanges(spark, sf_dir):
+    """frequent_pairs' brand dictionary is a LOCAL relation (derived
+    once via a bounded collect) — deriving it lazily embedded its
+    distinct+window subtree at all three use sites, which was 6 of the
+    r4 plan's 8 exchanges. The final plan may shuffle only twice: the
+    basket groupBy (orderkey) and the pair aggregation."""
+    from lightlane_spark.plans.explain import plan_summary
+    import __spark_entry__ as m
+
+    df = m._queries_unordered()["frequent_pairs"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.exchanges <= 2, ps.text[:1500]
+
+
+def test_promotion_suppliers_shares_one_partkey_exchange(spark, sf_dir):
+    """The per-(part,supplier) groupBy and the per-part window must
+    share the single explicit repartition(l_partkey) — subset-key
+    HashPartitioning satisfies both ClusteredDistributions. Plan
+    budget: that shared exchange + the supplier distinct + the final
+    sort = 3; a 4th means the window re-shuffled."""
+    from lightlane_spark.plans.explain import plan_summary
+    import __spark_entry__ as m
+
+    df = m._queries_unordered()["promotion_suppliers"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.exchanges <= 3, ps.text[:1500]

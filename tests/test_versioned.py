@@ -192,3 +192,24 @@ def test_forget_erases_forward_but_not_history_until_vacuum(spark, tmp_path):
     assert sorted(r["user_id"] for r in vt.read(v1).collect()) == [1, 2, 3]
     vt.vacuum(keep_last=1)
     assert vt.versions() == [v2]
+
+
+def test_forget_null_predicate_rows_are_kept_not_lost(spark, tmp_path):
+    """Three-valued-logic guard: a row where the predicate evaluates to
+    NULL (here: NULL user_id vs ``user_id = 2``) must be KEPT in the
+    new version — a naive filter(p)/filter(NOT p) split drops it from
+    both sides, silently over-deleting without an audit entry."""
+    from lightlane_spark.loaders.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vtn"))
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (None, "ghost")],
+        "user_id: bigint, name: string",
+    )
+    vt.write_version(df)
+    v2, audit = vt.forget("user_id = 2")
+    kept = vt.read().collect()
+    assert sorted(r["name"] for r in kept) == ["alice", "ghost"]
+    arow = audit.collect()[0]
+    assert arow["n_erased"] == 1
+    assert arow["erased_in_version"] == v2
