@@ -478,7 +478,14 @@ _RECHECK = [
     # 1. the one red r4 row — pinned first until driver-green
     "ship_delay_priority",
     # 2. changed this round (bigint pin / plan trim / oracle TRY_CAST /
-    #    uuid-suffixed bucketed tables / versioned NULL-predicate fix)
+    #    uuid-suffixed bucketed tables / versioned NULL-predicate fix /
+    #    Arrow gram-matmul near-dup / token-wise-hash decontamination)
+    # brand new this round — first driver check
+    "boilerplate_ngrams",
+    "embedding_neardup",
+    "decontaminate",
+    "embedding_neardup_lsh",
+    "semantic_dedup",
     "frequent_pairs",
     "vocab_drift",
     "bucketed_join",

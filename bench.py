@@ -131,6 +131,8 @@ HEADLINE = [
     "period_over_period",
     "fulfillment_lag",
     "new_vs_returning",
+    # round-5 additions
+    "boilerplate_ngrams",
 ]
 
 

@@ -545,6 +545,72 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate detection: per doc, the
+    fraction of its DISTINCT word 5-grams that occur in ≥8 documents
+    corpus-wide (C4 removed 3-sentence spans repeated across pages;
+    word-soup fixtures have no sentences, so the unit is the 5-gram).
+    Top-20 most boilerplate-heavy docs, deterministic (ratio desc,
+    doc_id).
+
+    Scale shape: per-doc distinct grams are built IN-ROW
+    (array_distinct before the explode — per-doc sets never span
+    rows), and each doc's gram count rides along the exploded rows,
+    so no join back to the doc table is needed. The gram array is
+    MATERIALIZED as its own projection before size()/explode()
+    reference it — with the transform inlined, Spark evaluates the
+    generator-adjacent size() expression per exploded OUTPUT row, a
+    |grams|/|docs| ≈ 50× re-evaluation blowup (measured 22 s vs 1 s
+    at sf0.1; same trap documented on ``fuzzy_dedup.shingle``). The
+    boilerplate set (grams with dfreq ≥ 8) is aggregated once and
+    LEFT-joined back — heavy-hitter sets are small by construction,
+    so AQE broadcasts it — then one tiny doc_id aggregation. No
+    all-pairs anything: cost is linear in total distinct grams.
+
+    Grams travel as strings (not token-wise xxhash64 longs as in
+    ``contaminated_ids``): measured head-to-head at sf0.1, the
+    5-arg interpreted hash per gram costs 2.7× the slice+concat —
+    with array_distinct in the row the string form wins here."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from lightlane_spark.operators.text import tokenize
+
+    d = docs.withColumn("__toks", tokenize(F.col("text"))).filter(
+        F.size("__toks") >= 5
+    )
+    grams_arr = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(__toks) - 5),"
+            " i -> concat_ws(' ', slice(__toks, i + 1, 5)))"
+        )
+    )
+    with_grams = d.select("doc_id", grams_arr.alias("__ga"))
+    base = with_grams.select(
+        "doc_id",
+        F.size("__ga").cast("bigint").alias("n_grams"),
+        F.explode("__ga").alias("sh"),
+    ).persist()  # read by BOTH branches (dfreq agg + membership join);
+    # without it the tokenize→transform→explode chain runs twice
+    boiler = (
+        base.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") >= 8)
+        .select("sh", F.lit(1).alias("__b"))
+    )
+    per_doc = (
+        base.join(boiler, "sh", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.sum(F.coalesce("__b", F.lit(0))).cast("bigint").alias("n_boiler"))
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_grams", "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias("boiler_ratio"),
+        )
+        .orderBy(F.col("boiler_ratio").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard ≥ 0.7 self-join via prefix filtering (PPJoin
     family): rare-first global gram order, per-doc prefix inverted
@@ -1497,6 +1563,7 @@ QUERIES = {
     "simhash_signatures": q_simhash_signatures,
     "simhash_near_pairs": q_simhash_near_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
     "set_similarity_join": q_set_similarity_join,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -2173,6 +2240,31 @@ ORACLE = {
         )
         SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    "boilerplate_ngrams": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+            FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) idx
+            WHERE len(w) >= 5
+        ),
+        dfreq AS (SELECT sh, count(*) AS dfreq FROM g GROUP BY 1),
+        per_doc AS (
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   SUM(CASE WHEN d.dfreq >= 8 THEN 1 ELSE 0 END) AS n_boiler
+            FROM g JOIN dfreq d ON g.sh = d.sh
+            GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_boiler AS BIGINT) AS n_boiler,
+               round(CAST(n_boiler AS DOUBLE) / n_grams, 6) AS boiler_ratio
+        FROM per_doc
+        ORDER BY boiler_ratio DESC, doc_id
+        LIMIT 20
     """,
     "ngram_jaccard": f"""
         WITH {_CORPUS_CTE},

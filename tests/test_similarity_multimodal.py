@@ -81,6 +81,33 @@ def test_cosine_neardup_blocked(spark, sf_dir):
     assert {(i, i + 10_000) for i in range(5)} <= pairs
 
 
+def test_cosine_neardup_impls_agree(spark, sf_dir):
+    """The Arrow (Gram-matmul) and SQL (sequential-fold, oracle-exact)
+    implementations must return the same pairs with 6dp-identical
+    sims — the rounding absorbs BLAS-vs-fold last-ulp summation
+    differences. Also pins the shared contracts: id_a < id_b
+    canonicalization and the max_block_size drop."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dups = emb.filter("vec_id < 5").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    u = emb.unionByName(dups)
+
+    def canon(impl, **kw):
+        out = cosine_neardup_pairs(u, block_col="label", threshold=0.9, impl=impl, **kw)
+        return sorted(
+            (r.id_a, r.id_b, round(r.sim, 6)) for r in out.collect()
+        )
+
+    a, s = canon("arrow"), canon("sql")
+    assert a and a == s
+    assert all(x < y for x, y, _ in a)
+    # oversized blocks drop identically in both impls
+    a0 = canon("arrow", max_block_size=3)
+    s0 = canon("sql", max_block_size=3)
+    assert a0 == s0 == []
+
+
 def test_multimodal_decode_meta(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").limit(20)
     meta = decode_image_meta(attach_binary_payload(docs)).collect()

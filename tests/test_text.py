@@ -369,3 +369,31 @@ def test_bpe_train_merged_tokens_feed_next_round(spark):
     rows = bpe_train(df, n_rounds=2).collect()
     assert (rows[0]["a"], rows[0]["b"]) == ("a", "a")
     assert (rows[1]["a"], rows[1]["b"]) == ("aa", "aa")
+
+
+def test_contaminated_ids_hashed_join_semantics(spark):
+    """The token-wise-hash join must behave exactly like the gram-
+    string semi-join: a corpus doc is flagged iff it shares a full
+    word k-gram with ANY benchmark doc; shorter overlaps and docs
+    with fewer than k tokens never match."""
+    from lightlane_spark.operators.text import contaminated_ids
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id: bigint, text: string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # full 8-gram overlap (prefix of the benchmark doc)
+            (1, "xxx the quick brown fox jumps over the lazy yyy"),
+            # only a 7-gram overlap — below k, must NOT flag
+            (2, "the quick brown fox jumps over the"),
+            # no overlap at all
+            (3, "completely different words in this document here now ok"),
+            # shorter than k tokens
+            (4, "tiny doc"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    got = sorted(r.doc_id for r in contaminated_ids(corpus, bench, k=8).collect())
+    assert got == [1]
