@@ -482,6 +482,8 @@ _RECHECK = [
     #    Arrow gram-matmul near-dup / token-wise-hash decontamination)
     # brand new this round — first driver check
     "boilerplate_ngrams",
+    "ewma_smooth",
+    "target_encode",
     "embedding_neardup",
     "decontaminate",
     "embedding_neardup_lsh",

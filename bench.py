@@ -133,6 +133,8 @@ HEADLINE = [
     "new_vs_returning",
     # round-5 additions
     "boilerplate_ngrams",
+    "ewma_smooth",
+    "target_encode",
 ]
 
 

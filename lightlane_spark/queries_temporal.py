@@ -517,3 +517,117 @@ ORACLE["purchase_attribution"] = """
     FROM attr GROUP BY 1
     ORDER BY touch_type ASC NULLS FIRST
 """
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2, adjusted
+    weights, trailing-16 window) of purchase values per user-facing
+    time order — the standard smoothing pass a metrics/feature
+    pipeline runs before thresholding or anomaly checks.
+
+    Cross-engine exactness by construction: the numerator is the
+    single left fold ``acc/2 + x`` over the frame's values (oldest →
+    newest), which IS Σ x·2^-age with dyadic weights — no pow(), no
+    reordering; the denominator is the same fold over ones. DuckDB's
+    ``list_reduce`` seeds with the first element, Spark's
+    ``aggregate`` seeds with 0.0 — identical sequences because
+    0/2 + x₀ = x₀. Plan: one event_type partition window (frame
+    collect), fold is per-row over ≤16 doubles; linear, one shuffle.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "value")
+    )
+    w = (
+        Window.orderBy("ts", "event_id").rowsBetween(-15, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    num = F.aggregate(vals, F.lit(0.0), lambda a, x: a / 2 + x)
+    den = F.aggregate(vals, F.lit(0.0), lambda a, x: a / 2 + F.lit(1.0))
+    # global window over ONE event type (~2k rows at sf0.01) — the
+    # single-partition sort is over the filtered slice, not the fact
+    # table; for per-key smoothing add partitionBy to the window.
+    return ev.select(
+        "event_id", "value", F.round(num / den, 6).alias("ewma")
+    )
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature (market
+    segment) against a numeric target (order total): enc =
+    (sum_cat + m·global_mean) / (n_cat + m) with m = 10 — the classic
+    high-cardinality-categorical encoder; smoothing shrinks rare
+    categories toward the global mean so they don't memorize noise.
+
+    Exactness: both sums go through exact DECIMAL then one double
+    division per category (identical IEEE ops both engines). Plan:
+    fact⋈broadcast(dim), one segment aggregation; the global mean
+    folds out of the same aggregate via a total over the category
+    rows (no second fact scan)."""
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cat = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("__s"),
+        )
+    )
+    # global mean from the 5 category rows (exact decimal sums)
+    tot = per_cat.agg(
+        F.sum("__s").alias("__ts"), F.sum("n").alias("__tn")
+    )
+    g_mean = F.col("__ts").cast("double") / F.col("__tn")
+    enc = (F.col("__s").cast("double") + 10.0 * g_mean) / (F.col("n") + 10.0)
+    return (
+        per_cat.crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "n",
+            F.round(enc, 6).alias("enc"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES["ewma_smooth"] = q_ewma_smooth
+QUERIES["target_encode"] = q_target_encode
+
+ORACLE["ewma_smooth"] = """
+    WITH p AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value::DOUBLE AS value
+        FROM events WHERE event_type = 'purchase'
+    ), framed AS (
+        SELECT event_id, value,
+               list(value) OVER (ORDER BY ts, event_id
+                                 ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+        FROM p
+    )
+    SELECT event_id, value,
+           round(list_reduce(vals, (a, b) -> a / 2 + b)
+                 / list_reduce(list_transform(vals, x -> 1.0::DOUBLE),
+                               (a, b) -> a / 2 + b), 6) AS ewma
+    FROM framed
+"""
+
+ORACLE["target_encode"] = """
+    WITH per_cat AS (
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n,
+               SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS s
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ), tot AS (
+        SELECT SUM(s) AS ts, SUM(n) AS tn FROM per_cat
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS n,
+           round((CAST(s AS DOUBLE) + 10.0 * (CAST(ts AS DOUBLE) / tn))
+                 / (n + 10.0), 6) AS enc
+    FROM per_cat, tot
+    ORDER BY c_mktsegment
+"""
