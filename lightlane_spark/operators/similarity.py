@@ -717,8 +717,17 @@ def _cosine_neardup_pairs_arrow(
     empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
 
     def expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        # size contracts are judged on the FULL block (as in the SQL
+        # form, where a NULL-vector member still counts toward
+        # max_block_size); NULL vectors then drop — the SQL form's
+        # zip_with/aggregate yields a NULL sim that the threshold
+        # filter discards, so dropping the member is the same pair
+        # set (np.stack would raise on None instead)
+        if len(pdf) < 2 or (max_block_size is not None and len(pdf) > max_block_size):
+            return empty
+        pdf = pdf[pdf[vec_col].notna()]
         n_rows = len(pdf)
-        if n_rows < 2 or (max_block_size is not None and n_rows > max_block_size):
+        if n_rows < 2:
             return empty
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]

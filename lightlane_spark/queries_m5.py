@@ -699,6 +699,8 @@ def _recall_contract(
             "query_id",
             (F.coalesce(F.col("n_hit"), F.lit(0)) / float(k)).alias("recall"),
         )
+        .persist()  # read twice (overall agg + final projection);
+        # lazily the whole approx+exact ANN chain would run twice
     )
     overall = per.agg((F.avg("recall") >= 0.9).alias("overall_ok"))
     return per.crossJoin(F.broadcast(overall)).select(
@@ -1150,9 +1152,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     kept = url_dedup(raw).select("doc_id", "text", "source")
+    # persisted: the threshold aggregate AND the filter both read
+    # scored; lazily the url_dedup→LM-train→score chain runs twice
     scored = kept.join(
         lm_doc_scores(kept.select("doc_id", "text")), "doc_id"
-    ).withColumn("__q", F.col("lm_score").cast("decimal(18,6)"))
+    ).withColumn("__q", F.col("lm_score").cast("decimal(18,6)")).persist()
     thr = scored.agg(
         F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n")
     )
@@ -1486,7 +1490,9 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id"))
     )
 
-    bow = hashed_bow(docs, dims=64)
+    # persisted: read by BOTH the norm aggregate and the dot-product
+    # join — lazily the explode+groupBy subtree would run twice
+    bow = hashed_bow(docs, dims=64).persist()
     qbow = hashed_bow(
         spark.createDataFrame([(0, " ".join(terms))], "doc_id: bigint, text: string")
     ).select(F.col("dim").alias("qdim"), F.col("weight").alias("qw"))

@@ -250,3 +250,27 @@ def test_blockhash_catches_same_length_edit_not_length_change(spark):
     got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_cosine_neardup_arrow_null_vectors_match_sql(spark):
+    """A NULL embedding must not crash the Arrow path and must yield
+    the same pair set as the SQL form (whose NULL sims are dropped by
+    the threshold filter)."""
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, None, 0),
+        (4, [0.0, 1.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: bigint, embedding: array<double>, label: int"
+    )
+    a = sorted(
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(df, "label", threshold=0.99, impl="arrow").collect()
+    )
+    s = sorted(
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(df, "label", threshold=0.99, impl="sql").collect()
+    )
+    assert a == s == [(1, 2)]
