@@ -484,6 +484,7 @@ _RECHECK = [
     "boilerplate_ngrams",
     "ewma_smooth",
     "target_encode",
+    "kcore_peel",
     "embedding_neardup",
     "decontaminate",
     "embedding_neardup_lsh",

@@ -135,6 +135,7 @@ HEADLINE = [
     "boilerplate_ngrams",
     "ewma_smooth",
     "target_encode",
+    "kcore_peel",
 ]
 
 

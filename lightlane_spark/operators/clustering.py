@@ -322,3 +322,57 @@ def triangle_count(
         "left_semi",
     )
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Bounded-round k-core peel over an undirected edge set: each
+    round drops every vertex whose CURRENT degree is < ``k`` (with
+    all its edges), recomputing degrees on the remaining graph —
+    ``rounds`` iterations of the standard peeling algorithm. For a
+    graph whose peel converges within the budget this IS the k-core;
+    the bounded form is chosen because it is exactly replayable as
+    unrolled SQL (a dynamic fixpoint is not), making the iterative
+    graph algorithm oracle-checkable round for round.
+
+    On near-dup graphs this is the family-tightness filter one step
+    past triangles: components say "linked", triangles say
+    "clique-ish", the k-core keeps only members embedded in dense
+    template clusters (≥k strong neighbors after noise vertices
+    peel away) — the standard canonical-doc pre-filter before
+    committing a whole family to removal.
+
+    Shape: per round, one degree aggregation (explode both endpoints
+    → groupBy) and two semi-joins back onto the edge set; work is
+    O(|E|) per round, keyed shuffles only, no all-pairs anything.
+    ``localCheckpoint`` truncates lineage each round (same reason as
+    ``connected_components``: an iterative DataFrame loop otherwise
+    doubles its plan every round). Returns surviving
+    ``(id, deg)`` — degree measured in the peeled graph."""
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    for _ in range(rounds):
+        ends = e.select(F.col("a").alias("id")).unionAll(
+            e.select(F.col("b").alias("id"))
+        )
+        core = (
+            ends.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("id")
+        )
+        e = (
+            e.join(core.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(core.withColumnRenamed("id", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+    ends = e.select(F.col("a").alias("id")).unionAll(
+        e.select(F.col("b").alias("id"))
+    )
+    return ends.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )

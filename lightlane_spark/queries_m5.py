@@ -1184,6 +1184,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(pairs)
 
 
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round 3-core of the verified near-dup graph (4 peel
+    rounds; see ``clustering.kcore_peel``) — keeps only docs embedded
+    in dense template families. The oracle replays all 4 rounds as
+    unrolled SQL over the SQL-reproduced pair set, so the iterative
+    distributed loop is value-pinned round for round."""
+    from lightlane_spark.operators.clustering import kcore_peel
+
+    pairs = dedup_minhash(_docs_with_dups(spark, sf_dir), threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    return kcore_peel(pairs, k=3, rounds=4).orderBy("id")
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl stage-0 dedup on canonical URLs (operators/web.py): a
     deterministic messy-URL fixture (upper-cased scheme/host, default
@@ -1588,6 +1602,7 @@ QUERIES = {
     "corpus_overlap": q_corpus_overlap,
     "url_dedup": q_url_dedup,
     "triangle_count": q_triangle_count,
+    "kcore_peel": q_kcore_peel,
     "curation_pipeline": q_curation_pipeline,
     "minhash_join": q_minhash_join,
     "cdc_chunks": q_cdc_chunks,
@@ -2554,6 +2569,38 @@ ORACLE["triangle_count"] = f"""
         WHERE e3.id_a = e1.id_a AND e3.id_b = e2.id_b
     )
 """
+def _kcore_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled SQL replay of ``clustering.kcore_peel``: each round
+    recomputes degrees on the remaining edges and keeps only edges
+    whose BOTH endpoints still have degree ≥ k — identical round
+    structure to the Spark loop, over the same SQL-reproduced verified
+    pair set."""
+    # every CTE is MATERIALIZED: DuckDB otherwise re-inlines each
+    # referenced CTE, and e{r+1} references e{r} three times (edge set
+    # + both degree-filter sides) — 3^rounds expansions of the whole
+    # MinHash pair derivation (observed as thousands of parquet opens)
+    sql = f"WITH pairs AS MATERIALIZED ({ORACLE['minhash_lsh_pairs']}),\n"
+    sql += "e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs)"
+    for r in range(rounds):
+        sql += f""",
+d{r} AS MATERIALIZED (SELECT id, count(*) AS deg
+         FROM (SELECT a AS id FROM e{r} UNION ALL SELECT b AS id FROM e{r}) t
+         GROUP BY 1),
+k{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e
+             JOIN k{r} x ON e.a = x.id
+             JOIN k{r} y ON e.b = y.id)"""
+    sql += f"""
+SELECT id, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT a AS id FROM e{rounds} UNION ALL SELECT b AS id FROM e{rounds}) t
+GROUP BY 1
+ORDER BY 1
+"""
+    return sql
+
+
+ORACLE["kcore_peel"] = _kcore_oracle_sql()
+
 ORACLE["url_dedup"] = """
     WITH d AS (
         SELECT doc_id,

@@ -354,3 +354,23 @@ def test_prefix_filter_join_boundary_threshold(spark):
     # nudge the threshold epsilon above the rational value → dropped
     got2 = prefix_filter_jaccard_join(df, threshold=0.334).collect()
     assert got2 == []
+
+
+def test_kcore_peel_known_graph(spark):
+    """K4 ∪ pendant ∪ 3-chain, k=3: the pendant and chain peel away
+    in round 1-2 (degree < 3), K4 survives with every member at
+    degree 3. Also pins the bounded-round semantics: with rounds=0
+    the graph is returned unpeeled."""
+    from lightlane_spark.operators.clustering import kcore_peel
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 9)]
+    chain = [(10, 11), (11, 12)]
+    edges = spark.createDataFrame(
+        k4 + pendant + chain, "id_a: bigint, id_b: bigint"
+    )
+    core = {(r.id, r.deg) for r in kcore_peel(edges, k=3, rounds=4).collect()}
+    assert core == {(1, 3), (2, 3), (3, 3), (4, 3)}
+    raw = {(r.id, r.deg) for r in kcore_peel(edges, k=3, rounds=0).collect()}
+    assert raw == {(1, 3), (2, 3), (3, 3), (4, 4), (9, 1),
+                   (10, 1), (11, 2), (12, 1)}
