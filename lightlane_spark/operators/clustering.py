@@ -368,7 +368,9 @@ def kcore_peel(
         e = (
             e.join(core.withColumnRenamed("id", "a"), "a", "left_semi")
             .join(core.withColumnRenamed("id", "b"), "b", "left_semi")
-            .localCheckpoint()
+            # lazy, as in connected_components: still truncates the
+            # per-round plan, without forcing one eager job per round
+            .localCheckpoint(eager=False)
         )
     ends = e.select(F.col("a").alias("id")).unionAll(
         e.select(F.col("b").alias("id"))
