@@ -381,9 +381,20 @@ def test_frequent_pairs_plan_has_four_exchanges(spark, sf_dir):
     from lightlane_spark.plans.explain import plan_summary
     import __spark_entry__ as m
 
-    df = m._queries_unordered()["frequent_pairs"](spark, sf_dir)
-    ps = plan_summary(df)
+    # pin the conf this count depends on: with broadcasts disabled
+    # (e.g. leaked from a no-broadcast test elsewhere in the session)
+    # the dim joins become SMJs and add exchanges that say nothing
+    # about the dictionary-reuse property this test pins
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "10485760")
     spark.catalog.clearCache()
+    try:
+        df = m._queries_unordered()["frequent_pairs"](spark, sf_dir)
+        ps = plan_summary(df)
+    finally:
+        spark.conf.set(key, old)
+        spark.catalog.clearCache()
     assert ps.exchanges <= 4, ps.text[:1500]
 
 
