@@ -576,6 +576,8 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("__s"),
         )
+        .persist()  # read by the global-total aggregate AND the final
+        # projection; lazily the fact join+agg would run twice
     )
     # global mean from the 5 category rows (exact decimal sums)
     tot = per_cat.agg(
