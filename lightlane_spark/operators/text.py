@@ -345,7 +345,9 @@ def tfidf_topk(
     toks = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     )
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()  # read by the doc-frequency aggregate AND the score join
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
     scored = (
@@ -913,15 +915,19 @@ def bm25_topk(
     cross-engine. Ranking ties break on the doc id.
     """
     terms = [str(t) for t in query_terms]
-    toks = df.select(
+    # token array materialized BEFORE size()/explode() reference it:
+    # inlined, the generator-adjacent size(tokenize(..)) re-evaluates
+    # the split per exploded OUTPUT row (the boilerplate_ngrams trap)
+    base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__t"))
+    toks = base.select(
         F.col(id_col),
-        F.size(tokenize(F.col(text_col))).alias("__dl"),
-        F.explode(tokenize(F.col(text_col))).alias("tok"),
+        F.size("__t").alias("__dl"),
+        F.explode("__t").alias("tok"),
     )
     hits = toks.where(F.col("tok").isin(terms))
     tf = hits.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("tf"), F.first("__dl").alias("dl")
-    )
+    ).persist()  # read by the df-count aggregate AND the score join
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = df.select(
         F.countDistinct(F.col(id_col)).alias("__n")
