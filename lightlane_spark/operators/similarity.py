@@ -627,16 +627,17 @@ def cosine_neardup_pairs(
     float64 cosine, NaN pairs dropped):
 
     ``impl="arrow"`` (default) — applyInPandas per block; the block's
-    Gram matrix is one numpy matmul, so the Σ|block|²·dims work runs
-    vectorized instead of through Catalyst's INTERPRETED higher-order
-    lambda evaluator (transform/aggregate lambdas never enter
-    whole-stage codegen — profiled 1.6 s of a 2.0 s sf0.1 run just
-    expanding 400k pairs × 64-dim folds; the matmul form does the
-    same arithmetic in ~0.1 s). BLAS sums in a different order than
-    the fold, so sims can differ from the SQL form in the last ulp —
-    callers already round to 6dp / test against thresholds with wide
-    fixture margins, and the impl-parity test pins rounded-value
-    equality on the committed fixtures.
+    Gram matrix is a TILED numpy matmul, so the Σ|block|²·dims work
+    runs vectorized instead of through Catalyst's INTERPRETED
+    higher-order lambda evaluator (transform/aggregate lambdas never
+    enter whole-stage codegen — profiled 1.6 s of a 2.0 s sf0.1 run
+    just expanding 400k pairs × 64-dim folds; the matmul form does
+    the same arithmetic in ~0.1 s). The matmul is only the candidate
+    filter: every kept pair's sim is recomputed as the exact
+    left-associated float64 fold, so emitted values are BIT-IDENTICAL
+    to ``impl="sql"`` and the DuckDB oracle — a pair landing exactly
+    on the threshold (or a 6dp rounding midpoint) cannot flip between
+    engines (the impl-parity test pins this).
 
     ``impl="sql"`` — the bit-exact oracle anchor: one groupBy
     collects each block's (id, norm, vector) structs, then pairs
@@ -695,12 +696,27 @@ def _cosine_neardup_pairs_arrow(
     """Arrow-batched block expansion (see ``cosine_neardup_pairs``).
 
     Per block: sort by id (pair canonicalization identical to the SQL
-    form's array_sort), one V·Vᵀ Gram matmul in float64, upper
-    triangle → (id_a, id_b, sim). Blocks of <2 or >``max_block_size``
-    members emit nothing — the same drop contract as the SQL form.
-    Scale: each block is one pandas group; memory is |block|²·8 B for
-    the Gram matrix, 800 MB at the 10k default cap — within executor
-    budgets, and the cap is the caller's lever exactly as before."""
+    form's array_sort), then a TILED V·Vᵀ Gram matmul in float64 —
+    ``_TILE`` rows of the Gram matrix at a time, so peak memory is
+    ``_TILE × |block| × 8 B`` (≈ 40 MB at the 10 k cap) instead of
+    the |block|² ≈ 800 MB a one-shot matmul needs; several capped
+    blocks can expand concurrently on one executor without OOM. The
+    pair set is unchanged (each tile emits exactly its upper-triangle
+    slice). Blocks of <2 or >``max_block_size`` members emit nothing
+    — the same drop contract as the SQL form.
+
+    Exactness: BLAS sums in arbitrary order, so the matmul sims can
+    differ from the SQL form's left-associated fold in the last ulp —
+    enough to flip a pair sitting exactly on the threshold (or on a
+    6dp rounding midpoint) between engines. The matmul is therefore
+    only the CANDIDATE filter (threshold widened by 1e-9, far beyond
+    any BLAS/fold divergence); every surviving candidate's sim is
+    then recomputed as the exact left fold — a dims-step vectorized
+    accumulation whose float64 operation order is identical to
+    ``dot()``/``norm()`` and the DuckDB oracle — and the real
+    threshold applies to THAT value. Survivors are few (near-dups),
+    so the exact pass is O(|candidates|·dims) and the output is
+    bit-identical to ``impl="sql"``."""
     import numpy as np
     import pandas as pd
 
@@ -734,13 +750,42 @@ def _cosine_neardup_pairs_arrow(
         V = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]]
         )
-        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
-        sims = (V @ V.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(n_rows, 1)
-        s = sims[iu, ju]
-        keep = (s >= threshold) & ~np.isnan(s)
+        dims = V.shape[1]
+        # exact left-fold norms: acc = acc + v*v per dim, in dim order
+        # — the same float64 op sequence as norm() / the DuckDB fold
+        nacc = np.zeros(n_rows)
+        for d in range(dims):
+            nacc = nacc + V[:, d] * V[:, d]
+        norms = np.sqrt(nacc)
+
+        _TILE = 512  # Gram rows per slab: 512 × 10k × 8 B = 40 MB peak
+        cand_i: list[np.ndarray] = []
+        cand_j: list[np.ndarray] = []
+        for i0 in range(0, n_rows - 1, _TILE):
+            i1 = min(i0 + _TILE, n_rows)
+            # candidate filter only — BLAS order, threshold widened
+            g = (V[i0:i1] @ V[i0:].T) / np.outer(norms[i0:i1], norms[i0:])
+            ti, tj = np.nonzero(g >= threshold - 1e-9)
+            keep = tj > ti  # strict upper triangle (both offset by i0)
+            cand_i.append(ti[keep] + i0)
+            cand_j.append(tj[keep] + i0)
+        if not cand_i:
+            return empty
+        ci = np.concatenate(cand_i)
+        cj = np.concatenate(cand_j)
+        if ci.size == 0:
+            return empty
+        # exact pass: left-fold dot per candidate pair, vectorized
+        # ACROSS pairs but sequential over dims — bit-identical to the
+        # SQL form's aggregate(zip_with(...)) and the DuckDB oracle
+        A, B = V[ci], V[cj]
+        acc = np.zeros(ci.size)
+        for d in range(dims):
+            acc = acc + A[:, d] * B[:, d]
+        s = acc / (norms[ci] * norms[cj])
+        final = (s >= threshold) & ~np.isnan(s)
         return pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "sim": s[keep]}
+            {"id_a": ids[ci[final]], "id_b": ids[cj[final]], "sim": s[final]}
         )
 
     return (

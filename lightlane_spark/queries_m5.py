@@ -453,30 +453,41 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup edge set (id_a, id_b) shared by the whole
+    graph family — clusters, dedup, leakage-safe split, PageRank,
+    triangles, k-core. One definition (MinHash→LSH→Jaccard-verify at
+    0.7 over the dup fixture) so every family member analyzes the
+    IDENTICAL graph, and the iterative consumers' input-materialization
+    (localCheckpoint in clustering.py) amortizes the expensive
+    derivation instead of re-running it per read."""
+    return dedup_minhash(_docs_with_dups(spark, sf_dir), threshold=0.7).select(
+        "id_a", "id_b"
+    )
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: verified MinHash-LSH pairs -> connected
     components (large-star/small-star) -> every corpus doc labeled
     with its cluster id (singletons label themselves). The DuckDB
     oracle computes the same components via a recursive CTE."""
     from lightlane_spark.operators.clustering import assign_components
-    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
 
     corpus = _docs_with_dups(spark, sf_dir)
-    pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
-    return assign_components(corpus, pairs, assume_canonical=True).select(
-        "doc_id", "component"
-    )
+    return assign_components(
+        corpus, _neardup_pairs(spark, sf_dir), assume_canonical=True
+    ).select("doc_id", "component")
 
 
 def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: keep the min-id canonical doc per
     near-dup cluster."""
     from lightlane_spark.operators.clustering import dedup_by_components
-    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
 
     corpus = _docs_with_dups(spark, sf_dir)
-    pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
-    return dedup_by_components(corpus, pairs, assume_canonical=True).select("doc_id")
+    return dedup_by_components(
+        corpus, _neardup_pairs(spark, sf_dir), assume_canonical=True
+    ).select("doc_id")
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,11 +502,11 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both the clustering and the family-atomicity are value-pinned."""
     from lightlane_spark.functions.hashing import h32
     from lightlane_spark.operators.clustering import assign_components
-    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
 
     corpus = _docs_with_dups(spark, sf_dir)
-    pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
-    labeled = assign_components(corpus, pairs, assume_canonical=True)
+    labeled = assign_components(
+        corpus, _neardup_pairs(spark, sf_dir), assume_canonical=True
+    )
     bucket = h32(
         F.concat(F.lit("split:"), F.col("component").cast("string"))
     ) % 100
@@ -512,11 +523,8 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every contribution is bigint floor division, so 5 iterations match
     the DuckDB recursive-CTE oracle exactly."""
     from lightlane_spark.operators.clustering import pagerank_integer
-    from lightlane_spark.operators.fuzzy_dedup import dedup_minhash
 
-    corpus = _docs_with_dups(spark, sf_dir)
-    pairs = dedup_minhash(corpus, threshold=0.7).select("id_a", "id_b")
-    return pagerank_integer(pairs, iterations=5)
+    return pagerank_integer(_neardup_pairs(spark, sf_dir), iterations=5)
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,7 +692,18 @@ def _recall_contract(
     booleans vs its exact twin: (query_id, probe_ok, overall_ok) with
     thresholds 0.6 per-probe / 0.9 overall — a recall regression flips
     a row to false and hash-mismatches against the literal-TRUE
-    oracle."""
+    oracle.
+
+    The overall average is a GLOBAL WINDOW over the per-probe rows
+    (one row per probe — broadcast-tiny by construction), so the
+    expensive approx+exact ANN chain is read exactly once: no
+    persist, no second aggregate pass. The within-session A/B
+    (tools/ab_persist.py, r6) measured the previous persist +
+    crossJoin(broadcast(agg)) form at 3.0-3.1 s vs 1.1 s for the
+    single-read form at sf0.1 — materializing the chain cost ~3×
+    what the duplicated read would have."""
+    from pyspark.sql import Window as W
+
     hits = approx.select("query_id", "vec_id").join(
         exact.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )
@@ -699,12 +718,11 @@ def _recall_contract(
             "query_id",
             (F.coalesce(F.col("n_hit"), F.lit(0)) / float(k)).alias("recall"),
         )
-        .persist()  # read twice (overall agg + final projection);
-        # lazily the whole approx+exact ANN chain would run twice
     )
-    overall = per.agg((F.avg("recall") >= 0.9).alias("overall_ok"))
-    return per.crossJoin(F.broadcast(overall)).select(
-        "query_id", (F.col("recall") >= 0.6).alias("probe_ok"), "overall_ok"
+    return per.select(
+        "query_id",
+        (F.col("recall") >= 0.6).alias("probe_ok"),
+        (F.avg("recall").over(W.partitionBy()) >= 0.9).alias("overall_ok"),
     )
 
 
@@ -1178,10 +1196,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the SQL-reproduced pair set."""
     from lightlane_spark.operators.clustering import triangle_count
 
-    pairs = dedup_minhash(_docs_with_dups(spark, sf_dir), threshold=0.7).select(
-        "id_a", "id_b"
-    )
-    return triangle_count(pairs)
+    return triangle_count(_neardup_pairs(spark, sf_dir))
 
 
 def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,10 +1207,7 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed loop is value-pinned round for round."""
     from lightlane_spark.operators.clustering import kcore_peel
 
-    pairs = dedup_minhash(_docs_with_dups(spark, sf_dir), threshold=0.7).select(
-        "id_a", "id_b"
-    )
-    return kcore_peel(pairs, k=3, rounds=4).orderBy("id")
+    return kcore_peel(_neardup_pairs(spark, sf_dir), k=3, rounds=4).orderBy("id")
 
 
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

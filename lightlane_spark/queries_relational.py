@@ -1509,7 +1509,11 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, StructField, StructType
 
     pair_schema = StructType(
-        [StructField("pr", LongType()), StructField("support", LongType())]
+        [
+            StructField("a", LongType()),
+            StructField("b", LongType()),
+            StructField("support", LongType()),
+        ]
     )
 
     def count_pairs(batches):
@@ -1517,26 +1521,34 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            counts = np.zeros(32 * 32, dtype=np.int64)
+            # width is BATCH-LOCAL (max code seen + 1) and decoded
+            # back to (a, b) before emitting, so the combiner is not
+            # coupled to the dictionary's cardinality — any code
+            # domain works and the cross-batch key is the plain pair
             by_len: dict[int, list] = {}
+            width = 2
             for arr in pdf["bs"]:
                 if len(arr) >= 2:
                     by_len.setdefault(len(arr), []).append(arr)
+                    width = max(width, int(arr[-1]) + 1)  # sorted asc
+            counts = np.zeros(width * width, dtype=np.int64)
             for length, group in by_len.items():
                 m = np.asarray(group, dtype=np.int64)
                 iu, ju = np.triu_indices(length, 1)
-                enc = (m[:, iu] * 32 + m[:, ju]).ravel()
-                counts += np.bincount(enc, minlength=32 * 32)
+                enc = (m[:, iu] * width + m[:, ju]).ravel()
+                counts += np.bincount(enc, minlength=width * width)
             nz = np.nonzero(counts)[0]
-            yield pd.DataFrame({"pr": nz, "support": counts[nz]})
+            yield pd.DataFrame(
+                {"a": nz // width, "b": nz % width, "support": counts[nz]}
+            )
 
     partial = baskets.select("bs").mapInPandas(count_pairs, schema=pair_schema)
     agg = (
-        partial.groupBy("pr")
+        partial.groupBy("a", "b")
         .agg(F.sum("support").alias("support"))
         .select(
-            (F.col("pr") / 32).cast("int").alias("a"),
-            (F.col("pr") % 32).cast("int").alias("b"),
+            F.col("a").cast("int").alias("a"),
+            F.col("b").cast("int").alias("b"),
             "support",
         )
     )
@@ -2951,10 +2963,19 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog_tables = {r.name for r in spark.catalog.listTables()}
         for d in os.listdir(wh.path):
             full = os.path.join(wh.path, d)
-            if d.startswith("ll_bkt_") and now - os.path.getmtime(full) > 1800:
+            if not d.startswith("ll_bkt_"):
+                continue
+            # listdir→getmtime is not atomic vs a concurrent peer
+            # GC'ing the same stale dir — treat a vanished candidate
+            # as already-collected, never as an error
+            try:
+                if now - os.path.getmtime(full) <= 1800:
+                    continue
                 if d in catalog_tables:
                     spark.sql(f"DROP TABLE IF EXISTS {d}")
                 shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                continue
     tag = uuid.uuid4().hex[:12]
     t_orders, t_customer = f"ll_bkt_o_{tag}", f"ll_bkt_c_{tag}"
     (o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")

@@ -533,12 +533,21 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``aggregate`` seeds with 0.0 — identical sequences because
     0/2 + x₀ = x₀. Plan: one event_type partition window (frame
     collect), fold is per-row over ≤16 doubles; linear, one shuffle.
+
+    NULL values are filtered from the base relation on BOTH engines:
+    Spark's collect_list drops NULLs from the frame while DuckDB's
+    list() keeps them, so an unguarded NULL would shorten Spark's
+    frame and diverge (Spark numeric vs oracle NULL). Excluding the
+    row symmetrically keeps the fold sequences identical whatever the
+    fixture holds.
     """
     from pyspark.sql import Window
 
     ev = (
         read_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
         .select("event_id", "ts", "value")
     )
     w = (
@@ -602,7 +611,7 @@ QUERIES["target_encode"] = q_target_encode
 ORACLE["ewma_smooth"] = """
     WITH p AS (
         SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value::DOUBLE AS value
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
     ), framed AS (
         SELECT event_id, value,
                list(value) OVER (ORDER BY ts, event_id

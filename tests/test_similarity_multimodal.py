@@ -82,11 +82,13 @@ def test_cosine_neardup_blocked(spark, sf_dir):
 
 
 def test_cosine_neardup_impls_agree(spark, sf_dir):
-    """The Arrow (Gram-matmul) and SQL (sequential-fold, oracle-exact)
-    implementations must return the same pairs with 6dp-identical
-    sims — the rounding absorbs BLAS-vs-fold last-ulp summation
-    differences. Also pins the shared contracts: id_a < id_b
-    canonicalization and the max_block_size drop."""
+    """The Arrow (tiled Gram-matmul candidate filter + exact-fold
+    re-verify) and SQL (sequential-fold, oracle-exact) implementations
+    must return the same pairs with BIT-IDENTICAL sims — the Arrow
+    path recomputes every kept sim as the same left-associated float64
+    fold, so no rounding tolerance is needed. Also pins the shared
+    contracts: id_a < id_b canonicalization and the max_block_size
+    drop."""
     emb = read_table(spark, sf_dir, "embeddings")
     dups = emb.filter("vec_id < 5").select(
         (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
@@ -96,7 +98,7 @@ def test_cosine_neardup_impls_agree(spark, sf_dir):
     def canon(impl, **kw):
         out = cosine_neardup_pairs(u, block_col="label", threshold=0.9, impl=impl, **kw)
         return sorted(
-            (r.id_a, r.id_b, round(r.sim, 6)) for r in out.collect()
+            (r.id_a, r.id_b, r.sim) for r in out.collect()
         )
 
     a, s = canon("arrow"), canon("sql")
