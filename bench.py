@@ -176,6 +176,14 @@ def main() -> None:
     spark = get_spark(app_name="lightlane-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Load context (VERDICT r5/r6 ask): the box this runs on is shared
+    # with sweep/pytest sessions, and ambient load has repeatedly
+    # manufactured phantom ±5-30% "regressions" across rounds. Record
+    # the 1/5/15-min loadavg at start and end so a reader of the bench
+    # artifact can tell a loaded run from an idle one without
+    # re-benching.
+    load_start = os.getloadavg()
+
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch overheads.
     qs["pricing_summary"](spark, sf_dir).count()
@@ -224,12 +232,15 @@ def main() -> None:
     # driver's tail-capture window, so the official bench artifact was
     # unparseable (parsed: null). stdout's FINAL line is now a compact
     # payload that always fits the capture window.
+    load_end = os.getloadavg()
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
     }
     if failed:
         detail["failed"] = failed
@@ -256,6 +267,8 @@ def main() -> None:
             )[:10]
         },
         "detail_file": "BENCH_DETAIL.json",
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
     }
     if failed:
         compact["failed"] = failed

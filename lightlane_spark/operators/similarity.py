@@ -716,7 +716,10 @@ def _cosine_neardup_pairs_arrow(
     ``dot()``/``norm()`` and the DuckDB oracle — and the real
     threshold applies to THAT value. Survivors are few (near-dups),
     so the exact pass is O(|candidates|·dims) and the output is
-    bit-identical to ``impl="sql"``."""
+    bit-identical to ``impl="sql"``. The exact pass is itself slabbed
+    (1M pairs at a time), so even a permissive threshold that keeps
+    ~|block|²/2 candidates cannot blow past the tile-bounded memory
+    budget."""
     import numpy as np
     import pandas as pd
 
@@ -777,15 +780,34 @@ def _cosine_neardup_pairs_arrow(
             return empty
         # exact pass: left-fold dot per candidate pair, vectorized
         # ACROSS pairs but sequential over dims — bit-identical to the
-        # SQL form's aggregate(zip_with(...)) and the DuckDB oracle
-        A, B = V[ci], V[cj]
-        acc = np.zeros(ci.size)
-        for d in range(dims):
-            acc = acc + A[:, d] * B[:, d]
-        s = acc / (norms[ci] * norms[cj])
-        final = (s >= threshold) & ~np.isnan(s)
+        # SQL form's aggregate(zip_with(...)) and the DuckDB oracle.
+        # Slabbed over candidates (r6 ADVICE): a permissive threshold
+        # on a dense capped block can yield ~|block|²/2 candidates, so
+        # a one-shot V[ci] gather would cost |cand|×dims×16 B (tens of
+        # GB at the 10k cap) — slabs keep peak memory threshold-
+        # independent (~1M pairs × 64 dims × 16 B ≈ 1 GB worst case,
+        # and near-zero at the ≥0.9 thresholds the repo uses).
+        _PAIR_SLAB = 1 << 20
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for p0 in range(0, ci.size, _PAIR_SLAB):
+            si, sj = ci[p0 : p0 + _PAIR_SLAB], cj[p0 : p0 + _PAIR_SLAB]
+            A, B = V[si], V[sj]
+            acc = np.zeros(si.size)
+            for d in range(dims):
+                acc = acc + A[:, d] * B[:, d]
+            s = acc / (norms[si] * norms[sj])
+            final = (s >= threshold) & ~np.isnan(s)
+            out_a.append(ids[si[final]])
+            out_b.append(ids[sj[final]])
+            out_s.append(s[final])
         return pd.DataFrame(
-            {"id_a": ids[ci[final]], "id_b": ids[cj[final]], "sim": s[final]}
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
         )
 
     return (

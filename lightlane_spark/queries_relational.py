@@ -1523,23 +1523,42 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             # width is BATCH-LOCAL (max code seen + 1) and decoded
             # back to (a, b) before emitting, so the combiner is not
-            # coupled to the dictionary's cardinality — any code
-            # domain works and the cross-batch key is the plain pair
+            # coupled to the dictionary's cardinality — the cross-
+            # batch key is the plain pair. The dense width² bincount
+            # assumes a SMALL code domain (here the ~25-brand dict);
+            # past _DENSE_CAP the combiner switches to np.unique over
+            # the encoded pairs, which costs O(pairs log pairs) but
+            # never allocates a width²-sized array — so a sparse or
+            # hashed code domain degrades gracefully instead of OOMing
+            # (r6 ADVICE).
+            _DENSE_CAP = 4096
             by_len: dict[int, list] = {}
             width = 2
             for arr in pdf["bs"]:
                 if len(arr) >= 2:
                     by_len.setdefault(len(arr), []).append(arr)
                     width = max(width, int(arr[-1]) + 1)  # sorted asc
-            counts = np.zeros(width * width, dtype=np.int64)
+            encs: list[np.ndarray] = []
+            dense = width <= _DENSE_CAP
+            counts = np.zeros(width * width, dtype=np.int64) if dense else None
             for length, group in by_len.items():
                 m = np.asarray(group, dtype=np.int64)
                 iu, ju = np.triu_indices(length, 1)
                 enc = (m[:, iu] * width + m[:, ju]).ravel()
-                counts += np.bincount(enc, minlength=width * width)
-            nz = np.nonzero(counts)[0]
+                if dense:
+                    counts += np.bincount(enc, minlength=width * width)
+                else:
+                    encs.append(enc)
+            if dense:
+                nz = np.nonzero(counts)[0]
+                support = counts[nz]
+            elif encs:
+                nz, support = np.unique(np.concatenate(encs), return_counts=True)
+            else:
+                nz = np.zeros(0, dtype=np.int64)
+                support = nz
             yield pd.DataFrame(
-                {"a": nz // width, "b": nz % width, "support": counts[nz]}
+                {"a": nz // width, "b": nz % width, "support": support}
             )
 
     partial = baskets.select("bs").mapInPandas(count_pairs, schema=pair_schema)

@@ -62,36 +62,40 @@ def main() -> None:
     DataFrame.persist = _patched_persist
     print(f"loadavg at start: {os.getloadavg()}")
 
-    def run(name: str, disabled: set[str]) -> float:
+    def run(name: str, disabled: set[str]) -> tuple[float, float]:
         _DISABLED.clear()
         _DISABLED.update(disabled)
-        best = None
+        times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir := os.environ.get(
+            qs[name](spark, os.environ.get(
                 "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
             )).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        spark.catalog.clearCache()
-        return best
+            times.append(time.perf_counter() - t0)
+            # Spark's cache lookup is PLAN-based: a rebuilt identical
+            # plan in reps 2-3 of the persist-ON arm would hit rep 1's
+            # cached data while the OFF arm never caches — clearing
+            # per rep keeps every rep cold so the arms are comparable
+            # (r6 ADVICE).
+            spark.catalog.clearCache()
+        return min(times), times[0]
 
     for name in names:
         _SEEN.clear()
-        on = run(name, set())
+        on, on_cold = run(name, set())
         sites = sorted(_SEEN)
-        off = run(name, {"*"})
-        on2 = run(name, set())  # drift control: re-measure the on arm
+        off, off_cold = run(name, {"*"})
+        on2, _ = run(name, set())  # drift control: re-measure the on arm
         best_on = min(on, on2)
         verdict = "persist WINS" if best_on <= off else "persist LOSES"
         print(
             f"\n{name}: on={on:.3f}s  all-off={off:.3f}s  on2={on2:.3f}s"
-            f"  -> {verdict}"
+            f"  cold(on/off)={on_cold:.3f}/{off_cold:.3f}s  -> {verdict}"
         )
         print(f"  sites: {sites}")
         if per_site and len(sites) > 1:
             for s in sites:
-                t = run(name, {s})
+                t, _ = run(name, {s})
                 print(f"  off[{s}]: {t:.3f}s")
     print(f"\nloadavg at end: {os.getloadavg()}")
 
