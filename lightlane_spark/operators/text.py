@@ -905,8 +905,13 @@ def bm25_topk(
     Scale shape: the token relation filters to the QUERY TERMS before
     any aggregation, so per-query work is proportional to the
     postings of those terms, not the corpus vocabulary; doc length
-    and the N/avgdl scalars come from one count aggregation and join
-    as 1-row broadcasts.
+    and the N/avgdl scalars come from ONE corpus aggregation (fused
+    countDistinct+sum, not two scans) and join as a 1-row broadcast.
+    Document frequency is a window count over the postings relation —
+    the postings are read ONCE (the former groupBy + broadcast-join-
+    back form read them twice, and the persist that papered over the
+    re-read lost its within-session A/B: best 0.77 s persisted vs
+    0.63 s single-pass at sf0.1, tools/ab_persist.py r7).
 
     Determinism: every per-term score is per-row IEEE arithmetic
     (identical in DuckDB) ROUNDED to 6dp then cast DECIMAL(18,6), so
@@ -927,14 +932,15 @@ def bm25_topk(
     hits = toks.where(F.col("tok").isin(terms))
     tf = hits.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("tf"), F.first("__dl").alias("dl")
-    ).persist()  # read by the df-count aggregate AND the score join
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    stats = df.select(
-        F.countDistinct(F.col(id_col)).alias("__n")
-    ).crossJoin(
-        df.select(
-            F.sum(F.size(tokenize(F.col(text_col)))).alias("__toks")
-        )
+    )
+    from pyspark.sql import Window as W
+
+    tfdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("tok"))
+    )
+    stats = df.agg(
+        F.countDistinct(F.col(id_col)).alias("__n"),
+        F.sum(F.size(tokenize(F.col(text_col)))).alias("__toks"),
     )
     idf = F.log(
         (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -945,8 +951,7 @@ def bm25_topk(
         "decimal(18,6)"
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(F.broadcast(stats))
+        tfdf.join(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.sum(term_score).cast("double").alias("score"))
     )

@@ -1516,24 +1516,34 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id"))
     )
 
-    # persisted: read by BOTH the norm aggregate and the dot-product
-    # join — lazily the explode+groupBy subtree would run twice
-    bow = hashed_bow(docs, dims=64).persist()
+    # ONE pass over the BoW relation: broadcast LEFT join against the
+    # query's (unique) dims, then a single groupBy computes the dot
+    # product and the doc norm together — non-matching rows carry a
+    # NULL qw, which SUM skips, and a doc with NO matching dim sums to
+    # a NULL dot, filtered below (exactly the row set the former
+    # inner-join `dots` produced). The previous norms-agg + dots-join
+    # form read the hashed_bow explode+groupBy subtree twice, and the
+    # persist that bridged the re-read lost its within-session A/B
+    # (tools/ab_persist.py r7: 2.18 s persisted vs 1.80 s without);
+    # fusing removes the second read instead of re-deriving it, so the
+    # single-scan shape holds at corpus scale too. Integer weights →
+    # both sums are order-independent, oracle parity unconditional.
+    bow = hashed_bow(docs, dims=64)
     qbow = hashed_bow(
         spark.createDataFrame([(0, " ".join(terms))], "doc_id: bigint, text: string")
     ).select(F.col("dim").alias("qdim"), F.col("weight").alias("qw"))
-    norms = bow.groupBy("doc_id").agg(
-        F.sum(F.col("weight") * F.col("weight")).alias("nd")
-    )
     qnorm = qbow.agg(F.sum(F.col("qw") * F.col("qw")).alias("nq"))
-    dots = (
-        bow.join(F.broadcast(qbow), bow["dim"] == F.col("qdim"))
+    docstats = (
+        bow.join(F.broadcast(qbow), bow["dim"] == F.col("qdim"), "left")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("weight") * F.col("qw")).alias("dot"))
+        .agg(
+            F.sum(F.col("weight") * F.col("qw")).alias("dot"),
+            F.sum(F.col("weight") * F.col("weight")).alias("nd"),
+        )
+        .where(F.col("dot").isNotNull())
     )
     vec = (
-        dots.join(norms, "doc_id")
-        .crossJoin(F.broadcast(qnorm))
+        docstats.crossJoin(F.broadcast(qnorm))
         .select(
             "doc_id",
             F.round(
