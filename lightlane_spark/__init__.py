@@ -48,8 +48,12 @@ from lightlane_spark.operators.multimodal import (
     blockhash_signatures,
 )
 from lightlane_spark.operators.incremental import incremental_join_delta
+from lightlane_spark.cache import cache_scope, tracked_persist, unpersist_all
 
 __all__ = [
+    "cache_scope",
+    "tracked_persist",
+    "unpersist_all",
     "get_spark",
     "read_table",
     "table_path",

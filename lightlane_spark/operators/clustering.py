@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lightlane_spark.cache import tracked_persist
+
 
 def _canonical_edges(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
     """Undirected edge list -> distinct (u, v) with u < v, no loops."""
@@ -143,7 +145,7 @@ def connected_components(
     else:
         canon = _canonical_edges(edges, id_a, id_b)
     if driver_edge_cap:
-        canon = canon.persist()
+        canon = canon.transform(tracked_persist)
         n_edges = canon.count()
         if n_edges <= driver_edge_cap:
             pairs = _driver_union_find(canon.collect())

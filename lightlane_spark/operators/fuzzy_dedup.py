@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from lightlane_spark.functions.hashing import h32
 from lightlane_spark.operators.text import fingerprint_md5, tokenize
 
+from lightlane_spark.cache import tracked_persist
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -357,22 +359,27 @@ def dedup_minhash(
     # the set, so signatures skip the full-corpus distinct shuffle; the
     # verifier set-ifies only candidate-pair documents. Persisted (NOT
     # unpersisted here — the returned plan is lazy and an eager
-    # unpersist would empty the cache before the caller's action runs;
-    # LRU/ContextCleaner reclaim it).
-    sh = shingle(df, text_col, id_col, k, distinct=False).persist()
+    # unpersist would empty the cache before the caller's action runs).
+    # Lifecycle is the caller's, via the library cache contract:
+    # every persist in this package registers through
+    # lightlane_spark.cache.tracked_persist, and a composing session
+    # releases them with cache.unpersist_all() or by wrapping each
+    # unit of work in cache.cache_scope() (see lightlane_spark/
+    # cache.py and tests/test_cache_contract.py).
+    sh = shingle(df, text_col, id_col, k, distinct=False).transform(tracked_persist)
     sig = minhash_signature_arrays(sh, id_col, num_hashes)
     keys = lsh_band_keys(sig, id_col, bands, num_hashes // bands)
     # Buckets feed pair expansion AND the candidate-id list — persist
     # so the bucket shuffle runs once; candidate ids come straight off
     # the cached arrays (bands×|docs| bound, no extra exchange).
-    buckets = lsh_buckets(keys, id_col).persist()
+    buckets = lsh_buckets(keys, id_col).transform(tracked_persist)
     # Persist A/B'd (tools/ab_persist.py r7, sf0.1): cold one-shot
     # runs are ~13% faster with this site off (3.25 s vs 3.72 s), but
     # steady-state repeated execution — the bench.py shape, and what a
     # composing caller (the near-dup graph family) actually hits —
     # wins with it on via CacheManager plan-matching; kept, tradeoff
     # recorded in SCALE.md.
-    cand = _pairs_from_buckets(buckets, max_bucket_size=1000).persist()
+    cand = _pairs_from_buckets(buckets, max_bucket_size=1000).transform(tracked_persist)
     ids = bucket_candidate_ids(buckets, id_col, max_bucket_size=1000)
     return jaccard_verify(
         cand, sh, id_col, threshold, shingles_distinct=False, cand_ids=ids
@@ -505,7 +512,7 @@ def ngram_jaccard_pairs(
     # the scan→explode→window chain runs once, not once per join side.
     sh = (
         sh.withColumn("__n", F.count("*").over(Window.partitionBy(id_col)))
-        .persist()
+        .transform(tracked_persist)
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__n").alias("n_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__n").alias("n_b"), "sh")
@@ -600,7 +607,7 @@ def minhash_join(
     lft = left.select((F.col(id_col) * 2).alias(id_col), F.col(text_col))
     rgt = right.select((F.col(id_col) * 2 + 1).alias(id_col), F.col(text_col))
     corpus = lft.unionByName(rgt)
-    sh = shingle(corpus, text_col, id_col, k, distinct=False).persist()
+    sh = shingle(corpus, text_col, id_col, k, distinct=False).transform(tracked_persist)
     sig = minhash_signature_arrays(sh, id_col, num_hashes)
     keys = lsh_band_keys(sig, id_col, bands, num_hashes // bands)
     # Persist A/B'd (tools/ab_persist.py r7, sf0.1): under cold
@@ -609,7 +616,7 @@ def minhash_join(
     # execution in one session, the shape bench.py measures and a
     # composing caller hits — the CacheManager plan-match makes it a
     # 1.0 s-class win; kept, with the tradeoff recorded in SCALE.md.
-    buckets = lsh_buckets(keys, id_col).persist()
+    buckets = lsh_buckets(keys, id_col).transform(tracked_persist)
     # Cross-parity filter applied BEFORE verification (not after):
     # same-parity pairs are within-corpus duplicates this operator
     # discards by contract, and filtering candidates is a map-side
@@ -706,7 +713,7 @@ def prefix_filter_jaccard_join(
             "plen",
             F.col("n") - ((F.col("n") * num + den - 1) / den).cast("bigint") + 1,
         )
-        .persist()
+        .transform(tracked_persist)
     )
     idx_a = docs.select(
         F.col(id_col).alias("id_a"),

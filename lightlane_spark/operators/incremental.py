@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from lightlane_spark.loaders.loader import Loader
 
+from lightlane_spark.cache import tracked_persist
+
 
 def high_watermark(df: DataFrame, col: str):
     """Max of the watermark column (None on empty input)."""
@@ -162,7 +164,7 @@ def incremental_agg_retract_merge(
     # extra exchanges + 2 SMJs in the plan). Lazy persist, reclaimed
     # by LRU/ContextCleaner (same convention as dedup_minhash).
     changed = (
-        diff.filter(F.col(CHANGE_COL) != "unchanged").select(*primary_keys).persist()
+        diff.filter(F.col(CHANGE_COL) != "unchanged").select(*primary_keys).transform(tracked_persist)
     )
     retract = old.join(changed, on=primary_keys, how="left_semi").withColumn(
         "__w", F.lit(-1)

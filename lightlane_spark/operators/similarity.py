@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lightlane_spark.cache import tracked_persist
+
 
 def _vec_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -483,7 +485,7 @@ def semantic_dedup(
         fit_fraction=fit_fraction,
         cluster_col="__cluster",
     )
-    assigned = assigned.persist()
+    assigned = assigned.transform(tracked_persist)
     pairs = cosine_neardup_pairs(
         assigned,
         "__cluster",

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from lightlane_spark.functions.hashing import h32
 
+from lightlane_spark.cache import tracked_persist
+
 # Tiny built-in stopword lexicons (top function words). Good enough to
 # separate the languages the corpus declares; swap for a real lexicon
 # in production.
@@ -347,7 +349,7 @@ def tfidf_topk(
     )
     tf = toks.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("tf")
-    ).persist()  # read by the doc-frequency aggregate AND the score join
+    ).transform(tracked_persist)  # read by the doc-frequency aggregate AND the score join
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
     scored = (

@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lightlane_spark.cache import tracked_persist
+
 
 def json_extract(
     df: DataFrame, source_col: str, fields: dict[str, str], drop_source: bool = False
@@ -152,7 +154,7 @@ def quarantine(
 def fan_out(df: DataFrame, sinks: list[Callable[[DataFrame], Any]]) -> None:
     """OP-20: one scan, many outputs (reference ``call_handlers``,
     ``dumper/worker.py:19-23``). Persist once, write N times."""
-    cached = df.persist()
+    cached = df.transform(tracked_persist)
     try:
         for sink in sinks:
             sink(cached)

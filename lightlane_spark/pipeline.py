@@ -36,6 +36,8 @@ from lightlane_spark.operators.transform import quarantine
 from lightlane_spark.sources.jdbc import read_jdbc
 from lightlane_spark.sources.parquet import read_table
 
+from lightlane_spark.cache import tracked_persist
+
 
 @dataclass
 class Pipeline:
@@ -173,7 +175,7 @@ class Pipeline:
         self._require_df()
         if not self._sinks and self._bad_sink is None:
             raise ValueError("pipeline has no sinks; add to_*/load first")
-        cached = self._df.persist()
+        cached = self._df.transform(tracked_persist)
         try:
             for sink in self._sinks:
                 sink(cached)

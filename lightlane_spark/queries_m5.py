@@ -596,7 +596,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("__ga").cast("bigint").alias("n_grams"),
         F.explode("__ga").alias("sh"),
-    ).persist()  # read by BOTH branches (dfreq agg + membership join);
+    ).transform(tracked_persist)  # read by BOTH branches (dfreq agg + membership join);
     # without it the tokenize→transform→explode chain runs twice
     boiler = (
         base.groupBy("sh")
@@ -1174,7 +1174,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scored; lazily the url_dedup→LM-train→score chain runs twice
     scored = kept.join(
         lm_doc_scores(kept.select("doc_id", "text")), "doc_id"
-    ).withColumn("__q", F.col("lm_score").cast("decimal(18,6)")).persist()
+    ).withColumn("__q", F.col("lm_score").cast("decimal(18,6)")).transform(tracked_persist)
     thr = scored.agg(
         F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("__n")
     )
@@ -3186,6 +3186,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["bpe_train"] = q_bpe_train
 
 from lightlane_spark.operators.text import bpe_train_oracle_sql as _bpe_osql  # noqa: E402
+
+from lightlane_spark.cache import tracked_persist
 
 ORACLE["bpe_train"] = _bpe_osql(3)
 

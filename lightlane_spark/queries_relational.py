@@ -19,6 +19,8 @@ from pyspark.sql import Window
 
 from lightlane_spark.sources.parquet import read_table
 
+from lightlane_spark.cache import tracked_persist
+
 
 def _dec_sum(col, alias: str, scale: int = 2):
     return F.sum(col.cast(f"decimal(28,{scale})")).cast("double").alias(alias)
@@ -1484,7 +1486,7 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select("p_brand")
         .distinct()
         .withColumn("bc", F.row_number().over(W.orderBy("p_brand")))
-        .persist()
+        .transform(tracked_persist)
     )
     pc = p.join(F.broadcast(codes), "p_brand").select("p_partkey", "bc")
     baskets = (

@@ -23,6 +23,8 @@ from lightlane_spark.operators.temporal import (
 )
 from lightlane_spark.sources.parquet import read_table
 
+from lightlane_spark.cache import tracked_persist
+
 
 def _clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -585,7 +587,7 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("__s"),
         )
-        .persist()  # read by the global-total aggregate AND the final
+        .transform(tracked_persist)  # read by the global-total aggregate AND the final
         # projection; lazily the fact join+agg would run twice
     )
     # global mean from the 5 category rows (exact decimal sums)

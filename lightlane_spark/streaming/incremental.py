@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from lightlane_spark.loaders.loader import Loader
 from lightlane_spark.operators.dedup import dedup_keep_first
 
+from lightlane_spark.cache import tracked_persist
+
 
 def stream_from_directory(
     spark: SparkSession,
@@ -321,7 +323,7 @@ def streaming_neardup_ingest(
         spark = batch_df.sparkSession
         to_unpersist = []
         try:
-            batch_df = batch_df.persist()
+            batch_df = batch_df.transform(tracked_persist)
             to_unpersist.append(batch_df)
             if batch_df.isEmpty():
                 return
@@ -332,7 +334,7 @@ def streaming_neardup_ingest(
 
     def _ingest_batch_body(spark, batch_df: DataFrame, to_unpersist: list) -> None:
         sh = shingle(batch_df, text_col, id_col, k, distinct=False)
-        sigs = minhash_signature_arrays(sh, id_col, num_hashes).persist()
+        sigs = minhash_signature_arrays(sh, id_col, num_hashes).transform(tracked_persist)
         to_unpersist.append(sigs)
         new_keys = lsh_band_keys(sigs, id_col, bands, rows_per_band)
         # First batch: no accepted index yet. Only a missing path may be
@@ -388,7 +390,7 @@ def streaming_neardup_ingest(
         )
         novel = batch_df.join(
             matched.withColumnRenamed("id_new", id_col), on=id_col, how="left_anti"
-        ).persist()
+        ).transform(tracked_persist)
         to_unpersist.append(novel)
         novel.write.mode("append").parquet(corpus_path)
         sigs.join(novel.select(id_col), on=id_col, how="left_semi").write.mode(

@@ -36,6 +36,16 @@ _ORIG_PERSIST = DataFrame.persist
 
 def _site_of_caller() -> str:
     fr = inspect.currentframe().f_back.f_back
+    # library persists are routed through lightlane_spark/cache.py's
+    # tracked_persist (often via DataFrame.transform) — walk past those
+    # frames so the reported site stays the OPERATOR's line, not the
+    # shared shim
+    while fr is not None:
+        fn = fr.f_code.co_filename
+        if os.path.basename(fn) == "cache.py" or f"{os.sep}pyspark{os.sep}" in fn:
+            fr = fr.f_back
+            continue
+        break
     return f"{os.path.basename(fr.f_code.co_filename)}:{fr.f_lineno}"
 
 
