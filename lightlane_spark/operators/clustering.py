@@ -30,7 +30,7 @@ no clustering operator; this is a north-star M5 extension
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lightlane_spark.cache import tracked_persist
@@ -358,45 +358,49 @@ def kcore_peel(
     peel away) — the standard canonical-doc pre-filter before
     committing a whole family to removal.
 
-    Shape: per round, one degree aggregation (explode both endpoints
-    → groupBy) and two semi-joins back onto the edge set; work is
-    O(|E|) per round, keyed shuffles only, no all-pairs anything.
+    Shape: the edge set is exploded ONCE into long format — each edge
+    contributes a row per endpoint, (a, b, id) — and every round is
+    two window functions on that relation, NO joins: ``count over
+    (partition by id)`` is each endpoint's current degree, ``min(deg)
+    over (partition by a, b)`` moves the weaker endpoint's degree onto
+    both of the edge's rows, and one filter drops the edge everywhere
+    it appears when that min is < k. Two keyed exchanges per round on
+    2|E| rows; the previous form (degree groupBy + two semi-joins back
+    onto the edge set) paid three exchanges plus two join builds per
+    round and measured ~10% slower in a same-session best-of-3 A/B on
+    the sf0.1 near-dup graph (2.41 s vs 2.68 s query-level, identical
+    results). Work is O(|E|) per round; a hot vertex concentrates its
+    rows in one window partition — the same skew profile as the
+    degree groupBy it replaces.
+
     ``localCheckpoint`` truncates lineage each round (same reason as
     ``connected_components``: an iterative DataFrame loop otherwise
-    doubles its plan every round). The INITIAL edge set is
-    checkpointed too: round 1 reads it twice (degree aggregation +
-    the surviving-edge semi-joins), and when the edges arrive as the
-    tail of a MinHash→verify pipeline, an unmaterialized input would
-    re-run that whole upstream chain per consumer — the edge list is
-    tiny relative to its derivation, so materializing it once is the
+    doubles its plan every round). The INITIAL long relation is
+    checkpointed too: when the edges arrive as the tail of a
+    MinHash→verify pipeline, an unmaterialized input would re-run
+    that whole upstream chain per consumer — the edge list is tiny
+    relative to its derivation, so materializing it once is the
     composition win (measured 4.0 → ~2.4 s on the sf0.1 near-dup
-    graph). Returns surviving ``(id, deg)`` — degree measured in the
-    peeled graph."""
-    e = (
-        edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    graph, r6). Returns surviving ``(id, deg)`` — degree measured in
+    the peeled graph."""
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    long = e.select(
+        "a", "b", F.explode(F.array("a", "b")).alias("id")
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
-        ends = e.select(F.col("a").alias("id")).unionAll(
-            e.select(F.col("b").alias("id"))
-        )
-        core = (
-            ends.groupBy("id")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("id")
-        )
-        e = (
-            e.join(core.withColumnRenamed("id", "a"), "a", "left_semi")
-            .join(core.withColumnRenamed("id", "b"), "b", "left_semi")
+        long = (
+            long.withColumn(
+                "deg", F.count(F.lit(1)).over(Window.partitionBy("id"))
+            )
+            .withColumn(
+                "mindeg", F.min("deg").over(Window.partitionBy("a", "b"))
+            )
+            .filter(F.col("mindeg") >= k)
+            .drop("deg", "mindeg")
             # lazy, as in connected_components: still truncates the
             # per-round plan, without forcing one eager job per round
             .localCheckpoint(eager=False)
         )
-    ends = e.select(F.col("a").alias("id")).unionAll(
-        e.select(F.col("b").alias("id"))
-    )
-    return ends.groupBy("id").agg(
+    return long.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
