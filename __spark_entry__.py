@@ -475,66 +475,33 @@ def entry(spark: SparkSession) -> DataFrame:
 #   4. oldest driver-green groups (r1, then r2); r3/r4-green queries
 #      rotate to the back and stay covered by the committed sweep.
 _RECHECK = [
-    # 1. the one red r4 row — pinned first until driver-green
-    "ship_delay_priority",
-    # 2. changed this round (bigint pin / plan trim / oracle TRY_CAST /
-    #    uuid-suffixed bucketed tables / versioned NULL-predicate fix /
-    #    Arrow gram-matmul near-dup / token-wise-hash decontamination)
-    # brand new this round — first driver check
-    "boilerplate_ngrams",
-    "ewma_smooth",
-    "target_encode",
-    "kcore_peel",
-    "embedding_neardup",
-    "decontaminate",
-    "embedding_neardup_lsh",
-    "semantic_dedup",
-    "frequent_pairs",
-    "vocab_drift",
-    "bucketed_join",
-    "versioned_merge",
-    "promotion_suppliers",
-    "period_over_period",
-    # 3. never driver-checked (late-r4 additions) — stalest of all
-    "ann_topk_filtered",
-    "avro_roundtrip",
-    "bloom_prefilter",
+    # --- Round-7 rotation (VERDICT r6 ask #1). The driver window
+    # truncates at 50, so the FIRST 50 names below are the r7 window:
+    #   1. queries whose plan/operator changed this round (bm25
+    #      window-df, hybrid fused agg, minhash_join pre-verify parity
+    #      filter, kcore window peel, persist A/B outcomes, slabbed
+    #      Arrow exact pass, frequent_pairs width-cap fallback);
+    #   2. the 11 queries that have NEVER had a driver row (they sat
+    #      past position 50 in the r5/r6 window);
+    #   3. the SURVEY §2 relational/loader core, driver-checked last
+    #      in r1-r3 (projection/filter/dedup_window/csv_roundtrip/
+    #      merge_load/partitioned_load/range_split/anti_join_merge and
+    #      the transform/sink battery) — the judge's named stale set;
+    #   4. r1-stale text/dedup rows to fill the window.
+    # Everything after slot 50 orders the remaining backlog oldest-
+    # first so the r8 rotation can continue down the list.
+    # 1. changed this round
     "bm25_topk",
-    "cdc_chunks",
-    "cms_heavy_hitters",
-    "cms_windowed",
-    "compacted_load",
-    "corpus_overlap",
-    "curation_pipeline",
-    "disjunctive_join_filter",
-    "dormant_customers",
-    "forecast_revenue",
-    "funnel_analysis",
-    "gopher_rules",
-    "group_zscore",
-    "hll_overlap",
-    "hll_rollup",
     "hybrid_retrieval",
-    "incremental_rollup",
-    "jdbc_roundtrip",
-    "join_size_estimate",
-    "k_anonymity_check",
-    "lateral_topk",
-    "leakage_safe_split",
-    "local_supplier_volume",
-    "market_share",
-    "min_cost_supplier",
     "minhash_join",
-    "ngram_lm_score",
-    "numeric_histogram",
-    "order_priority_check",
-    "pq_topk",
-    "pruned_scan",
-    "recursive_ancestors",
+    "minhash_lsh_pairs",
+    "kcore_peel",
+    "frequent_pairs",
+    "embedding_neardup",
+    # 2. never driver-checked
     "resample_fill",
     "retention_cohorts",
     "rollup_cdc_apply",
-    "semantic_dedup",
     "session_paths",
     "streaming_stateful_counts",
     "temperature_mix",
@@ -543,31 +510,57 @@ _RECHECK = [
     "url_dedup",
     "waiting_suppliers",
     "weighted_topk",
-    # 4. last driver-green in r01
-    "bow_similarity",
-    "chunk_documents",
+    # 3. SURVEY §2 relational/loader core (stale since r1-r3)
+    "projection",
+    "filter",
+    "column_exclusion",
+    "minmax_probe",
+    "top1",
+    "range_split",
+    "dedup_window",
+    "csv_roundtrip",
+    "hive_text_roundtrip",
+    "merge_load",
+    "append_load",
+    "partitioned_load",
+    "anti_join_merge",
+    "multi_sink_fanout",
+    "quarantine_good",
+    "quarantine_bad",
+    "union_all",
+    "table_profile",
+    "json_extract",
+    "explode",
+    "flatten_json_array",
+    "map_rows_tokens",
+    "drop_falsy",
+    # 4. r1-stale fill to 50
+    "pricing_summary",
+    "dedup_exact",
+    "tfidf_topk",
+    "text_quality",
+    "text_langid",
+    "text_clean",
+    "text_fingerprint",
+    "pii_redact",
+    "hashed_bow",
+    # --- end of the 50-query r7 window ---
+    # backlog, oldest driver row first (r1 group)
     "corpus_prep",
+    "chunk_documents",
+    "bow_similarity",
     "dataset_split",
     "decontaminate",
-    "dedup_exact",
     "fuzzy_match",
-    "hashed_bow",
-    "minhash_lsh_pairs",
     "minhash_signatures",
     "neardup_clusters",
     "neardup_dedup",
     "pagerank_neardup",
-    "pii_redact",
     "repetition_stats",
     "simhash_near_pairs",
     "stratified_sample",
-    "text_clean",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "tfidf_topk",
     "vocab_topk",
-    # last driver-green in r02
+    # r2 group
     "ann_topk_bruteforce",
     "asof_join",
     "asof_join_forward",
@@ -605,7 +598,6 @@ _RECHECK = [
     "small_order_revenue",
     "snapshot_diff",
     "supplier_rank",
-    "table_profile",
     "time_rollup",
     "topk_per_group",
     "unpivot",
@@ -615,6 +607,31 @@ _RECHECK = [
     "window_rank_lag",
     "window_running_sum",
     "xml_roundtrip",
+    # r3 group (stale but newer than the above)
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "approx_distinct",
+    "cdc_apply",
+    "corr_matrix",
+    "embedding_quantize",
+    "embedding_quantize_error",
+    "frame_sample",
+    "json_roundtrip",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_resize",
+    "pack_sequences",
+    "quality_topp",
+    "quota_sample",
+    "scd2_load",
+    "session_window",
+    "sessionize",
+    "span_dedup",
+    "streaming_window_counts",
+    "text_stats",
+    "weighted_sample",
+    "window_range_frame",
+    "zorder_key",
 ]
 
 
