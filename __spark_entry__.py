@@ -490,6 +490,8 @@ _RECHECK = [
     #   4. r1-stale text/dedup rows to fill the window.
     # Everything after slot 50 orders the remaining backlog oldest-
     # first so the r8 rotation can continue down the list.
+    # 0. brand new this round — first driver check
+    "dsir_select",
     # 1. changed this round
     "bm25_topk",
     "hybrid_retrieval",

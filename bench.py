@@ -107,6 +107,7 @@ HEADLINE = [
     "python_datasource_scan",
     "vocab_tokenize",
     "bm25_topk",
+    "dsir_select",
     "hybrid_retrieval",
     # round-4 session-5 additions: TPC-H star-join profit, bucketed
     # co-located join, behavior transitions, reproducible shuffle

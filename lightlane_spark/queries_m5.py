@@ -1499,6 +1499,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["table", "join", "scan"], k=10)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (text.dsir_log_weights): importance
+    log-weights of every document against the 'src0' target domain
+    under the hashed unigram+bigram generative model, top 20 — the
+    standard pretraining-mixture selector, fixed-size (64-bucket)
+    model, one feature shuffle, broadcast distributions."""
+    from lightlane_spark.operators.text import dsir_log_weights
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    return (
+        dsir_log_weights(docs, target=F.col("source") == "src0", dims=64)
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-50 and hashed-BoW cosine top-50 for
     the same query, fused by reciprocal-rank fusion (text.rrf_fuse —
@@ -1563,6 +1581,7 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "dsir_select": q_dsir_select,
     "hybrid_retrieval": q_hybrid_retrieval,
     "vocab_tokenize": q_vocab_tokenize,
     "padding_efficiency": q_padding_efficiency,
@@ -2984,6 +3003,43 @@ ORACLE["bm25_topk"] = """
     GROUP BY doc_id
     ORDER BY score DESC, doc_id
     LIMIT 10
+"""
+
+ORACLE["dsir_select"] = """
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source, unnest(t) AS gram FROM toks
+        UNION ALL
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM toks
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % 64
+                    AS INTEGER) AS bucket,
+               count(*) AS cnt
+        FROM grams GROUP BY 1, 2, 3
+    ),
+    dist AS (
+        SELECT bucket,
+               SUM(cnt) AS cq,
+               COALESCE(SUM(CASE WHEN source = 'src0' THEN cnt END), 0) AS tp
+        FROM feats GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(cq) AS cq_tot, SUM(tp) AS tp_tot FROM dist)
+    SELECT f.doc_id,
+           CAST(SUM(CAST(round(f.cnt * ln(
+               ((d.tp + 1) / (t.tp_tot + 64))
+               / ((d.cq + 1) / (t.cq_tot + 64))), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) AS dsir_weight
+    FROM feats f JOIN dist d ON f.bucket = d.bucket CROSS JOIN tot t
+    GROUP BY f.doc_id
+    ORDER BY dsir_weight DESC, f.doc_id
+    LIMIT 20
 """
 
 ORACLE["hybrid_retrieval"] = """

@@ -397,3 +397,41 @@ def test_contaminated_ids_hashed_join_semantics(spark):
     )
     got = sorted(r.doc_id for r in contaminated_ids(corpus, bench, k=8).collect())
     assert got == [1]
+
+
+def test_dsir_log_weights_orders_by_target_similarity(spark):
+    """DSIR importance log-weights must rank documents that share the
+    target domain's n-grams above documents that don't, and the model
+    must be scale-free in the doc count (weights depend only on the
+    two fitted multinomials)."""
+    import pyspark.sql.functions as F
+
+    from lightlane_spark.operators.text import dsir_log_weights
+
+    target_text = "spark shuffle partition exchange broadcast join"
+    rows = [
+        # the target domain (is_target = True)
+        (1, target_text, "tgt"),
+        (2, "spark shuffle partition broadcast exchange plan", "tgt"),
+        # raw docs: one target-like, one alien
+        (10, "spark shuffle partition exchange join plan", "raw"),
+        (11, "banana apple orange kiwi mango papaya", "raw"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string, source: string")
+    got = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_log_weights(
+            docs, target=F.col("source") == "tgt", dims=64
+        ).collect()
+    }
+    assert set(got) == {1, 2, 10, 11}
+    # target-like raw doc scores strictly higher than the alien doc
+    assert got[10] > got[11]
+    # deterministic: a second run yields identical values
+    again = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_log_weights(
+            docs, target=F.col("source") == "tgt", dims=64
+        ).collect()
+    }
+    assert got == again
