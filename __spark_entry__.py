@@ -492,6 +492,7 @@ _RECHECK = [
     # first so the r8 rotation can continue down the list.
     # 0. brand new this round — first driver check
     "dsir_select",
+    "containment_join",
     # 1. changed this round
     "bm25_topk",
     "hybrid_retrieval",

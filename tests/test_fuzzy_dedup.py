@@ -374,3 +374,63 @@ def test_kcore_peel_known_graph(spark):
     raw = {(r.id, r.deg) for r in kcore_peel(edges, k=3, rounds=0).collect()}
     assert raw == {(1, 3), (2, 3), (3, 3), (4, 4), (9, 1),
                    (10, 1), (11, 2), (12, 1)}
+
+
+def test_containment_join_finds_contained_docs(spark):
+    """A short doc embedded verbatim inside a longer one must score
+    containment 1.0 in the (contained -> container) direction only;
+    an unrelated doc never pairs. Jaccard would miss the embedding
+    (size ratio caps it below any useful threshold)."""
+    from lightlane_spark.operators.fuzzy_dedup import containment_join
+
+    inner = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, inner),
+            (2, f"intro words here {inner} and a long tail of extra context words"),
+            (3, "totally different content with no shared grams at all right"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    rows = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_join(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)] == 1.0
+    assert (2, 1) not in rows  # the container is not contained
+    assert all(3 not in pair for pair in rows)
+
+
+def test_containment_join_matches_allpairs(spark):
+    """Lossless: the prefix-filtered result equals brute-force all-pairs
+    containment on a corpus with duplicated and truncated docs."""
+    from lightlane_spark.operators.fuzzy_dedup import containment_join, shingle
+
+    base = [
+        (i, f"w{i} common one common two common three tail{i} more words here w{i}")
+        for i in range(12)
+    ]
+    extra = [(100 + i, t.split(" ", 1)[1]) for i, t in base[::3]]  # truncated
+    docs = spark.createDataFrame(base + extra, "doc_id: bigint, text: string")
+
+    got = {
+        (r.id_a, r.id_b): round(r.containment, 9)
+        for r in containment_join(docs, threshold=0.8).collect()
+    }
+
+    sh = shingle(docs, "text", "doc_id", 3, distinct="inrow")
+    sets = {
+        r.doc_id: set(r.grams)
+        for r in sh.groupBy("doc_id")
+        .agg(__import__("pyspark").sql.functions.collect_set("sh").alias("grams"))
+        .collect()
+    }
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if len(sa & sb) * 10 >= len(sa) * 8:
+                want[(a, b)] = round(c, 9)
+    assert got == want
