@@ -229,3 +229,73 @@ def test_bpe_train_at_125k_docs(spark):
     # 25x the corpus must not mean 25x the trainer time: vocab-bound
     assert wall < 240, f"bpe scale smoke too slow: {wall:.0f}s"
     print(f"SCALE_SMOKE bpe_train rounds=3 merges={merges} wall={wall:.1f}s")
+
+
+def test_containment_join_at_50k_docs(spark):
+    """Asymmetric containment join on a x10-amplified corpus: copy 0
+    is verbatim, other copies prepend one token — so every mutated
+    copy CONTAINS its base doc's full gram set AND (long docs) family
+    copies contain each other's tails, i.e. the true result is the
+    family ORDERED-pair cliques (~x2 a Jaccard clique). The full-side
+    index explodes every gram (vs the Jaccard smoke's prefix-only
+    index) which multiplies candidate rows by the family size — x10
+    keeps the smoke minutes-scale on local[32]; the design point being
+    smoked is that candidates travel as bare id triples and arrays
+    join back once per verified pair, so shuffle bytes stay linear in
+    gram rows, never O(n²) per-doc array duplication."""
+    from lightlane_spark.operators.fuzzy_dedup import containment_join
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    copies = spark.range(10).withColumnRenamed("id", "copy")
+    corpus = docs.crossJoin(copies).select(
+        (F.col("doc_id") * 100 + F.col("copy")).alias("doc_id"),
+        F.when(F.col("copy") == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.concat_ws("", F.lit("tok"), F.col("copy")),
+                F.lit(" "),
+                F.col("text"),
+            )
+        )
+        .alias("text"),
+    )
+    t0 = time.monotonic()
+    n_pairs = containment_join(corpus, threshold=0.9).count()
+    wall = time.monotonic() - t0
+    # every family yields >= its 9 (base contained-in copy) pairs
+    assert n_pairs > 40_000
+    assert wall < 600, f"containment smoke too slow: {wall:.0f}s"
+    print(f"SCALE_SMOKE containment docs=50000 pairs={n_pairs} wall={wall:.1f}s")
+
+
+def test_kcore_window_peel_at_1m_edges(spark):
+    """Window-based k-core peel on a synthetic ~1M-edge graph
+    (power-law-ish: vertex v links to v/2 .. v/2+v%8): four rounds of
+    two window exchanges each over 2|E| long rows — the r7 join-free
+    form — must stay seconds-scale and return a non-trivial core."""
+    from lightlane_spark.operators.clustering import kcore_peel
+
+    edges = (
+        spark.range(1, 500_001)
+        .select(F.col("id").alias("v"))
+        .select(
+            "v",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("v") / 2).cast("long"),
+                    F.floor(F.col("v") / 2).cast("long") + F.col("v") % 8,
+                )
+            ).alias("u"),
+        )
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").cast("long").alias("id_a"), F.col("v").alias("id_b"))
+    )
+    t0 = time.monotonic()
+    core = kcore_peel(edges, k=4, rounds=4)
+    n_core = core.count()
+    wall = time.monotonic() - t0
+    assert n_core > 0
+    assert wall < 300, f"kcore scale smoke too slow: {wall:.0f}s"
+    print(f"SCALE_SMOKE kcore_peel edges~1M core={n_core} wall={wall:.1f}s")
