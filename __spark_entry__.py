@@ -493,6 +493,7 @@ _RECHECK = [
     # 0. brand new this round — first driver check
     "dsir_select",
     "containment_join",
+    "char_entropy",
     # 1. changed this round
     "bm25_topk",
     "hybrid_retrieval",

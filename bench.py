@@ -109,6 +109,7 @@ HEADLINE = [
     "vocab_tokenize",
     "bm25_topk",
     "dsir_select",
+    "char_entropy",
     "hybrid_retrieval",
     # round-4 session-5 additions: TPC-H star-join profit, bucketed
     # co-located join, behavior transitions, reproducible shuffle

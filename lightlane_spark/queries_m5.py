@@ -349,6 +349,19 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per doc
+    (text.char_entropy): the symbol-level gibberish/spam signal —
+    base64 blobs score high, padding spam scores low. One map-side-
+    combined (id, char) shuffle; 9dp decimal-exact contributions."""
+    from lightlane_spark.operators.text import char_entropy
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # entropy is already exact (9dp decimal sum cast to double) — no
+    # re-round, the oracle emits the identical cast
+    return char_entropy(docs).select("doc_id", "n_chars", "entropy")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 8-gram with
     the 'benchmark' fixture (every 97th doc). Benchmark grams
@@ -1642,6 +1655,7 @@ QUERIES = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "set_similarity_join": q_set_similarity_join,
     "containment_join": q_containment_join,
+    "char_entropy": q_char_entropy,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_filtered": q_ann_topk_filtered,
@@ -2939,6 +2953,29 @@ ORACLE["set_similarity_join"] = f"""
     JOIN sizes za ON za.doc_id = p.id_a
     JOIN sizes zb ON zb.doc_id = p.id_b
     WHERE n_inter * (7 + 10) >= (za.n_sh + zb.n_sh) * 7
+"""
+
+ORACLE["char_entropy"] = """
+    WITH chars AS (
+        SELECT doc_id, substring(text, CAST(i AS INTEGER), 1) AS ch
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i) t
+    ),
+    counts AS (
+        SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT doc_id, ch, cnt,
+               SUM(cnt) OVER (PARTITION BY doc_id) AS n_chars
+        FROM counts
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(SUM(CAST(round(
+               -(CAST(cnt AS DOUBLE) / n_chars)
+               * ln(CAST(cnt AS DOUBLE) / n_chars), 9)
+               AS DECIMAL(28,9))) AS DOUBLE) AS entropy
+    FROM tot
+    GROUP BY doc_id, n_chars
 """
 
 ORACLE["containment_join"] = f"""

@@ -435,3 +435,28 @@ def test_dsir_log_weights_orders_by_target_similarity(spark):
         ).collect()
     }
     assert got == again
+
+
+def test_char_entropy_separates_uniform_from_degenerate(spark):
+    """Symbol entropy: a single repeated character scores exactly 0,
+    a near-uniform symbol string scores ~ln(alphabet), and natural
+    text sits between; empty docs are absent."""
+    import math
+
+    from lightlane_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaa"),
+            (2, "abcdefghijklmnop"),  # 16 distinct chars, uniform
+            (3, "the cat sat on the mat"),
+            (4, ""),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    rows = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert set(rows) == {1, 2, 3}  # empty doc absent
+    assert rows[1].entropy == 0.0
+    assert abs(rows[2].entropy - math.log(16)) < 1e-6
+    assert 0.0 < rows[3].entropy < math.log(16)
+    assert rows[2].n_chars == 16
