@@ -494,6 +494,7 @@ _RECHECK = [
     "dsir_select",
     "containment_join",
     "char_entropy",
+    "rp_project",
     # 1. changed this round
     "bm25_topk",
     "hybrid_retrieval",

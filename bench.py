@@ -110,6 +110,7 @@ HEADLINE = [
     "bm25_topk",
     "dsir_select",
     "char_entropy",
+    "rp_project",
     "hybrid_retrieval",
     # round-4 session-5 additions: TPC-H star-join profit, bucketed
     # co-located join, behavior transitions, reproducible shuffle

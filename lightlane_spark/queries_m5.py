@@ -816,6 +816,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round(F.col("sim"), 6).alias("sim"))
 
 
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64 → 16 dims
+    (embeddings.random_projection): the cheap pre-ANN dimensionality
+    reduction; md5-derived sign matrix (engine-portable, stateless),
+    one map-side-combined shuffle, decimal-exact sums."""
+    from lightlane_spark.operators.embeddings import random_projection
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, in_dims=64, out_dims=16)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 quantization codes, exploded to integer rows (engine-exact
     arithmetic; see operators/embeddings.py)."""
@@ -1663,6 +1674,7 @@ QUERIES = {
     "pq_topk": q_pq_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "rp_project": q_rp_project,
     "embedding_quantize": q_embedding_quantize,
     "embedding_quantize_error": q_embedding_quantize_error,
     "multimodal_decode": q_multimodal_decode,
@@ -2409,6 +2421,27 @@ ORACLE = {
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v) /
               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+    """,
+    "rp_project": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        comps AS (
+            SELECT vec_id,
+                   CAST(unnest(range(len(v))) AS INTEGER) AS i,
+                   unnest(v) AS x
+            FROM e
+        ),
+        mat AS (
+            SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+                   CASE WHEN ('0x' || substr(
+                        md5('rp:' || i || ':' || j), 1, 8))::BIGINT % 2 = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM range(64) t1(i), range(16) t2(j)
+        )
+        SELECT c.vec_id, m.j AS rp_dim,
+               CAST(SUM(CAST(round(m.s * c.x, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) * 0.25 AS value
+        FROM comps c JOIN mat m ON c.i = m.i
+        GROUP BY c.vec_id, m.j
     """,
     "embedding_quantize": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -58,3 +58,42 @@ def test_l2_normalize(spark):
             assert n == 0.0  # zero vector passes through
         else:
             assert abs(n - 1.0) < 1e-12
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    """JL contract on a controlled fixture: after 64→16 projection,
+    a pair of identical vectors stays at distance 0, and a far pair
+    stays much farther than a near pair (rank preservation — the
+    property ANN-after-projection relies on). Also pins determinism:
+    the md5 sign matrix makes repeated runs bit-identical."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.embeddings import random_projection
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + 0.01 for x in base]
+    far = [-x for x in base]
+    rows = [(1, base), (2, list(base)), (3, near), (4, far)]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<double>")
+
+    out = random_projection(df, in_dims=64, out_dims=16)
+    vecs = {}
+    for r in out.collect():
+        vecs.setdefault(r.vec_id, {})[r.rp_dim] = r.value
+    assert all(len(v) == 16 for v in vecs.values())
+
+    def dist(a, b):
+        return math.sqrt(sum((vecs[a][j] - vecs[b][j]) ** 2 for j in range(16)))
+
+    assert dist(1, 2) == 0.0  # identical in, identical out
+    assert dist(1, 4) > 5 * dist(1, 3)  # far stays far, near stays near
+
+    again = {
+        (r.vec_id, r.rp_dim): r.value
+        for r in random_projection(df, in_dims=64, out_dims=16).collect()
+    }
+    assert all(again[(i, j)] == vecs[i][j] for i in vecs for j in range(16))
