@@ -491,6 +491,9 @@ _RECHECK = [
     # Everything after slot 50 orders the remaining backlog oldest-
     # first so the r8 rotation can continue down the list.
     # 0. brand new this round — first driver check
+    "winsorize",
+    "dataset_card_stats",
+    "cooccurrence_pmi",
     "dsir_select",
     "containment_join",
     "char_entropy",

@@ -111,6 +111,9 @@ HEADLINE = [
     "dsir_select",
     "char_entropy",
     "rp_project",
+    "winsorize",
+    "dataset_card_stats",
+    "cooccurrence_pmi",
     "hybrid_retrieval",
     # round-4 session-5 additions: TPC-H star-join profit, bucketed
     # co-located join, behavior transitions, reproducible shuffle

@@ -362,6 +362,116 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs).select("doc_id", "n_chars", "entropy")
 
 
+def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card composition report: per detected language, doc
+    count, corpus share, total whitespace tokens, high-quality count
+    (quality_score ≥ 0.75) and decimal-exact mean quality — the
+    one-pass summary every corpus release ships (HF dataset cards,
+    Dolma/RedPajama composition tables). All signals are JVM
+    expressions (language_id, quality_score, token_count), so the
+    corpus is scanned ONCE and map-side-combined into a
+    language-cardinality aggregate; the share window runs over that
+    ≤|langs|-row relation, never the corpus. Mean quality goes
+    through round-9dp DECIMAL per doc (order-independent sum, same
+    contract as char_entropy) divided in double by the count."""
+    docs = read_table(spark, sf_dir, "documents").select("text")
+    m = docs.select(
+        language_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+        token_count("text").alias("ntok"),
+    )
+    per = m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+        F.sum(F.round(F.col("q"), 9).cast("decimal(28,9)")).alias("qsum"),
+        F.sum((F.col("q") >= 0.75).cast("bigint")).alias("n_high_q"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # over the tiny per-language relation only
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_high_q",
+        (F.col("qsum").cast("double") / F.col("n_docs")).alias("mean_quality"),
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("doc_share"),
+    ).orderBy("lang")
+
+
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence PMI over the top-40 vocabulary: which word
+    pairs appear in the same document far more often than chance —
+    the collocation / topic-coherence primitive (phrase mining,
+    embedding sanity checks, template detection when PMI ≈ max).
+    Candidate blow-up is controlled by the vocabulary restriction:
+    per-doc pair fan-out is ≤ C(40,2), so the within-doc self-join is
+    a co-partitioned join on doc_id with BOUNDED output per row —
+    never all-pairs over the corpus. The vocabulary itself comes from
+    a distributed top-k (TakeOrderedAndProject over the doc-frequency
+    aggregate, deterministic df-desc/token-asc ties) and is broadcast
+    back; doc frequencies re-attach to the pair counts by broadcast.
+    PMI = ln(P(a,b)/(P(a)P(b))) from exact integer counts, rounded
+    6dp for cross-engine ln parity."""
+    from lightlane_spark.cache import tracked_persist
+    from lightlane_spark.operators.text import tokenize
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # materialized ONCE (cache contract, see lightlane_spark.cache):
+    # three consumers (df aggregate + both self-join sides) would
+    # otherwise each re-scan the corpus and re-run the distinct
+    toks = tracked_persist(
+        docs.select(
+            "doc_id", F.explode(tokenize("text")).alias("tok")
+        ).distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.col("df").desc(), F.col("tok")).limit(40)
+    e = toks.join(F.broadcast(vocab.select("tok")), "tok").select(
+        "doc_id", "tok"
+    )
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "doc_id")
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 5)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("tok").alias("tok_a"),
+                                     F.col("df").alias("df_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("tok").alias("tok_b"),
+                                     F.col("df").alias("df_b"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_both",
+            F.round(
+                F.log(
+                    (F.col("n_both") * F.col("n_corpus")).cast("double")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 8-gram with
     the 'benchmark' fixture (every 97th doc). Benchmark grams
@@ -1667,6 +1777,8 @@ QUERIES = {
     "set_similarity_join": q_set_similarity_join,
     "containment_join": q_containment_join,
     "char_entropy": q_char_entropy,
+    "dataset_card_stats": q_dataset_card_stats,
+    "cooccurrence_pmi": q_cooccurrence_pmi,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_filtered": q_ann_topk_filtered,
@@ -3009,6 +3121,69 @@ ORACLE["char_entropy"] = """
                AS DECIMAL(28,9))) AS DOUBLE) AS entropy
     FROM tot
     GROUP BY doc_id, n_chars
+"""
+
+ORACLE["dataset_card_stats"] = f"""
+    WITH m AS (
+        SELECT CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+               len(string_split(text, ' ')) AS ntok_i,
+               CAST(length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS DOUBLE) AS n_alpha,
+               len(list_filter(string_split(text,' '), x -> x IN {_SW})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_en,
+               len(list_filter(string_split(text,' '), x -> x IN {_SW_DE})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_de,
+               len(list_filter(string_split(text,' '), x -> x IN {_SW_ES})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_es,
+               len(list_filter(string_split(text,' '), x -> x IN {_SW_FR})) / CAST(len(string_split(text,' ')) AS DOUBLE) AS r_fr
+        FROM documents
+    ),
+    scored AS (
+        SELECT CASE WHEN greatest(r_en,r_de,r_es,r_fr) = 0 THEN 'und'
+                    WHEN r_en = greatest(r_en,r_de,r_es,r_fr) THEN 'en'
+                    WHEN r_de = greatest(r_en,r_de,r_es,r_fr) THEN 'de'
+                    WHEN r_es = greatest(r_en,r_de,r_es,r_fr) THEN 'es'
+                    WHEN r_fr = greatest(r_en,r_de,r_es,r_fr) THEN 'fr'
+                    ELSE 'und' END AS lang,
+               0.25 * (CASE WHEN n_toks >= 10 AND n_toks <= 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (n_alpha / n_chars)
+             + 0.25 * (CASE WHEN r_en > 0.01 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (CASE WHEN (n_chars / n_toks) >= 2 AND (n_chars / n_toks) <= 12 THEN 1.0 ELSE 0.0 END)
+               AS q,
+               ntok_i
+        FROM m
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(ntok_i) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_q,
+           CAST(SUM(CAST(round(q, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS mean_quality,
+           CAST(count(*) AS DOUBLE)
+               / CAST(SUM(count(*)) OVER () AS DOUBLE) AS doc_share
+    FROM scored GROUP BY lang ORDER BY lang
+"""
+
+ORACLE["cooccurrence_pmi"] = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+    vocab AS (
+        SELECT tok, df FROM dfreq ORDER BY df DESC, tok LIMIT 40
+    ),
+    e AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok)),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_both
+        FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    n AS (SELECT count(*) AS n_corpus FROM documents)
+    SELECT tok_a, tok_b, CAST(n_both AS BIGINT) AS n_both,
+           round(ln(CAST(n_both * n_corpus AS DOUBLE)
+                    / CAST(va.df * vb.df AS DOUBLE)), 6) AS pmi
+    FROM pairs
+    JOIN vocab va ON va.tok = pairs.tok_a
+    JOIN vocab vb ON vb.tok = pairs.tok_b
+    CROSS JOIN n
+    ORDER BY tok_a, tok_b
 """
 
 ORACLE["containment_join"] = f"""

@@ -3207,6 +3207,79 @@ ORACLE["group_quantiles"] = """
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization audit: clamp values to the discrete
+    [p05, p95] (value-at-rank ⌈p·n⌉ — actual data elements, so the
+    cut points are bit-portable like `group_quantiles`), then report
+    the cuts, clip counts, and the decimal-exact winsorized sum per
+    group. The standard heavy-tail tamer for metric pipelines where
+    dropping outliers (mad_outliers) loses mass but keeping them
+    (group_zscore moments) lets one sensor spike own the mean.
+
+    One exchange end-to-end: the sort window, the two unbounded
+    cut-point windows, and the final aggregate all share the
+    event_type partitioning, so Catalyst reuses a single shuffle; the
+    fact table is never re-shuffled. At 100 TB groups are the
+    parallelism unit (same contract as group_quantiles); skewed
+    group sizes are a sort problem per group, not a join problem."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    wp = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(wp)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    cut = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("value"))
+    ).over(wc)
+    b = r.withColumn("lo", cut(0.05)).withColumn("hi", cut(0.95))
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.max("lo").alias("p05"),
+            F.max("hi").alias("p95"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("value") < F.col("lo")).cast("bigint")).alias(
+                "n_clip_lo"
+            ),
+            F.sum((F.col("value") > F.col("hi")).cast("bigint")).alias(
+                "n_clip_hi"
+            ),
+            _dec_sum(clamped, "winsor_sum", 6),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["winsorize"] = q_winsorize
+
+ORACLE["winsorize"] = """
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, value,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT) THEN value END)
+                   OVER (PARTITION BY event_type) AS lo,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END)
+                   OVER (PARTITION BY event_type) AS hi
+        FROM r
+    )
+    SELECT event_type,
+           MAX(lo) AS p05,
+           MAX(hi) AS p95,
+           count(*) AS n_rows,
+           CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           CAST(SUM(CAST(least(greatest(value, lo), hi) AS DECIMAL(28,6)))
+                AS DOUBLE) AS winsor_sum
+    FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of a JOIN view (delta-join
     decomposition, operators/incremental.py::incremental_join_delta):
