@@ -491,6 +491,10 @@ _RECHECK = [
     # Everything after slot 50 orders the remaining backlog oldest-
     # first so the r8 rotation can continue down the list.
     # 0. brand new this round — first driver check
+    "pareto_frontier",
+    "point_in_time_join",
+    "quantile_normalize",
+    "seasonal_baseline",
     "winsorize",
     "dataset_card_stats",
     "cooccurrence_pmi",

@@ -114,6 +114,10 @@ HEADLINE = [
     "winsorize",
     "dataset_card_stats",
     "cooccurrence_pmi",
+    "pareto_frontier",
+    "point_in_time_join",
+    "quantile_normalize",
+    "seasonal_baseline",
     "hybrid_retrieval",
     # round-4 session-5 additions: TPC-H star-join profit, bucketed
     # co-located join, behavior transitions, reproducible shuffle

@@ -3280,6 +3280,230 @@ ORACLE["winsorize"] = """
 """
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of the parts catalog: minimize
+    p_retailprice, maximize p_size — the parts no rational buyer can
+    rule out. The textbook skyline is an all-pairs NOT EXISTS (the
+    oracle states exactly that, so the two sides are independent
+    formulations); the distributed form never compares pairs:
+
+    1. one map-side-combined groupBy → min price per size (the
+       skyline only ever passes through per-size minima);
+    2. the dominance "staircase" — best price among STRICTLY larger
+       sizes — is a running min over that ≤|size-domain| relation
+       (50 rows here; bounded by the attribute domain, not the fact);
+    3. broadcast back: a part survives iff it ties its size's min
+       price AND beats the staircase threshold.
+
+    At 100 TB: one shuffle (the groupBy), one broadcast join, zero
+    self-joins. Ties on the frontier all survive (identical points
+    do not dominate each other) — both formulations agree."""
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    m = p.groupBy("p_size").agg(F.min("p_retailprice").alias("m"))
+    w = (
+        Window.orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # global window over the tiny size-domain relation only
+    stair = m.withColumn("thr", F.min("m").over(w))
+    return (
+        p.join(F.broadcast(stair), "p_size")
+        .where(
+            (F.col("p_retailprice") == F.col("m"))
+            & (F.col("thr").isNull() | (F.col("p_retailprice") < F.col("thr")))
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
+    )
+
+
+QUERIES["pareto_frontier"] = q_pareto_frontier
+
+ORACLE["pareto_frontier"] = """
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY p_size, p_partkey
+"""
+
+
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each lineitem shipment picks the SCD2
+    order version that was valid AT ITS SHIP DATE — the temporal-
+    validity lookup every warehouse does against slowly-changing
+    dimensions (price at time of sale, not price today). Dimension =
+    the ``scd2_apply`` fixture (every 10th order repriced ×2,
+    effective 1998-06-01 — mid shipdate range, so both versions get
+    traffic); the oracle rebuilds the same two-version history
+    directly in SQL, independent of the operator.
+
+    Scale shape: this is NOT a range join — it is an equi-join on
+    l_orderkey (co-partitioned SMJ/shuffle-hash) with the validity
+    interval as a post-join filter; SCD2 guarantees ≤ a handful of
+    versions per key, so the filter multiplies nothing. Revenue in
+    exact DECIMAL; boolean flag cast to BIGINT for driver-sort
+    stability."""
+    from lightlane_spark.operators.cdc import OPEN_END, scd2_apply
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    hist = o.withColumn(
+        "valid_from", F.lit("1995-01-01 00:00:00").cast("timestamp")
+    ).withColumn("valid_to", F.lit(OPEN_END).cast("timestamp"))
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ver = scd2_apply(hist, upd, ["o_orderkey"], "1998-06-01 00:00:00")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    j = li.join(
+        ver,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("l_shipdate") < F.col("valid_to")),
+    )
+    eff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    return (
+        j.groupBy(
+            "l_returnflag",
+            (F.col("valid_from") == eff).cast("bigint").alias("repriced"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ship"),
+            _dec_sum(F.col("o_totalprice"), "order_value", 2),
+        )
+        .orderBy("l_returnflag", "repriced")
+    )
+
+
+QUERIES["point_in_time_join"] = q_point_in_time_join
+
+ORACLE["point_in_time_join"] = """
+    WITH ver AS (
+        SELECT o_orderkey, o_totalprice,
+               TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+               CASE WHEN o_orderkey % 10 = 0
+                    THEN TIMESTAMP '1998-06-01 00:00:00'
+                    ELSE TIMESTAMP '2200-01-01 00:00:00' END AS valid_to
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 2,
+               TIMESTAMP '1998-06-01 00:00:00',
+               TIMESTAMP '2200-01-01 00:00:00'
+        FROM orders WHERE o_orderkey % 10 = 0
+    )
+    SELECT l_returnflag,
+           CAST(valid_from = TIMESTAMP '1998-06-01 00:00:00' AS BIGINT)
+               AS repriced,
+           count(*) AS n_ship,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+               AS order_value
+    FROM lineitem JOIN ver
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= valid_from AND l_shipdate < valid_to
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization mapping table: for each event_type and
+    percentile p ∈ 1..100, the group's source value at discrete rank
+    ⌈p·n/100⌉ and the TARGET value every group maps that percentile
+    to — the cross-group mean of the source values (decimal-exact).
+    The batch-effect remover (microarray heritage, now feature/score
+    calibration across data sources): apply the table and every
+    group's distribution becomes the average distribution.
+
+    Value-at-rank keeps everything bit-portable (actual data
+    elements, integer rank arithmetic ⌈p·n/100⌉ = (p·n+99) div 100 —
+    no float percentile interpolation). Scale: ranking is a
+    PER-GROUP window (groups are the parallelism unit, same contract
+    as group_quantiles/winsorize); the grid (|groups|×100 rows) and
+    the target table (100 rows) are broadcast — the fact crosses the
+    wire once for the sort, output is grid-sized."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    wp = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", F.row_number().over(wp).alias("rn"), "value"
+    )
+    grid = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("event_type").alias("g_type"),
+            F.explode(F.sequence(F.lit(1), F.lit(100))).alias("p"),
+            F.col("n"),
+        )
+        .withColumn("rn_needed", F.expr("(p * n + 99) div 100"))
+    )
+    # src is GRID-sized (one row per group×percentile) but costs a
+    # corpus-wide per-group sort to compute; materialize it once so
+    # the target-mean branch doesn't re-run the window (plan audit
+    # showed two Scan+Window subtrees without this).
+    src = tracked_persist(
+        ranked.join(
+            F.broadcast(grid),
+            (ranked["event_type"] == grid["g_type"])
+            & (ranked["rn"] == grid["rn_needed"]),
+        ).select(
+            "event_type", F.col("p").cast("bigint").alias("p"),
+            F.col("value").alias("src_value"),
+        )
+    )
+    tgt = src.groupBy("p").agg(
+        (
+            F.sum(F.round("src_value", 9).cast("decimal(28,9)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("tgt_value")
+    )
+    return (
+        src.join(F.broadcast(tgt), "p")
+        .select("event_type", "p", "src_value", "tgt_value")
+        .orderBy("event_type", "p")
+    )
+
+
+QUERIES["quantile_normalize"] = q_quantile_normalize
+
+ORACLE["quantile_normalize"] = """
+    WITH n AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    grid AS (
+        SELECT event_type, n, p, (p * n + 99) // 100 AS rn_needed
+        FROM n, (SELECT unnest(generate_series(1, 100)) AS p)
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn
+        FROM events
+    ),
+    src AS (
+        SELECT g.event_type, CAST(g.p AS BIGINT) AS p,
+               r.value AS src_value
+        FROM grid g JOIN ranked r
+          ON r.event_type = g.event_type AND r.rn = g.rn_needed
+    ),
+    tgt AS (
+        SELECT p,
+               CAST(SUM(CAST(round(src_value, 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) / count(*) AS tgt_value
+        FROM src GROUP BY p
+    )
+    SELECT s.event_type, s.p, s.src_value, t.tgt_value
+    FROM src s JOIN tgt t USING (p)
+    ORDER BY s.event_type, s.p
+"""
+
+
 def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of a JOIN view (delta-join
     decomposition, operators/incremental.py::incremental_join_delta):

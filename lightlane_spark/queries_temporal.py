@@ -644,3 +644,91 @@ ORACLE["target_encode"] = """
     FROM per_cat, tot
     ORDER BY c_mktsegment
 """
+
+
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal baseline vs the most recent week: per
+    (event_type, hour-of-week) the historical mean value (everything
+    OLDER than max_ts − 7 days) next to the latest week's mean and
+    their difference — the standard seasonality-aware anomaly check
+    (is this Monday-9am normal for a Monday-9am?).
+
+    Hour-of-week is (epoch_seconds div 3600) mod 168 — an epoch
+    anchor, not locale day-of-week, so both engines bucket
+    identically. ONE corpus shuffle: the cutoff comes from a 1-row
+    max aggregate broadcast onto the scan, and baseline + recent
+    stats fold in the SAME groupBy via conditional aggregates
+    (no second pass, no join of two aggregates). Means go through
+    round-9dp DECIMAL sums ÷ count (order-independent, exact);
+    empty cells surface as n=0 with 0-valued means (coalesced
+    identically in both engines — the driver sort cannot order
+    NULLs)."""
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    sec = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))"
+    )
+    e = ev.select("event_type", sec.alias("es"), "value")
+    mx = e.agg(F.max("es").alias("mx"))
+    j = e.crossJoin(F.broadcast(mx)).withColumn(
+        "how", F.expr("(es div 3600) % 168")
+    )
+    is_recent = F.col("es") >= F.col("mx") - F.lit(604800)
+    dec = F.round(F.col("value"), 9).cast("decimal(28,9)")
+    agg = j.groupBy("event_type", "how").agg(
+        F.count(F.when(~is_recent, 1)).alias("n_base"),
+        F.count(F.when(is_recent, 1)).alias("n_recent"),
+        F.coalesce(
+            F.sum(F.when(~is_recent, dec)).cast("double"), F.lit(0.0)
+        ).alias("s_base"),
+        F.coalesce(
+            F.sum(F.when(is_recent, dec)).cast("double"), F.lit(0.0)
+        ).alias("s_recent"),
+    )
+    mean = lambda s, n: F.when(  # noqa: E731
+        F.col(n) > 0, F.col(s) / F.col(n)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "event_type",
+        "how",
+        "n_base",
+        "n_recent",
+        mean("s_base", "n_base").alias("mean_base"),
+        mean("s_recent", "n_recent").alias("mean_recent"),
+        (mean("s_recent", "n_recent") - mean("s_base", "n_base")).alias(
+            "delta"
+        ),
+    ).orderBy("event_type", "how")
+
+
+QUERIES["seasonal_baseline"] = q_seasonal_baseline
+
+ORACLE["seasonal_baseline"] = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+        FROM events
+    ),
+    mx AS (SELECT max(es) AS mx FROM e),
+    agg AS (
+        SELECT event_type, (es // 3600) % 168 AS how,
+               count(CASE WHEN es <  mx - 604800 THEN 1 END) AS n_base,
+               count(CASE WHEN es >= mx - 604800 THEN 1 END) AS n_recent,
+               coalesce(CAST(SUM(CASE WHEN es < mx - 604800 THEN
+                   CAST(round(value, 9) AS DECIMAL(28,9)) END) AS DOUBLE),
+                   0.0) AS s_base,
+               coalesce(CAST(SUM(CASE WHEN es >= mx - 604800 THEN
+                   CAST(round(value, 9) AS DECIMAL(28,9)) END) AS DOUBLE),
+                   0.0) AS s_recent
+        FROM e, mx GROUP BY 1, 2
+    )
+    SELECT event_type, how, n_base, n_recent,
+           CASE WHEN n_base > 0 THEN s_base / n_base ELSE 0.0 END
+               AS mean_base,
+           CASE WHEN n_recent > 0 THEN s_recent / n_recent ELSE 0.0 END
+               AS mean_recent,
+           (CASE WHEN n_recent > 0 THEN s_recent / n_recent ELSE 0.0 END)
+         - (CASE WHEN n_base > 0 THEN s_base / n_base ELSE 0.0 END)
+               AS delta
+    FROM agg ORDER BY event_type, how
+"""
