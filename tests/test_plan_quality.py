@@ -410,3 +410,55 @@ def test_promotion_suppliers_shares_one_partkey_exchange(spark, sf_dir):
     df = m._queries_unordered()["promotion_suppliers"](spark, sf_dir)
     ps = plan_summary(df)
     assert ps.exchanges <= 3, ps.text[:1500]
+
+
+def test_pareto_frontier_no_self_join(spark, sf_dir):
+    """The skyline must come from per-size minima + a broadcast
+    staircase — the textbook all-pairs dominance (cartesian or
+    nested-loop self-join) must never appear in the plan."""
+    from lightlane_spark.queries_relational import q_pareto_frontier
+
+    ps = plan_summary(q_pareto_frontier(spark, sf_dir))
+    assert "CartesianProduct" not in ps.text
+    assert "BroadcastNestedLoopJoin" not in ps.text
+    assert "BroadcastHashJoin" in ps.text
+
+
+def test_point_in_time_join_is_equi_join(spark, sf_dir):
+    """The SCD2 validity lookup must plan as an equi-join on the key
+    (broadcast or sort-merge) with the interval as a post-join
+    filter — a nested-loop range join here is the scale bug."""
+    from lightlane_spark.queries_relational import q_point_in_time_join
+
+    ps = plan_summary(q_point_in_time_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in ps.text
+    assert "CartesianProduct" not in ps.text
+    assert ("SortMergeJoin" in ps.text) or ("BroadcastHashJoin" in ps.text) or (
+        "ShuffledHashJoin" in ps.text
+    )
+
+
+def test_quantile_normalize_caches_grid_sized_src(spark, sf_dir):
+    """Both consumers (output rows + target means) must read the
+    grid-sized cached src — without the persist the corpus-wide
+    per-group sort runs twice."""
+    from lightlane_spark.queries_relational import q_quantile_normalize
+
+    ps = plan_summary(q_quantile_normalize(spark, sf_dir))
+    assert ps.text.count("InMemoryTableScan") >= 2, ps.text[:800]
+    from lightlane_spark.cache import unpersist_all
+
+    unpersist_all(spark)
+
+
+def test_seasonal_baseline_single_fact_shuffle(spark, sf_dir):
+    """Baseline + recent-week stats must fold in ONE conditional
+    groupBy: the 1-row max broadcasts, the fact exchanges once for
+    the agg (plus the presentation orderBy)."""
+    from lightlane_spark.queries_temporal import q_seasonal_baseline
+
+    ps = plan_summary(q_seasonal_baseline(spark, sf_dir))
+    assert "CartesianProduct" not in ps.text
+    # exchanges: agg shuffle + final sort (+ the broadcast exchange
+    # is not a data shuffle); allow one slack for AQE variants
+    assert ps.exchanges <= 3, ps.text[:800]
