@@ -491,6 +491,9 @@ _RECHECK = [
     # Everything after slot 50 orders the remaining backlog oldest-
     # first so the r8 rotation can continue down the list.
     # 0. brand new this round — first driver check
+    "embedding_centroids",
+    "compression_ratio",
+    "retrieval_metrics",
     "pareto_frontier",
     "point_in_time_join",
     "quantile_normalize",

@@ -118,6 +118,9 @@ HEADLINE = [
     "point_in_time_join",
     "quantile_normalize",
     "seasonal_baseline",
+    "embedding_centroids",
+    "compression_ratio",
+    "retrieval_metrics",
     "hybrid_retrieval",
     # round-4 session-5 additions: TPC-H star-join profit, bucketed
     # co-located join, behavior transitions, reproducible shuffle

