@@ -491,6 +491,8 @@ _RECHECK = [
     # Everything after slot 50 orders the remaining backlog oldest-
     # first so the r8 rotation can continue down the list.
     # 0. brand new this round — first driver check
+    "kmv_set_ops",
+    "cusum_changepoint",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

@@ -110,6 +110,8 @@ HEADLINE = [
     "bm25_topk",
     "dsir_select",
     "char_entropy",
+    "kmv_set_ops",
+    "cusum_changepoint",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

