@@ -52,6 +52,7 @@ __all__ = [
     "kmv_sketch",
     "kmv_estimate",
     "kmv_pair_estimates",
+    "kmv_merge",
 ]
 
 
@@ -451,4 +452,29 @@ def kmv_pair_estimates(
         est_union.alias("est_union"),
         jac.alias("jaccard_est"),
         (jac * est_union).alias("est_intersect"),
+    )
+
+
+def kmv_merge(
+    *sketches: DataFrame, group_col: str = "src", k: int = 128
+) -> DataFrame:
+    """Merge per-batch KMV sketches into the sketch of the union —
+    the mergeability that makes bottom-k the incremental-ingestion
+    sketch (DataSketches theta union): because hashes are unseeded
+    and shared, the bottom-k of the CONCATENATED sketch rows is
+    exactly ``kmv_sketch`` of the concatenated inputs. Re-rank after
+    the union; duplicates (the same h arriving from two batches)
+    collapse first so ranks stay distinct. Runs on sketch-sized
+    data: ≤ k·|groups|·|batches| rows, one tiny exchange."""
+    from pyspark.sql import Window
+
+    allrows = functools.reduce(
+        DataFrame.unionByName,
+        [s.select(group_col, "h") for s in sketches],
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        allrows.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "h", "rank")
     )

@@ -299,3 +299,52 @@ def test_kcore_window_peel_at_1m_edges(spark):
     assert n_core > 0
     assert wall < 300, f"kcore scale smoke too slow: {wall:.0f}s"
     print(f"SCALE_SMOKE kcore_peel edges~1M core={n_core} wall={wall:.1f}s")
+
+
+def test_kmv_at_10m_values(spark):
+    """KMV bottom-k at 10M multiset rows / 8 groups with planted
+    overlap structure: group g holds values [g*500k, g*500k + 1.5M)
+    — each adjacent pair overlaps 2/3. The sketch build must stay
+    linear (one shuffle of the multiset, per-bucket bounded sorts)
+    and the estimates must land within 3/√k of truth."""
+    from lightlane_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    k = 256
+    base = spark.range(0, 10_000_000, numPartitions=32)
+    # 8 groups × 1.25M rows; group g covers the dense integer range
+    # [g·500k, g·500k + 1.25M) — adjacent pairs share 750k values
+    # (true J = 750k/1.75M ≈ 0.43), distance-2 pairs share 250k
+    df = base.select(
+        F.concat(F.lit("g"), (F.col("id") % 8).cast("string")).alias("src"),
+        (
+            (F.col("id") % 8) * 500_000
+            + F.floor(F.col("id") / 8) % 1_500_000
+        ).cast("string").alias("v"),
+    )
+    t0 = time.time()
+    sk = kmv_sketch(df, "v", "src", k=k)
+    ests = {r.src: r.est_n for r in kmv_estimate(sk, "src", k=k).collect()}
+    pairs = kmv_pair_estimates(sk, "src", k=k).collect()
+    dt = time.time() - t0
+    tol = 3 / (k ** 0.5)
+    # true distinct per group: |{(id*7919) % 1.5M : id ≡ g (mod 8)}|
+    # is dense (7919 coprime to 1.5M... not exactly — assert loosely
+    # against the exact count computed once)
+    exact = {
+        r.src: r.n
+        for r in df.groupBy("src")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    for g, e in ests.items():
+        assert abs(e - exact[g]) / exact[g] < tol, (g, e, exact[g])
+    adjacent = [p for p in pairs if
+                int(p.src_b[1:]) - int(p.src_a[1:]) == 1]
+    assert adjacent and all(p.jaccard_est > 0.2 for p in adjacent), [
+        (p.src_a, p.src_b, p.jaccard_est) for p in adjacent
+    ]
+    print(f"kmv 10M rows/8 groups k={k}: {dt:.1f}s")

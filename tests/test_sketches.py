@@ -222,3 +222,23 @@ def test_kmv_hash_duckdb_parity(spark):
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [v]
         ).fetchone()
         assert got[v] == dh, v
+
+
+def test_kmv_merge_equals_rebuild(spark, kmv_groups):
+    """Batch sketches merged with kmv_merge must equal the sketch of
+    the concatenated input — the theta-union mergeability contract
+    (same shape as test_cms_merge_equals_rebuild)."""
+    from lightlane_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    half1 = kmv_groups.filter(F.col("v") < "item3")
+    half2 = kmv_groups.filter(F.col("v") >= "item3")
+    merged = kmv_merge(
+        kmv_sketch(half1, "v", "src", k=64),
+        kmv_sketch(half2, "v", "src", k=64),
+        group_col="src",
+        k=64,
+    )
+    rebuilt = kmv_sketch(kmv_groups, "v", "src", k=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
