@@ -489,3 +489,39 @@ def test_cusum_changepoint_single_corpus_shuffle(spark, sf_dir):
     # cusum branch) + tiny joins/windows; no cartesian, no corpus sort
     assert "CartesianProduct" not in ps.text
     assert ps.text.count("events.parquet") <= 2, ps.text[:1200]
+
+
+def test_embedding_centroids_one_moment_shuffle(spark, sf_dir):
+    """Centroids = one map-side-combined (label, dim) moment shuffle
+    over the posexplode fan-out + the presentation sort — and ONE
+    embeddings scan."""
+    import __spark_entry__ as m
+
+    df = m.queries()["embedding_centroids"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("embeddings.parquet") == 1
+    assert ps.exchanges <= 2, ps.text[:800]
+    assert ps.text.count("HashAggregate") >= 2  # partial + final
+
+
+def test_compression_ratio_map_only_until_sort(spark, sf_dir):
+    """The zlib pass is Arrow-batched mapInPandas over the scan; the
+    ONLY exchange is the presentation sort."""
+    import __spark_entry__ as m
+
+    df = m.queries()["compression_ratio"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.exchanges <= 1, ps.text[:800]
+    assert "MapInPandas" in ps.text
+
+
+def test_retrieval_metrics_single_corpus_postings_pass(spark, sf_dir):
+    """bm25_multi must score ALL queries in one postings pass: the
+    documents corpus appears at most twice (postings + doc-length
+    stats), never once per query, and nothing goes cartesian."""
+    import __spark_entry__ as m
+
+    df = m.queries()["retrieval_metrics"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("documents.parquet") <= 2, ps.text[:1200]
+    assert "CartesianProduct" not in ps.text
