@@ -493,6 +493,7 @@ _RECHECK = [
     # 0. brand new this round — first driver check
     "kmv_set_ops",
     "cusum_changepoint",
+    "l_diversity",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

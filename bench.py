@@ -112,6 +112,7 @@ HEADLINE = [
     "char_entropy",
     "kmv_set_ops",
     "cusum_changepoint",
+    "l_diversity",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

@@ -4265,3 +4265,76 @@ ORACLE["referential_audit"] = """
             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
     ORDER BY relationship
 """
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the
+    k-anonymity companion: a class can be large (k-anonymous) yet
+    leak the sensitive attribute if every member shares one value.
+    Per quasi-identifier class (nation, market segment): class size,
+    DISTINCT-l over the sensitive attribute (account-balance
+    thousand-bucket), and entropy-l (exp of the Shannon entropy of
+    the sensitive distribution — the effective number of sensitive
+    values, which distinct-l overstates when skewed). Classes with
+    distinct-l below 5 are flagged for generalization/suppression.
+
+    Two aggregations over an already-aggregate-sized relation: one
+    map-side-combined (QI, bucket) count shuffle (the only
+    corpus-sized exchange), then a (QI) rollup of ≤ |buckets| rows
+    per class. Entropy contributions go through round-9dp DECIMAL so
+    the sum is order-independent → bit-exact oracle parity
+    (char_entropy's contract); the final exp/divide run on identical
+    operands in both engines."""
+    c = read_table(spark, sf_dir, "customer")
+    per = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sbucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cls = per.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").alias("class_size"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.sum(
+            F.round(
+                -(F.col("cnt").cast("double"))
+                * F.log(F.col("cnt").cast("double")),
+                9,
+            ).cast("decimal(28,9)")
+        ).alias("plogp"),
+    )
+    # H = ln(n) + (Σ -cnt·ln cnt)/n ; entropy-l = exp(H)
+    n = F.col("class_size").cast("double")
+    ent = F.log(n) + F.col("plogp").cast("double") / n
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "l_distinct",
+        F.round(F.exp(ent), 6).alias("entropy_l"),
+        (F.col("l_distinct") < 5).cast("bigint").alias("flagged"),
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+QUERIES["l_diversity"] = q_l_diversity
+
+ORACLE["l_diversity"] = """
+    WITH per AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS sbucket,
+               count(*) AS cnt
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               SUM(cnt) AS class_size,
+               count(*) AS l_distinct,
+               SUM(CAST(round(-CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)), 9)
+                        AS DECIMAL(28,9))) AS plogp
+        FROM per GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+           round(exp(ln(CAST(class_size AS DOUBLE))
+                     + CAST(plogp AS DOUBLE) / class_size), 6) AS entropy_l,
+           CASE WHEN l_distinct < 5 THEN 1 ELSE 0 END AS flagged
+    FROM cls ORDER BY c_nationkey, c_mktsegment
+"""
