@@ -494,6 +494,8 @@ _RECHECK = [
     "kmv_set_ops",
     "cusum_changepoint",
     "l_diversity",
+    "benford_audit",
+    "gini_concentration",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

@@ -113,6 +113,8 @@ HEADLINE = [
     "kmv_set_ops",
     "cusum_changepoint",
     "l_diversity",
+    "benford_audit",
+    "gini_concentration",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

@@ -4338,3 +4338,163 @@ ORACLE["l_diversity"] = """
            CASE WHEN l_distinct < 5 THEN 1 ELSE 0 END AS flagged
     FROM cls ORDER BY c_nationkey, c_mktsegment
 """
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit per order priority — the classic
+    fabricated-data / data-quality screen (Nigrini's forensic
+    standard): observed first-significant-digit counts vs the Benford
+    expectation n·log10(1+1/d), scored by the χ² statistic and
+    flagged above the df=8 / 95% critical value (15.507). The
+    synthetic TPC-H price domain is decidedly non-Benford, so every
+    group flags — the audit's point is the deterministic report, and
+    the oracle predicts every count, χ² contribution and flag
+    bit-for-bit.
+
+    First digit is extracted LEXICALLY (round to DECIMAL(18,2) →
+    string → first [1-9]), not via floor(log10): both engines print
+    the decimal identically, while log10 of a double sitting on a
+    power-of-ten boundary can land on either side in the last ulp.
+    One map-side-combined (priority, digit) count shuffle; χ² sums
+    9 ordered digit contributions through round-9dp DECIMAL (order-
+    independent, char_entropy's contract)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        "o_orderpriority",
+        F.regexp_extract(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            "[1-9]",
+            0,
+        ).cast("int").alias("fd"),
+    )
+    cnt = d.groupBy("o_orderpriority", "fd").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    tot = cnt.groupBy("o_orderpriority").agg(F.sum("obs").alias("n"))
+    exp = (
+        F.col("n").cast("double")
+        * F.log10(1.0 + 1.0 / F.col("fd").cast("double"))
+    )
+    contrib = F.round(
+        (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp) / exp,
+        9,
+    ).cast("decimal(28,9)")
+    chi = (
+        cnt.join(tot, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(contrib).alias("chi2_dec"))
+    )
+    return chi.select(
+        "o_orderpriority",
+        F.col("chi2_dec").cast("double").alias("chi2"),
+        (F.col("chi2_dec").cast("double") > 15.507).cast("bigint").alias(
+            "flagged"
+        ),
+    ).orderBy("o_orderpriority")
+
+
+QUERIES["benford_audit"] = q_benford_audit
+
+ORACLE["benford_audit"] = """
+    WITH d AS (
+        SELECT o_orderpriority,
+               CAST(regexp_extract(
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                   '[1-9]') AS INTEGER) AS fd
+        FROM orders WHERE o_totalprice > 0
+    ),
+    cnt AS (
+        SELECT o_orderpriority, fd, count(*) AS obs FROM d GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT o_orderpriority, SUM(obs) AS n FROM cnt GROUP BY 1
+    ),
+    chi AS (
+        SELECT c.o_orderpriority,
+               SUM(CAST(round(
+                   (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / fd))
+                   * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / fd))
+                   / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / fd)), 9)
+                   AS DECIMAL(28,9))) AS chi2_dec
+        FROM cnt c JOIN tot t USING (o_orderpriority)
+        GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(chi2_dec AS DOUBLE) AS chi2,
+           CASE WHEN CAST(chi2_dec AS DOUBLE) > 15.507 THEN 1 ELSE 0 END
+             AS flagged
+    FROM chi ORDER BY o_orderpriority
+"""
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per market segment —
+    the inequality/concentration KPI (is 80% of revenue coming from
+    3 accounts?). Exact rank formula on ascending per-customer
+    revenue: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n, ties broken by
+    custkey so the rank sum is deterministic. Revenue stays in
+    DECIMAL(18,2) from the per-customer rollup through Σ i·xᵢ (scale
+    30 intermediates — no fp until the single final division), so
+    the oracle matches without tolerance.
+
+    Scale: one (custkey) revenue rollup (corpus-sized, map-side
+    combined), one rank window + moment aggregate over the customer-
+    cardinality relation. No joins, no self-products."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("rev", "c_custkey")
+    ranked = rev.select(
+        "c_mktsegment", "rev", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum(F.col("i") * F.col("rev")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        2.0 * F.col("six").cast("double") / (n * F.col("sx").cast("double"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        "c_mktsegment", "n", F.round(gini, 6).alias("gini")
+    ).orderBy("c_mktsegment")
+
+
+QUERIES["gini_concentration"] = q_gini_concentration
+
+ORACLE["gini_concentration"] = """
+    WITH rev AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_mktsegment, rev,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY rev, o_custkey) AS i
+        FROM rev
+    ),
+    agg AS (
+        SELECT c_mktsegment, count(*) AS n, SUM(rev) AS sx,
+               SUM(i * rev) AS six
+        FROM ranked GROUP BY 1
+    )
+    SELECT c_mktsegment, n,
+           round(2.0 * CAST(six AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+    FROM agg ORDER BY c_mktsegment
+"""
