@@ -496,6 +496,7 @@ _RECHECK = [
     "l_diversity",
     "benford_audit",
     "gini_concentration",
+    "kaplan_meier",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

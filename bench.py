@@ -115,6 +115,7 @@ HEADLINE = [
     "l_diversity",
     "benford_audit",
     "gini_concentration",
+    "kaplan_meier",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

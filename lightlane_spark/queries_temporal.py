@@ -851,3 +851,174 @@ ORACLE["cusum_changepoint"] = """
            CASE WHEN stat > 1.358 THEN 1 ELSE 0 END AS flagged
     FROM ranked WHERE r = 1 ORDER BY event_type
 """
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion,
+    per variant (user_id mod 2), with administrative RIGHT-CENSORING
+    at a 2024-01-08 study cutoff — purchases after the cutoff are
+    unobserved, so those users contribute risk-time but no event
+    (the estimator every retention/time-to-convert analysis needs;
+    naive conversion rates are biased when observation windows
+    differ). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event days, with the
+    risk set nᵢ = cohort − (events+censored strictly before tᵢ).
+
+    Engine parity: the product runs in log space with round-9dp
+    DECIMAL contributions (order-independent sum, char_entropy's
+    contract) and a cummax flag zeroes S after any dᵢ=nᵢ day;
+    per-row ln/exp/divisions see identical operands in both engines.
+
+    Scale: two corpus-sized aggregations (first signup, first
+    qualifying purchase — both map-side-combined min()s keyed by
+    user), one broadcast-sized join between them; the KM table
+    itself is |variants|×|distinct days| rows, window'd at that
+    cardinality."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    cutoff = F.lit("2024-01-08").cast("timestamp")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup"))
+        .filter(F.col("signup") < cutoff)
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purch"))
+    )
+    obs = s.join(p, "user_id", "left").select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(
+            F.col("purch").isNotNull() & (F.col("purch") < cutoff),
+            F.datediff(F.to_date("purch"), F.to_date("signup")),
+        )
+        .otherwise(F.datediff(F.to_date(cutoff), F.to_date("signup")))
+        .alias("t"),
+        (
+            F.col("purch").isNotNull() & (F.col("purch") < cutoff)
+        ).cast("bigint").alias("is_event"),
+    )
+    day = obs.groupBy("variant", "t").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(1 - F.col("is_event")).alias("c"),
+    )
+    from pyspark.sql import Window
+
+    tot = day.groupBy("variant").agg(
+        F.sum(F.col("d") + F.col("c")).alias("cohort")
+    )
+    wp = (
+        Window.partitionBy("variant")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = (
+        Window.partitionBy("variant")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    km = (
+        day.join(tot, "variant")
+        .withColumn(
+            "n_risk",
+            F.col("cohort")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wp), F.lit(0)),
+        )
+        .withColumn(
+            "logc",
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.round(
+                    F.log(
+                        1.0
+                        - F.col("d").cast("double")
+                        / F.col("n_risk").cast("double")
+                    ),
+                    9,
+                ).cast("decimal(28,9)"),
+            ).otherwise(F.lit(0).cast("decimal(28,9)")),
+        )
+        .withColumn(
+            "dead", F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(wc)
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("dead") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("logc").over(wc).cast("double"))
+            ),
+        )
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            "variant",
+            "t",
+            "n_risk",
+            "d",
+            "c",
+            F.round("survival", 6).alias("survival"),
+        )
+        .orderBy("variant", "t")
+    )
+
+
+QUERIES["kaplan_meier"] = q_kaplan_meier
+
+ORACLE["kaplan_meier"] = """
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+        HAVING min(ts) < TIMESTAMP '2024-01-08'
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS purch
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s.signup
+        GROUP BY 1
+    ),
+    obs AS (
+        SELECT s.user_id % 2 AS variant,
+               CASE WHEN p.purch IS NOT NULL AND p.purch < TIMESTAMP '2024-01-08'
+                    THEN date_diff('day', CAST(s.signup AS DATE), CAST(p.purch AS DATE))
+                    ELSE date_diff('day', CAST(s.signup AS DATE), DATE '2024-01-08')
+               END AS t,
+               CASE WHEN p.purch IS NOT NULL AND p.purch < TIMESTAMP '2024-01-08'
+                    THEN 1 ELSE 0 END AS is_event
+        FROM s LEFT JOIN p USING (user_id)
+    ),
+    day AS (
+        SELECT variant, t, SUM(is_event) AS d, SUM(1 - is_event) AS c
+        FROM obs GROUP BY 1, 2
+    ),
+    tot AS (SELECT variant, SUM(d + c) AS cohort FROM day GROUP BY 1),
+    km AS (
+        SELECT day.variant, t, d, c,
+               cohort - coalesce(SUM(d + c) OVER (
+                   PARTITION BY day.variant ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM day JOIN tot ON day.variant = tot.variant
+    ),
+    km2 AS (
+        SELECT variant, t, d, c, n_risk,
+               CASE WHEN d < n_risk
+                    THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+                              AS DECIMAL(28,9))
+                    ELSE CAST(0 AS DECIMAL(28,9)) END AS logc,
+               MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY variant ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        FROM km
+    )
+    SELECT variant, t, n_risk, d, c,
+           round(CASE WHEN dead = 1 THEN 0.0
+                      ELSE exp(CAST(SUM(logc) OVER (
+                          PARTITION BY variant ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS DOUBLE)) END, 6) AS survival
+    FROM km2 WHERE d > 0 ORDER BY variant, t
+"""
