@@ -497,6 +497,7 @@ _RECHECK = [
     "benford_audit",
     "gini_concentration",
     "kaplan_meier",
+    "psi_drift",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

@@ -116,6 +116,7 @@ HEADLINE = [
     "benford_audit",
     "gini_concentration",
     "kaplan_meier",
+    "psi_drift",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

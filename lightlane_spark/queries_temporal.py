@@ -1022,3 +1022,183 @@ ORACLE["kaplan_meier"] = """
                           AS DOUBLE)) END, 6) AS survival
     FROM km2 WHERE d > 0 ORDER BY variant, t
 """
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two halves of the event
+    stream — THE production ML-monitoring drift metric (banking
+    scorecards onward): PSI = Σ_bins (q−p)·ln(q/p) over the decile
+    bins of the BASELINE period (Jan 1–15), evaluated against the
+    current period (Jan 16–30), per event type. Planted fixture:
+    'click' values are scaled ×2 in the current period only (same
+    deterministic rule in the oracle), so the detector must flag
+    click at PSI 0.363 > 0.2 (the industry action threshold) while
+    every stationary type stays ≤ 0.034 — a 1.8×/5.9× two-sided
+    margin. Complements
+    vocab_drift (token distribution shift) with the numeric-feature
+    form.
+
+    Decile edges are the baseline's DISCRETE rank values (value at
+    rank ⌈i·n/10⌉ — the winsorize/quantile_normalize contract, no
+    interpolation ambiguity); bin assignment is an in-row
+    size(filter(edges, e -> v > e)) against the 9-element broadcast
+    edge array — map-only on both periods. Zero bins get the
+    standard ε=1e-4 substitution; contributions go through round-9dp
+    DECIMAL so the sum is order-independent.
+
+    Scale: two corpus-sized aggregations (one per period, map-side
+    combined over (type, bin)); the edge computation windows the
+    BASELINE once; everything else is |types|×10 rows."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    base = ev.filter(F.col("ts") < split).select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= split).select(
+        "event_type",
+        F.when(
+            F.col("event_type") == "click", F.col("value") * 2.0
+        ).otherwise(F.col("value")).alias("value"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = base.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("i"))
+    edges = (
+        ranked.join(
+            F.broadcast(deciles),
+            F.col("r")
+            == F.ceil(F.col("i") * F.col("n") / F.lit(10.0)).cast("long"),
+        )
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("e"))
+    )
+
+    def binned(df):
+        return (
+            df.join(F.broadcast(edges), "event_type")
+            .select(
+                "event_type",
+                F.expr("size(filter(e, x -> value > x))").alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    btot = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("nb"))
+    ctot = cur.groupBy("event_type").agg(F.count(F.lit(1)).alias("nc"))
+    grid = (
+        edges.select("event_type")
+        .crossJoin(F.broadcast(spark.range(10).select(F.col("id").cast("int").alias("bin"))))
+    )
+    cells = (
+        grid.join(
+            binned(base).withColumnRenamed("cnt", "cb"),
+            ["event_type", "bin"],
+            "left",
+        )
+        .join(
+            binned(cur).withColumnRenamed("cnt", "cc"),
+            ["event_type", "bin"],
+            "left",
+        )
+        .join(btot, "event_type")
+        .join(ctot, "event_type")
+    )
+    p = F.greatest(
+        F.coalesce(F.col("cb"), F.lit(0)).cast("double") / F.col("nb"),
+        F.lit(1e-4),
+    )
+    q = F.greatest(
+        F.coalesce(F.col("cc"), F.lit(0)).cast("double") / F.col("nc"),
+        F.lit(1e-4),
+    )
+    psi = cells.groupBy("event_type").agg(
+        F.sum(
+            F.round((q - p) * F.log(q / p), 9).cast("decimal(28,9)")
+        ).alias("psi_dec")
+    )
+    return psi.select(
+        "event_type",
+        F.round(F.col("psi_dec").cast("double"), 6).alias("psi"),
+        (F.col("psi_dec").cast("double") > 0.2).cast("bigint").alias(
+            "flagged"
+        ),
+    ).orderBy("event_type")
+
+
+QUERIES["psi_drift"] = q_psi_drift
+
+ORACLE["psi_drift"] = """
+    WITH base AS (
+        SELECT event_type, value FROM events
+        WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    cur AS (
+        SELECT event_type,
+               CASE WHEN event_type = 'click' THEN value * 2.0
+                    ELSE value END AS value
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ),
+    edges AS (
+        SELECT ranked.event_type, list_sort(list(value)) AS e
+        FROM ranked
+        JOIN (SELECT unnest(range(1, 10)) AS i) di
+          ON r = CAST(ceil(i * n / 10.0) AS BIGINT)
+        GROUP BY 1
+    ),
+    bb AS (
+        SELECT b.event_type,
+               len(list_filter(e, x -> b.value > x)) AS bin,
+               count(*) AS cb
+        FROM base b JOIN edges USING (event_type) GROUP BY 1, 2
+    ),
+    cc AS (
+        SELECT c.event_type,
+               len(list_filter(e, x -> c.value > x)) AS bin,
+               count(*) AS cc
+        FROM cur c JOIN edges USING (event_type) GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT event_type, CAST(unnest(range(0, 10)) AS INTEGER) AS bin
+        FROM edges
+    ),
+    tot AS (
+        SELECT b.event_type, b.nb, c.nc
+        FROM (SELECT event_type, count(*) AS nb FROM base GROUP BY 1) b
+        JOIN (SELECT event_type, count(*) AS nc FROM cur GROUP BY 1) c
+          USING (event_type)
+    ),
+    cells AS (
+        SELECT g.event_type,
+               greatest(coalesce(cb, 0) / CAST(nb AS DOUBLE), 0.0001) AS p,
+               greatest(coalesce(cc.cc, 0) / CAST(nc AS DOUBLE), 0.0001) AS q
+        FROM grid g
+        LEFT JOIN bb ON bb.event_type = g.event_type AND bb.bin = g.bin
+        LEFT JOIN cc ON cc.event_type = g.event_type AND cc.bin = g.bin
+        JOIN tot ON tot.event_type = g.event_type
+    ),
+    psi AS (
+        SELECT event_type,
+               SUM(CAST(round((q - p) * ln(q / p), 9) AS DECIMAL(28,9)))
+                 AS psi_dec
+        FROM cells GROUP BY 1
+    )
+    SELECT event_type,
+           round(CAST(psi_dec AS DOUBLE), 6) AS psi,
+           CASE WHEN CAST(psi_dec AS DOUBLE) > 0.2 THEN 1 ELSE 0 END
+             AS flagged
+    FROM psi ORDER BY event_type
+"""
