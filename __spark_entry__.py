@@ -498,6 +498,7 @@ _RECHECK = [
     "gini_concentration",
     "kaplan_meier",
     "psi_drift",
+    "streaming_sliding_counts",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

@@ -4253,3 +4253,65 @@ ORACLE["kmv_set_ops"] = """
     FROM est e JOIN pairs p USING (src_a, src_b)
     ORDER BY src_a, src_b
 """
+
+
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows through the streaming engine — the
+    overlapping-window form (12 h window, 6 h slide: every event lands
+    in exactly 2 windows) that tumbling streaming_window_counts does
+    not exercise; state per key scales by window/slide and the
+    watermark still bounds it. File source → watermark → sliding
+    window agg → availableNow, materialized via the memory sink. The
+    batch oracle replays the window algebra directly: each event
+    joins to offsets {0,1}, start = 6h-epoch-floor(ts) − offset·6h —
+    exactly Spark's epoch-aligned window assignment — so streaming
+    and batch must agree on every (window, type) count."""
+    import tempfile
+    import uuid
+
+    from lightlane_spark.streaming.incremental import (
+        run_to_completion,
+        stream_from_directory,
+        windowed_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="llspark_stream_")
+    land = f"{base}/landing"
+    ev = read_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(land)
+    stream = stream_from_directory(spark, land, ev.schema)
+    agg = windowed_counts(
+        stream,
+        ts_col="ts",
+        window="12 hours",
+        slide="6 hours",
+        watermark="1 day",
+        group_cols=["event_type"],
+    )
+    name = "llsq_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    return spark.table(name).select("window_start", "event_type", "n")
+
+
+QUERIES["streaming_sliding_counts"] = q_streaming_sliding_counts
+
+ORACLE["streaming_sliding_counts"] = """
+    WITH ex AS (
+        SELECT event_type, ts, unnest([0, 1]) AS off FROM events
+    )
+    SELECT to_timestamp(
+               (CAST(floor(epoch(ts) / 21600) AS BIGINT) - off) * 21600
+           ) AS window_start,
+           event_type,
+           count(*) AS n
+    FROM ex
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
