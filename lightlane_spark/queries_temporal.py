@@ -877,7 +877,9 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "ts"
     )
     cutoff = F.lit("2024-01-08").cast("timestamp")
-    s = (
+    # user-cardinality relation with two consumers (p's join, obs's
+    # left join) — persist so the signup scan happens once
+    s = tracked_persist(
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup"))
@@ -902,9 +904,15 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purch").isNotNull() & (F.col("purch") < cutoff)
         ).cast("bigint").alias("is_event"),
     )
-    day = obs.groupBy("variant", "t").agg(
-        F.sum("is_event").alias("d"),
-        F.sum(1 - F.col("is_event")).alias("c"),
+    # materialized ONCE (cache contract): `day` is |variants|×|days|
+    # rows but its lineage holds both corpus aggregations — the three
+    # consumers below (tot, the n_risk window, the KM join) would each
+    # re-scan events twice otherwise (plan test pins ≤2 corpus scans)
+    day = tracked_persist(
+        obs.groupBy("variant", "t").agg(
+            F.sum("is_event").alias("d"),
+            F.sum(1 - F.col("is_event")).alias("c"),
+        )
     )
     from pyspark.sql import Window
 
@@ -1070,7 +1078,11 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
     )
     deciles = spark.range(1, 10).select(F.col("id").alias("i"))
-    edges = (
+    # |types|-row edge relation with three consumers (both binned
+    # passes + the grid) — persist, or each consumer re-runs the
+    # baseline rank window (a corpus scan each; plan test pins ≤3
+    # corpus scans total: edges, base bins, current bins)
+    edges = tracked_persist(
         ranked.join(
             F.broadcast(deciles),
             F.col("r")
@@ -1080,34 +1092,31 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("value")).alias("e"))
     )
 
-    def binned(df):
-        return (
+    def binned(df, cnt_name):
+        # one corpus pass: per-(type, bin) counts; the per-type total
+        # folds out of the same aggregate (no separate count scan)
+        out = (
             df.join(F.broadcast(edges), "event_type")
             .select(
                 "event_type",
                 F.expr("size(filter(e, x -> value > x))").alias("bin"),
             )
             .groupBy("event_type", "bin")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.count(F.lit(1)).alias(cnt_name))
         )
+        return tracked_persist(out)
 
-    btot = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("nb"))
-    ctot = cur.groupBy("event_type").agg(F.count(F.lit(1)).alias("nc"))
+    bb = binned(base, "cb")
+    cc = binned(cur, "cc")
+    btot = bb.groupBy("event_type").agg(F.sum("cb").alias("nb"))
+    ctot = cc.groupBy("event_type").agg(F.sum("cc").alias("nc"))
     grid = (
         edges.select("event_type")
         .crossJoin(F.broadcast(spark.range(10).select(F.col("id").cast("int").alias("bin"))))
     )
     cells = (
-        grid.join(
-            binned(base).withColumnRenamed("cnt", "cb"),
-            ["event_type", "bin"],
-            "left",
-        )
-        .join(
-            binned(cur).withColumnRenamed("cnt", "cc"),
-            ["event_type", "bin"],
-            "left",
-        )
+        grid.join(bb, ["event_type", "bin"], "left")
+        .join(cc, ["event_type", "bin"], "left")
         .join(btot, "event_type")
         .join(ctot, "event_type")
     )

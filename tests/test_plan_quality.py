@@ -525,3 +525,28 @@ def test_retrieval_metrics_single_corpus_postings_pass(spark, sf_dir):
     ps = plan_summary(df)
     assert ps.text.count("documents.parquet") <= 2, ps.text[:1200]
     assert "CartesianProduct" not in ps.text
+
+
+def test_kaplan_meier_two_corpus_scans(spark, sf_dir):
+    """The KM chain must scan events exactly twice (signup pass,
+    purchase pass): the signup cohort and the day-grain KM table are
+    persisted so their multi-consumer lineage doesn't re-derive the
+    corpus (caught at 6 scans before the persists)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["kaplan_meier"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("events.parquet") <= 2, ps.text[:1200]
+    assert "CartesianProduct" not in ps.text
+
+
+def test_psi_drift_three_corpus_scans(spark, sf_dir):
+    """PSI = edges pass + one binning pass per period — exactly three
+    corpus scans (caught at 7 before edges/bins were persisted and
+    the totals were fused into the binned aggregates)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["psi_drift"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("events.parquet") <= 3, ps.text[:1200]
+    assert "CartesianProduct" not in ps.text
