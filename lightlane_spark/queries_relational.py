@@ -4367,8 +4367,14 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             0,
         ).cast("int").alias("fd"),
     )
-    cnt = d.groupBy("o_orderpriority", "fd").agg(
-        F.count(F.lit(1)).alias("obs")
+    from lightlane_spark.cache import tracked_persist
+
+    # ≤ 9·|priorities| rows, two consumers (the totals fold out of the
+    # same aggregate — no second corpus scan; plan test pins 1 scan)
+    cnt = tracked_persist(
+        d.groupBy("o_orderpriority", "fd").agg(
+            F.count(F.lit(1)).alias("obs")
+        )
     )
     tot = cnt.groupBy("o_orderpriority").agg(F.sum("obs").alias("n"))
     exp = (

@@ -550,3 +550,13 @@ def test_psi_drift_three_corpus_scans(spark, sf_dir):
     ps = plan_summary(df)
     assert ps.text.count("events.parquet") <= 3, ps.text[:1200]
     assert "CartesianProduct" not in ps.text
+
+
+def test_benford_audit_single_corpus_scan(spark, sf_dir):
+    """One (priority, digit) count shuffle; the per-priority totals
+    fold out of the persisted digit counts — exactly one orders scan."""
+    import __spark_entry__ as m
+
+    df = m.queries()["benford_audit"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("orders.parquet") == 1, ps.text[:1200]
