@@ -68,9 +68,19 @@ def apply_changes(
     target: DataFrame, diff: DataFrame, primary_keys: list[str]
 ) -> DataFrame:
     """Replay a diff: delete removed PKs, upsert inserts+updates.
-    Returns the new target content (write it with Loader)."""
-    dels = diff.filter(F.col(CHANGE_COL) == "delete").select(*primary_keys)
-    ups = diff.filter(F.col(CHANGE_COL).isin("insert", "update")).drop(CHANGE_COL)
+    Returns the new target content (write it with Loader).
+
+    The non-unchanged slice of the diff is materialized ONCE: it is
+    change-sized (CDC's whole premise — the 0.1% that moved), while
+    its LINEAGE is two full snapshots outer-joined; the three
+    consumers below (delete keys, upsert keys, upsert rows) would
+    each re-run that join otherwise (caught at 10 corpus scans in
+    the r7 plan audit)."""
+    from lightlane_spark.cache import tracked_persist
+
+    changes = tracked_persist(diff.filter(F.col(CHANGE_COL) != "unchanged"))
+    dels = changes.filter(F.col(CHANGE_COL) == "delete").select(*primary_keys)
+    ups = changes.filter(F.col(CHANGE_COL).isin("insert", "update")).drop(CHANGE_COL)
     kept = target.join(
         dels.unionByName(ups.select(*primary_keys)), on=primary_keys, how="left_anti"
     )
@@ -119,10 +129,19 @@ def scd2_apply(
     upd = updates.select(
         *[F.col(c).alias(f"__u_{c}") for c in pks + attr_cols]
     )
-    joined = open_rows.join(
-        upd,
-        on=[F.col(k) == F.col(f"__u_{k}") for k in pks],
-        how="left",
+    # dimension-sized by SCD2's premise (open slice ⋈ update batch) —
+    # materialized once: three consumers (keep_open, close_out,
+    # new_versions) would each re-run the join AND re-scan both
+    # inputs' lineage (r7 plan audit: 8 corpus scans in the
+    # point_in_time fixture before this)
+    from lightlane_spark.cache import tracked_persist
+
+    joined = tracked_persist(
+        open_rows.join(
+            upd,
+            on=[F.col(k) == F.col(f"__u_{k}") for k in pks],
+            how="left",
+        )
     )
     changed = F.lit(False)
     for c in attr_cols:

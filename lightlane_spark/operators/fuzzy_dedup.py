@@ -434,7 +434,15 @@ def simhash_near_pairs(
     Byte-banding: a 32-bit signature splits into 4 bytes; two
     signatures within Hamming distance 3 agree on ≥1 whole byte
     (pigeonhole), so candidates = pairs sharing any (band, byte).
+
+    The signature relation (id + one int per doc) is materialized
+    once — both self-join sides would otherwise re-run the per-doc
+    simhash computation and its corpus lineage (r7 plan audit, same
+    finding as blockhash_near_pairs).
     """
+    from lightlane_spark.cache import tracked_persist
+
+    signatures = tracked_persist(signatures.select(id_col, "simhash"))
     bands = signatures.select(
         F.col(id_col),
         F.col("simhash"),

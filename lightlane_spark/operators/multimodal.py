@@ -281,7 +281,17 @@ def blockhash_near_pairs(sig_df: DataFrame, max_diff_chunks: int = 3) -> DataFra
     the exact chunk-mismatch count on candidates only — never
     all-pairs. Mirrors the MinHash-LSH candidate shape; Σ|bucket|²
     is bounded because full-band collisions require 4/3 identical
-    chunk hashes."""
+    chunk hashes.
+
+    The signature relation is materialized ONCE up front (narrow:
+    id + one long per doc — the standard LSH practice): the 4 band
+    projections × 2 self-join sides would otherwise re-evaluate the
+    full signature chain 8 times, each pulling its corpus lineage
+    (caught at 16 corpus scans in the r7 plan audit; plan test pins
+    the count)."""
+    from lightlane_spark.cache import tracked_persist
+
+    sig_df = tracked_persist(sig_df.select("doc_id", "sig"))
     bands = []
     for band_id, (off, width) in enumerate(BLOCKHASH_BANDS):
         mask = (1 << width) - 1

@@ -758,7 +758,15 @@ def span_dedup(
         ).alias("text_deduped"),
         F.count(F.lit(1)).alias("n_spans_kept"),
     )
-    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    # span count is in-row arithmetic on the token array — no second
+    # explode + groupBy pass over the corpus (r7 plan audit): the
+    # totals side only projects (id, ceil(|tokens|/span))
+    totals = toks.select(
+        F.col(id_col),
+        F.ceil(F.size("__t") / F.lit(float(span))).cast("bigint").alias(
+            "n_spans"
+        ),
+    )
     return totals.join(reassembled, on=id_col, how="left").select(
         id_col,
         F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),

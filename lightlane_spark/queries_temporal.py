@@ -159,7 +159,12 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = ev.where(F.col("event_type") == etype)
         if prev is not None:
             e = e.join(prev, "user_id").where(F.col("ts") > F.col(prev_col))
-        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+        # user-cardinality, two consumers each (next stage's join +
+        # this stage's count) — persist, or every stage re-scans the
+        # event log per consumer (r7 plan audit: 6 corpus scans)
+        return tracked_persist(
+            e.groupBy("user_id").agg(F.min("ts").alias(out))
+        )
 
     views = first_after("view", None, "", "t_view")
     clicks = first_after("click", views, "t_view", "t_click")

@@ -560,3 +560,35 @@ def test_benford_audit_single_corpus_scan(spark, sf_dir):
     df = m.queries()["benford_audit"](spark, sf_dir)
     ps = plan_summary(df)
     assert ps.text.count("orders.parquet") == 1, ps.text[:1200]
+
+
+def test_blockhash_near_dup_two_corpus_scans(spark, sf_dir):
+    """Signatures persist before the band self-join: 4 bands × 2 join
+    sides re-evaluated the signature chain 8 times before (16 corpus
+    scans); the fixture's docs∪twins floor is 2."""
+    import __spark_entry__ as m
+
+    df = m.queries()["blockhash_near_dup"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("documents.parquet") <= 2, ps.text[:1200]
+
+
+def test_cdc_apply_bounded_corpus_scans(spark, sf_dir):
+    """apply_changes materializes the change-sized diff slice once:
+    its three consumers each re-ran the snapshot outer-join before
+    (10 orders scans); the floor is old+two fixture branches+target."""
+    import __spark_entry__ as m
+
+    df = m.queries()["cdc_apply"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("orders.parquet") <= 4, ps.text[:1200]
+
+
+def test_funnel_stage_aggregates_persisted(spark, sf_dir):
+    """One event-log scan per funnel stage — the stage aggregates are
+    user-cardinality and persisted (6 scans before)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["funnel_analysis"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("events.parquet") <= 3, ps.text[:1200]
