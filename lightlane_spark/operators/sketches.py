@@ -247,7 +247,14 @@ def bloom_member(
     positives at the standard (1-e^{-kn/m})^k rate, so the intended
     use is PREFILTER: only rows flagged here proceed to the exact
     (shuffling) check, which now touches a sliver of the corpus.
+
+    The bit table is pinned first (localCheckpoint, same contract as
+    ``cms_estimate``): each of the k broadcast levels would otherwise
+    re-run the full bloom_build aggregation — k extra corpus scans
+    for a ≤ num_bits-row relation (r7 plan audit: 5 scans → 2 on the
+    blocklist query).
     """
+    bits = bits.localCheckpoint(eager=True)
     out = _with_md5_words(df, col)
     hits: list[Column] = []
     for i in range(k):

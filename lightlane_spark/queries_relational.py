@@ -1143,7 +1143,9 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
     est = hll_overlap(ev, "event_type", "user_id")
-    d = ev.distinct()
+    # (type, user)-cardinality relation, consumed by both self-join
+    # sides of the exact verifier — persist (r7 plan audit)
+    d = tracked_persist(ev.distinct())
     exact = (
         d.select(F.col("event_type").alias("grp_a"), "user_id")
         .join(
@@ -3589,11 +3591,16 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", F.col("label").alias("new_label"))
         )
+        # per-round checkpoint (clustering.py's contract): the label
+        # frame feeds BOTH next-round consumers (nb and the update
+        # join), so un-pinned lineage doubles per round — 2^rounds
+        # corpus scans (r7 plan audit: 4 scans at 2 rounds)
         labels = (
             labels.join(pick, "node", "left")
             .select(
                 "node", F.coalesce("new_label", "label").alias("label")
             )
+            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy("label")
