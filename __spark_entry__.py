@@ -499,6 +499,7 @@ _RECHECK = [
     "kaplan_meier",
     "psi_drift",
     "streaming_sliding_counts",
+    "association_rules",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

@@ -117,6 +117,7 @@ HEADLINE = [
     "gini_concentration",
     "kaplan_meier",
     "psi_drift",
+    "association_rules",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

@@ -4511,3 +4511,106 @@ ORACLE["gini_concentration"] = """
                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
     FROM agg ORDER BY c_mktsegment
 """
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets — the classic
+    support/confidence/lift readout on top of the frequent_pairs
+    co-occurrence counts (recommendation / cross-sell mining): for
+    each brand pair in the same order, directional confidences
+    P(b|a), P(a|b) and the symmetric lift
+    n_ab·N / (n_a·n_b), top-20 by lift with deterministic
+    tie-breaks. Exact integer counts; the only fp ops are the final
+    per-row divisions (identical operands both engines, round 6dp).
+
+    Scale shape: the brand dim broadcasts onto the fact scan; the
+    basket relation (order → ≤25-brand sorted array) is materialized
+    ONCE (three consumers: pair expansion, supports, basket count —
+    the FP-growth first-pass contract); pair expansion is in-row over
+    the sorted array, bounded by Σ|basket|² ≤ 25·|baskets|, then ONE
+    count shuffle of integer pairs. Supports re-explode the cached
+    baskets, never the fact table."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = tracked_persist(
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (a, i) -> "
+                    "transform(slice(bs, i + 2, size(bs)), b -> struct(a, b))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.a").alias("ant"), F.col("pr.b").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    supp = (
+        baskets.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    out = (
+        pairs.join(
+            F.broadcast(supp.select(F.col("p_brand").alias("ant"),
+                                    F.col("n_s").alias("n_a"))), "ant")
+        .join(
+            F.broadcast(supp.select(F.col("p_brand").alias("cons"),
+                                    F.col("n_s").alias("n_b"))), "cons")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_orders")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        out.select(
+            "ant",
+            "cons",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "conf_ab"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_b"), 6).alias(
+                "conf_ba"
+            ),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "ant", "cons")
+        .limit(20)
+    )
+
+
+QUERIES["association_rules"] = q_association_rules
+
+ORACLE["association_rules"] = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    supp AS (SELECT p_brand, count(*) AS n_s FROM b GROUP BY 1),
+    pairs AS (
+        SELECT a.p_brand AS ant, c.p_brand AS cons, count(*) AS n_ab
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.p_brand < c.p_brand
+        GROUP BY 1, 2
+    )
+    SELECT ant, cons, n_ab,
+           round(CAST(n_ab AS DOUBLE) / sa.n_s, 6) AS conf_ab,
+           round(CAST(n_ab AS DOUBLE) / sc.n_s, 6) AS conf_ba,
+           round(CAST(n_ab AS DOUBLE) * n.n_orders / (sa.n_s * sc.n_s), 6)
+             AS lift
+    FROM pairs
+    JOIN supp sa ON sa.p_brand = ant
+    JOIN supp sc ON sc.p_brand = cons, n
+    ORDER BY lift DESC, ant, cons LIMIT 20
+"""
