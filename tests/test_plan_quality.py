@@ -592,3 +592,27 @@ def test_funnel_stage_aggregates_persisted(spark, sf_dir):
     df = m.queries()["funnel_analysis"](spark, sf_dir)
     ps = plan_summary(df)
     assert ps.text.count("events.parquet") <= 3, ps.text[:1200]
+
+
+def test_gini_single_fact_scan_no_self_join(spark, sf_dir):
+    """Gini = one orders rollup + one customer broadcast + one rank
+    window — no self-products, one scan per table."""
+    import __spark_entry__ as m
+
+    df = m.queries()["gini_concentration"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("orders.parquet") == 1, ps.text[:1200]
+    assert ps.text.count("customer.parquet") == 1
+    assert "CartesianProduct" not in ps.text
+
+
+def test_association_rules_single_fact_scan(spark, sf_dir):
+    """The persisted basket relation feeds pair expansion, supports
+    and the basket count — the fact table is scanned once and the
+    pair expansion is in-row (no basket self-join)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["association_rules"](spark, sf_dir)
+    ps = plan_summary(df)
+    assert ps.text.count("lineitem.parquet") == 1, ps.text[:1200]
+    assert "CartesianProduct" not in ps.text
