@@ -1119,11 +1119,13 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select("event_type")
         .crossJoin(F.broadcast(spark.range(10).select(F.col("id").cast("int").alias("bin"))))
     )
+    # every relation here is ≤ |types|×10 rows — broadcast explicitly
+    # so the pre-AQE plan is already exchange-free (4 SMJs otherwise)
     cells = (
-        grid.join(bb, ["event_type", "bin"], "left")
-        .join(cc, ["event_type", "bin"], "left")
-        .join(btot, "event_type")
-        .join(ctot, "event_type")
+        grid.join(F.broadcast(bb), ["event_type", "bin"], "left")
+        .join(F.broadcast(cc), ["event_type", "bin"], "left")
+        .join(F.broadcast(btot), "event_type")
+        .join(F.broadcast(ctot), "event_type")
     )
     p = F.greatest(
         F.coalesce(F.col("cb"), F.lit(0)).cast("double") / F.col("nb"),
