@@ -500,6 +500,7 @@ _RECHECK = [
     "psi_drift",
     "streaming_sliding_counts",
     "association_rules",
+    "mutual_information",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

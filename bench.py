@@ -118,6 +118,7 @@ HEADLINE = [
     "kaplan_meier",
     "psi_drift",
     "association_rules",
+    "mutual_information",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

@@ -4614,3 +4614,124 @@ ORACLE["association_rules"] = """
     JOIN supp sc ON sc.p_brand = cons, n
     ORDER BY lift DESC, ant, cons LIMIT 20
 """
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature-leakage screen — the pre-training
+    audit that catches a feature encoding the label (target leakage):
+    MI(label; feature) in nats for each candidate feature, flagged
+    above 0.05. Planted fixture: the 'leaky' feature moves to a
+    disjoint value range exactly on purchase rows (a sanitized-ID
+    parity leak), the 'clean' feature is the same k%4 for everyone —
+    the screen must separate them (measured 0.498 vs 0.0005 nats, a
+    10×/100× two-sided margin at the threshold). Distinct from
+    cooccurrence_pmi: PMI scores individual value PAIRS inside one
+    column; MI integrates the full joint to score the COLUMN
+    dependency.
+
+    One corpus scan (both features unpivot in-row before the single
+    map-side-combined (feature, label, value) count shuffle); the
+    joint relation is ≤ |features|·|labels|·|values| rows and the
+    marginals fold out of it by re-aggregation, never re-scanning.
+    MI contributions go through round-9dp DECIMAL (order-independent
+    sum, the char_entropy contract)."""
+    from lightlane_spark.cache import tracked_persist
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    feats = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("leaky").alias("feature"),
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        4 + F.pmod("k", F.lit(2)),
+                    )
+                    .otherwise(F.pmod("k", F.lit(4)))
+                    .alias("fval"),
+                ),
+                F.struct(
+                    F.lit("clean").alias("feature"),
+                    F.pmod("k", F.lit(4)).alias("fval"),
+                ),
+            )
+        ).alias("x"),
+    ).select("event_type", "x.feature", "x.fval")
+    jt = tracked_persist(
+        feats.groupBy("feature", "event_type", "fval").agg(
+            F.count(F.lit(1)).alias("n_xy")
+        )
+    )
+    mx = jt.groupBy("feature", "event_type").agg(F.sum("n_xy").alias("n_x"))
+    my = jt.groupBy("feature", "fval").agg(F.sum("n_xy").alias("n_y"))
+    nn = jt.groupBy("feature").agg(F.sum("n_xy").alias("n"))
+    joined = (
+        jt.join(F.broadcast(mx), ["feature", "event_type"])
+        .join(F.broadcast(my), ["feature", "fval"])
+        .join(F.broadcast(nn), "feature")
+    )
+    contrib = F.round(
+        (F.col("n_xy").cast("double") / F.col("n"))
+        * F.log(
+            F.col("n_xy").cast("double")
+            * F.col("n")
+            / (F.col("n_x").cast("double") * F.col("n_y"))
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    mi = joined.groupBy("feature").agg(F.sum(contrib).alias("mi_dec"))
+    return mi.select(
+        "feature",
+        F.round(F.col("mi_dec").cast("double"), 6).alias("mi"),
+        (F.col("mi_dec").cast("double") > 0.05).cast("bigint").alias(
+            "flagged"
+        ),
+    ).orderBy("feature")
+
+
+QUERIES["mutual_information"] = q_mutual_information
+
+ORACLE["mutual_information"] = """
+    WITH f AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ),
+    feats AS (
+        SELECT event_type, 'leaky' AS feature,
+               CASE WHEN event_type = 'purchase' THEN 4 + k % 2
+                    ELSE k % 4 END AS fval
+        FROM f
+        UNION ALL
+        SELECT event_type, 'clean', k % 4 FROM f
+    ),
+    jt AS (
+        SELECT feature, event_type, fval, count(*) AS n_xy
+        FROM feats GROUP BY 1, 2, 3
+    ),
+    mx AS (SELECT feature, event_type, SUM(n_xy) AS n_x FROM jt GROUP BY 1, 2),
+    my AS (SELECT feature, fval, SUM(n_xy) AS n_y FROM jt GROUP BY 1, 2),
+    nn AS (SELECT feature, SUM(n_xy) AS n FROM jt GROUP BY 1),
+    mi AS (
+        SELECT jt.feature,
+               SUM(CAST(round(
+                   (CAST(n_xy AS DOUBLE) / n)
+                   * ln(CAST(n_xy AS DOUBLE) * n
+                        / (CAST(n_x AS DOUBLE) * n_y)), 9)
+                   AS DECIMAL(28,9))) AS mi_dec
+        FROM jt
+        JOIN mx USING (feature, event_type)
+        JOIN my ON my.feature = jt.feature AND my.fval = jt.fval
+        JOIN nn ON nn.feature = jt.feature
+        GROUP BY 1
+    )
+    SELECT feature,
+           round(CAST(mi_dec AS DOUBLE), 6) AS mi,
+           CASE WHEN CAST(mi_dec AS DOUBLE) > 0.05 THEN 1 ELSE 0 END
+             AS flagged
+    FROM mi ORDER BY feature
+"""
