@@ -501,6 +501,7 @@ _RECHECK = [
     "streaming_sliding_counts",
     "association_rules",
     "mutual_information",
+    "theil_decomposition",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

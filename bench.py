@@ -119,6 +119,7 @@ HEADLINE = [
     "psi_drift",
     "association_rules",
     "mutual_information",
+    "theil_decomposition",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

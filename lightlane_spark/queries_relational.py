@@ -4735,3 +4735,103 @@ ORACLE["mutual_information"] = """
              AS flagged
     FROM mi ORDER BY feature
 """
+
+
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of customer revenue by market
+    segment — the additive counterpart to gini_concentration:
+    T_total = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ) splits inequality into
+    WITHIN-segment and BETWEEN-segment components (Gini cannot be
+    decomposed additively), the lens for "is revenue concentration a
+    segment story or a whales-everywhere story". Output per segment:
+    population, income share s_g, within-Theil T_g and the between
+    term s_g·ln(μ_g/μ); both engines compute every term from the
+    same exact-decimal revenue rollup, so the decomposition identity
+    is pinned by the hash on all components at once.
+
+    One corpus-sized (custkey) revenue rollup joined to the broadcast
+    customer dim; the per-customer relation is materialized once
+    (three consumers: totals, segment moments, the contribution sum);
+    log contributions go through round-9dp DECIMAL; means divide
+    decimal-exact sums in double on identical operands."""
+    from lightlane_spark.cache import tracked_persist
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = tracked_persist(
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("seg"), "x")
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    seg = rev.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("x").alias("sx_g")
+    )
+    mu_g = F.col("sx_g").cast("double") / F.col("n_g")
+    contrib = F.round(
+        (F.col("x").cast("double") / mu_g)
+        * F.log(F.col("x").cast("double") / mu_g),
+        9,
+    ).cast("decimal(28,9)")
+    within = (
+        rev.join(F.broadcast(seg), "seg")
+        .groupBy("seg")
+        .agg(F.sum(contrib).alias("s_dec"), F.max("n_g").alias("n_g"))
+        .select(
+            "seg",
+            (F.col("s_dec").cast("double") / F.col("n_g")).alias("t_g"),
+        )
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    share = F.col("sx_g").cast("double") / F.col("sx").cast("double")
+    return (
+        within.join(F.broadcast(seg), "seg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "n_g",
+            F.round(share, 6).alias("income_share"),
+            F.round("t_g", 6).alias("theil_within"),
+            F.round(share * F.log(mu_g / mu), 6).alias("between_term"),
+        )
+        .orderBy("seg")
+    )
+
+
+QUERIES["theil_decomposition"] = q_theil_decomposition
+
+ORACLE["theil_decomposition"] = """
+    WITH rev AS (
+        SELECT c.c_mktsegment AS seg,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+    ),
+    tot AS (SELECT count(*) AS n, SUM(x) AS sx FROM rev),
+    seg AS (
+        SELECT seg, count(*) AS n_g, SUM(x) AS sx_g FROM rev GROUP BY 1
+    ),
+    within AS (
+        SELECT r.seg,
+               SUM(CAST(round(
+                   (CAST(r.x AS DOUBLE) / (CAST(s.sx_g AS DOUBLE) / s.n_g))
+                   * ln(CAST(r.x AS DOUBLE)
+                        / (CAST(s.sx_g AS DOUBLE) / s.n_g)), 9)
+                   AS DECIMAL(28,9))) AS s_dec,
+               MAX(s.n_g) AS n_g
+        FROM rev r JOIN seg s USING (seg) GROUP BY 1
+    )
+    SELECT w.seg, s.n_g,
+           round(CAST(s.sx_g AS DOUBLE) / CAST(t.sx AS DOUBLE), 6)
+             AS income_share,
+           round(CAST(w.s_dec AS DOUBLE) / w.n_g, 6) AS theil_within,
+           round(CAST(s.sx_g AS DOUBLE) / CAST(t.sx AS DOUBLE)
+                 * ln((CAST(s.sx_g AS DOUBLE) / s.n_g)
+                      / (CAST(t.sx AS DOUBLE) / t.n)), 6) AS between_term
+    FROM within w JOIN seg s USING (seg), tot t ORDER BY w.seg
+"""
