@@ -502,6 +502,7 @@ _RECHECK = [
     "association_rules",
     "mutual_information",
     "theil_decomposition",
+    "two_hop_features",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

@@ -120,6 +120,7 @@ HEADLINE = [
     "association_rules",
     "mutual_information",
     "theil_decomposition",
+    "two_hop_features",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

@@ -4835,3 +4835,116 @@ ORACLE["theil_decomposition"] = """
                       / (CAST(t.sx AS DOUBLE) / t.n)), 6) AS between_term
     FROM within w JOIN seg s USING (seg), tot t ORDER BY w.seg
 """
+
+
+def q_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood feature aggregation — the GraphSAGE/GNN
+    feature-engineering shape (node embeddings from aggregated
+    neighbor attributes, two message-passing rounds): over the
+    deterministic same-nation offset graph (label_propagation's edge
+    builder), each sampled node gets its 1-hop and 2-hop path-count
+    and PATH-WEIGHTED mean account balance (A·x and A²·x semantics —
+    multiplicity-weighted, exactly what two rounds of sum-aggregate
+    message passing compute; distinct-node means would need a 2-hop
+    DISTINCT blowup the message-passing form avoids on purpose).
+
+    Scale: hop 1 = one co-partitioned edge⋈feature join + sum
+    aggregate keyed by destination (linear in |E|); hop 2 repeats
+    the same join against the HOP-1 AGGREGATE (node-cardinality, so
+    the A² term never materializes 2-hop paths — sums compose).
+    Output bounded by the node sample. Exact DECIMAL feature sums;
+    one division at the end."""
+    from lightlane_spark.cache import tracked_persist
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    b = c.select(
+        F.col("c_custkey").alias("v"),
+        F.col("c_nationkey").alias("bn"),
+    )
+    offs = F.array(*[F.lit(d) for d in (1, 2, 3, 4, 5, 6, 8, 10)])
+    pairs = (
+        c.withColumn("d", F.explode(offs))
+        .withColumn("vk", F.col("d") + F.col("c_custkey"))
+        .join(
+            b,
+            (F.col("vk") == F.col("v"))
+            & (F.col("c_nationkey") == F.col("bn")),
+        )
+        .select(F.col("c_custkey").alias("u"), "v")
+    )
+    edges = tracked_persist(
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    feat = c.select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("f"),
+    )
+    # hop 1: sum/count of neighbor features keyed by destination
+    h1 = tracked_persist(
+        edges.join(feat, edges["u"] == feat["node"])
+        .groupBy(F.col("v").alias("node1"))
+        .agg(F.sum("f").alias("s1"), F.count(F.lit(1)).alias("n1"))
+    )
+    # hop 2: the SAME edge join against the hop-1 aggregate — sums
+    # compose (A²·x = A·(A·x)), so 2-hop paths are never materialized
+    h2 = (
+        edges.join(h1, edges["u"] == h1["node1"])
+        .groupBy(F.col("v").alias("node2"))
+        .agg(F.sum("s1").alias("s2"), F.sum("n1").alias("n2"))
+    )
+    out = (
+        h1.withColumnRenamed("node1", "node")
+        .join(h2, F.col("node") == F.col("node2"))
+        .filter(F.col("node") % 50 == 0)
+    )
+    return out.select(
+        "node",
+        "n1",
+        F.round(F.col("s1").cast("double") / F.col("n1"), 6).alias(
+            "mean_1hop"
+        ),
+        "n2",
+        F.round(F.col("s2").cast("double") / F.col("n2"), 6).alias(
+            "mean_2hop"
+        ),
+    ).orderBy("node")
+
+
+QUERIES["two_hop_features"] = q_two_hop_features
+
+ORACLE["two_hop_features"] = """
+    WITH pairs AS (
+        SELECT a.c_custkey AS u, b.c_custkey AS v
+        FROM customer a
+        JOIN (SELECT unnest([1,2,3,4,5,6,8,10]) AS d) o ON TRUE
+        JOIN customer b
+          ON b.c_custkey = a.c_custkey + o.d
+         AND b.c_nationkey = a.c_nationkey
+    ),
+    edges AS (
+        SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ),
+    feat AS (
+        SELECT c_custkey AS node, CAST(c_acctbal AS DECIMAL(18,2)) AS f
+        FROM customer
+    ),
+    h1 AS (
+        SELECT e.v, SUM(f.f) AS s1, count(*) AS n1
+        FROM edges e JOIN feat f ON e.u = f.node GROUP BY e.v
+    ),
+    h2 AS (
+        SELECT e.v AS node2, SUM(h.s1) AS s2, SUM(h.n1) AS n2
+        FROM edges e JOIN h1 h ON e.u = h.v GROUP BY e.v
+    )
+    SELECT h1.v AS node, n1,
+           round(CAST(s1 AS DOUBLE) / n1, 6) AS mean_1hop,
+           n2,
+           round(CAST(s2 AS DOUBLE) / n2, 6) AS mean_2hop
+    FROM h1 JOIN h2 ON h1.v = h2.node2
+    WHERE h1.v % 50 = 0
+    ORDER BY node
+"""
