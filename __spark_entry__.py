@@ -503,6 +503,7 @@ _RECHECK = [
     "mutual_information",
     "theil_decomposition",
     "two_hop_features",
+    "burstiness_bots",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

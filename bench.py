@@ -121,6 +121,7 @@ HEADLINE = [
     "mutual_information",
     "theil_decomposition",
     "two_hop_features",
+    "burstiness_bots",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

@@ -1218,3 +1218,109 @@ ORACLE["psi_drift"] = """
              AS flagged
     FROM psi ORDER BY event_type
 """
+
+
+def q_burstiness_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness screen (bot/automation detection):
+    per user, the Fano factor (variance/mean) of inter-event gaps —
+    human-ish Poisson arrivals disperse (measured 21k–68k s here),
+    automation is metronomic (Fano → 0). Planted fixture: users 0–4
+    get their timestamps rewritten to an exact 60 s cadence (same
+    row_number rule in the oracle), so the screen must flag exactly
+    those five at Fano < 100 — a ≥200× margin against the most
+    regular natural user.
+
+    Engine parity: gaps are exact integer MICROSECONDS
+    (unix_micros ↔ epoch_us — NOT unix seconds, which Spark
+    truncates and DuckDB fractions), converted per-row to seconds
+    (≤6 decimal digits, exact in double), moments via round-9dp
+    DECIMAL sums, one double division at the end. Scale: one
+    (user, ts) window sort — the sessionize shuffle — then a
+    map-side-combined per-user moment aggregate."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    from pyspark.sql import Window
+
+    wseq = Window.partitionBy("user_id").orderBy("event_id")
+    base = F.lit("2024-01-01").cast("timestamp")
+    fixed = ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("user_id") < 5,
+            F.timestamp_micros(
+                F.unix_micros(base)
+                + (F.row_number().over(wseq) - 1).cast("long") * 60_000_000
+            ),
+        ).otherwise(F.col("ts")).alias("ts"),
+    )
+    wg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = fixed.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wg)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    gap_s = F.col("gap_us").cast("double") / 1e6
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.round(gap_s, 9).cast("decimal(28,9)")).alias("sg"),
+        F.sum(F.round(gap_s * gap_s, 9).cast("decimal(28,9)")).alias("sgg"),
+    )
+    m = F.col("sg").cast("double") / F.col("n_gaps")
+    v = F.col("sgg").cast("double") / F.col("n_gaps") - m * m
+    fano = v / m
+    return (
+        agg.filter(F.col("n_gaps") >= 5)
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(m, 6).alias("mean_gap_s"),
+            F.round(fano, 6).alias("fano"),
+            (fano < 100.0).cast("bigint").alias("is_bot"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["burstiness_bots"] = q_burstiness_bots
+
+ORACLE["burstiness_bots"] = """
+    WITH fixed AS (
+        SELECT user_id, event_id,
+               CASE WHEN user_id < 5 THEN
+                   TIMESTAMP '2024-01-01'
+                   + to_microseconds(60000000 * (row_number() OVER (
+                         PARTITION BY user_id ORDER BY event_id) - 1))
+               ELSE ts END AS ts
+        FROM events
+    ),
+    g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM fixed
+    ),
+    agg AS (
+        SELECT user_id, count(*) AS n_gaps,
+               SUM(CAST(round(CAST(gap_us AS DOUBLE) / 1e6, 9)
+                        AS DECIMAL(28,9))) AS sg,
+               SUM(CAST(round((CAST(gap_us AS DOUBLE) / 1e6)
+                              * (CAST(gap_us AS DOUBLE) / 1e6), 9)
+                        AS DECIMAL(28,9))) AS sgg
+        FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_gaps,
+           round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+           round((CAST(sgg AS DOUBLE) / n_gaps
+                  - (CAST(sg AS DOUBLE) / n_gaps)
+                    * (CAST(sg AS DOUBLE) / n_gaps))
+                 / (CAST(sg AS DOUBLE) / n_gaps), 6) AS fano,
+           CASE WHEN (CAST(sgg AS DOUBLE) / n_gaps
+                      - (CAST(sg AS DOUBLE) / n_gaps)
+                        * (CAST(sg AS DOUBLE) / n_gaps))
+                     / (CAST(sg AS DOUBLE) / n_gaps) < 100.0
+                THEN 1 ELSE 0 END AS is_bot
+    FROM agg WHERE n_gaps >= 5 ORDER BY user_id
+"""
