@@ -504,6 +504,7 @@ _RECHECK = [
     "theil_decomposition",
     "two_hop_features",
     "burstiness_bots",
+    "cohort_ltv",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

@@ -122,6 +122,7 @@ HEADLINE = [
     "theil_decomposition",
     "two_hop_features",
     "burstiness_bots",
+    "cohort_ltv",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

@@ -1324,3 +1324,91 @@ ORACLE["burstiness_bots"] = """
                 THEN 1 ELSE 0 END AS is_bot
     FROM agg WHERE n_gaps >= 5 ORDER BY user_id
 """
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — cumulative purchase revenue per user by
+    cohort age (days since the cohort's first-seen day), the
+    product-analytics complement to retention_cohorts' activity
+    counts: "how much has the Jan-3 cohort earned per member by day
+    k". Revenue stays DECIMAL-exact from the per-(cohort, age) rollup
+    through the running-total window (cumsum order pinned by age);
+    the single fp division by cohort size happens at presentation.
+
+    Scale: first-seen is one map-side-combined min() keyed by user;
+    purchases join that user-cardinality relation (broadcast- or
+    co-partition-eligible), roll up to (cohort, age) — aggregate-
+    sized — and the LTV window runs at that cardinality. First-seen
+    is persisted for its two consumers (revenue join + cohort
+    sizes)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    from pyspark.sql import Window
+
+    first = tracked_persist(
+        ev.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("cohort_day")
+        )
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("age"),
+            F.round("value", 2).cast("decimal(18,2)").alias("v"),
+        )
+        .filter(F.col("age") <= 7)
+    )
+    daily = rev.groupBy("cohort_day", "age").agg(F.sum("v").alias("rev"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "age",
+            F.round(
+                F.sum("rev").over(w).cast("double") / F.col("cohort_n"), 6
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_day", "age")
+    )
+
+
+QUERIES["cohort_ltv"] = q_cohort_ltv
+
+ORACLE["cohort_ltv"] = """
+    WITH first AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age,
+               CAST(round(e.value, 2) AS DECIMAL(18,2)) AS v
+        FROM events e JOIN first f USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 7
+    ),
+    daily AS (
+        SELECT cohort_day, age, SUM(v) AS rev FROM rev GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_day, count(*) AS cohort_n FROM first GROUP BY 1
+    )
+    SELECT d.cohort_day, d.age,
+           round(CAST(SUM(d.rev) OVER (
+                     PARTITION BY d.cohort_day ORDER BY d.age
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / s.cohort_n, 6) AS ltv_per_user
+    FROM daily d JOIN sizes s USING (cohort_day)
+    ORDER BY 1, 2
+"""
