@@ -505,6 +505,7 @@ _RECHECK = [
     "two_hop_features",
     "burstiness_bots",
     "cohort_ltv",
+    "neardup_dedup_quality",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

@@ -123,6 +123,7 @@ HEADLINE = [
     "two_hop_features",
     "burstiness_bots",
     "cohort_ltv",
+    "neardup_dedup_quality",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

@@ -4315,3 +4315,69 @@ ORACLE["streaming_sliding_counts"] = """
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+def q_neardup_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware fuzzy dedup: per near-dup cluster keep the
+    HIGHEST-quality_score member, ties → LATEST id (the recency
+    tiebreak: among equal-quality copies keep the freshest crawl) —
+    the policy real curation pipelines want instead of
+    neardup_dedup's min-id canonical (keep the cleanest/freshest
+    copy, not the one that happened to crawl first; cf.
+    RefinedWeb/FineWeb keep-best dedup). On the fixture this
+    provably diverges from min-id: verbatim re-upload families keep
+    the +1e6 twin. Composition of existing operators: shared verified-pair
+    graph → connected components → per-component argmax window over
+    the JVM quality_score expression. The window runs over the
+    labeled corpus keyed by component — one exchange beyond the
+    clustering; quality is map-only. The oracle replays components
+    (recursive CTE) AND the quality formula, so both the clustering
+    and the keep policy are value-pinned."""
+    from pyspark.sql import Window
+
+    from lightlane_spark.operators.clustering import assign_components
+    from lightlane_spark.operators.text import quality_score
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    labeled = assign_components(
+        corpus, _neardup_pairs(spark, sf_dir), assume_canonical=True
+    )
+    w = Window.partitionBy("component").orderBy(
+        quality_score("text").desc(), F.col("doc_id").desc()
+    )
+    return (
+        labeled.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("doc_id")
+    )
+
+
+QUERIES["neardup_dedup_quality"] = q_neardup_dedup_quality
+
+ORACLE["neardup_dedup_quality"] = f"""
+    WITH RECURSIVE {_CLUSTER_CTES},
+    m AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_toks,
+               CAST(length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')) AS DOUBLE) AS n_alpha,
+               CAST(len(list_filter(string_split(text, ' '), x -> x IN {_SW})) AS DOUBLE) AS n_sw
+        FROM corpus
+    ),
+    sq AS (
+        SELECT doc_id,
+               0.25 * (CASE WHEN n_toks >= 10 AND n_toks <= 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (n_alpha / n_chars)
+             + 0.25 * (CASE WHEN (n_sw / n_toks) > 0.01 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (CASE WHEN (n_chars / n_toks) >= 2 AND (n_chars / n_toks) <= 12 THEN 1.0 ELSE 0.0 END)
+               AS q
+        FROM m
+    ),
+    pick AS (
+        SELECT c.component, c.doc_id,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY sq.q DESC, c.doc_id DESC) AS r
+        FROM clusters c JOIN sq USING (doc_id)
+    )
+    SELECT doc_id FROM pick WHERE r = 1
+"""
