@@ -506,6 +506,7 @@ _RECHECK = [
     "burstiness_bots",
     "cohort_ltv",
     "neardup_dedup_quality",
+    "rfm_segmentation",
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",

@@ -124,6 +124,7 @@ HEADLINE = [
     "burstiness_bots",
     "cohort_ltv",
     "neardup_dedup_quality",
+    "rfm_segmentation",
     "rp_project",
     "winsorize",
     "dataset_card_stats",

@@ -4948,3 +4948,90 @@ ORACLE["two_hop_features"] = """
     WHERE h1.v % 50 = 0
     ORDER BY node
 """
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM/customer-value grid:
+    per customer, Recency (days since last order, vs the dataset's
+    max date), Frequency (order count) and Monetary (exact-decimal
+    revenue), each scored into quintiles (ntile(5), deterministic
+    (metric, custkey) order — Spark and DuckDB share the even-bucket
+    remainder-to-first ntile definition), then the 5×5×5 cell census
+    with per-cell revenue. "Champions" are (5,5,5); win-back targets
+    are (1, high F, high M).
+
+    Scale: ONE fact rollup keyed by customer (map-side combined),
+    then three window ranks over the customer-cardinality relation —
+    a global sort each, the documented cost of exact global
+    quantiles (swap to approx percentile cuts when customers stop
+    fitting a sort, quantile_summary's contract); final census is a
+    tiny aggregate. The rollup is persisted: the three ntile windows
+    and the max-date scalar all consume it."""
+    from lightlane_spark.cache import tracked_persist
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_totalprice"
+    )
+    cust = tracked_persist(
+        o.groupBy("o_custkey").agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "monetary"
+            ),
+        )
+    )
+    d0 = cust.agg(F.max("last_d").alias("d0"))
+    scored = (
+        cust.crossJoin(F.broadcast(d0))
+        .withColumn("recency", F.datediff("d0", "last_d"))
+        .select(
+            "o_custkey",
+            "monetary",
+            F.ntile(5)
+            .over(Window.orderBy(F.col("recency").desc(), "o_custkey"))
+            .alias("r_score"),
+            F.ntile(5)
+            .over(Window.orderBy("frequency", "o_custkey"))
+            .alias("f_score"),
+            F.ntile(5)
+            .over(Window.orderBy("monetary", "o_custkey"))
+            .alias("m_score"),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("double").alias("cell_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+QUERIES["rfm_segmentation"] = q_rfm_segmentation
+
+ORACLE["rfm_segmentation"] = """
+    WITH cust AS (
+        SELECT o_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_d,
+               count(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(last_d) AS d0 FROM cust),
+    scored AS (
+        SELECT o_custkey, monetary,
+               ntile(5) OVER (
+                   ORDER BY date_diff('day', last_d, (SELECT d0 FROM mx)) DESC,
+                            o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+        FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS cell_revenue
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
