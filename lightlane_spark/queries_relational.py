@@ -1621,8 +1621,14 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    # |types|-row relation with two downstream consumers (the MAD
+    # aggregate and the final filter each re-embed dev's lineage) —
+    # persist so the median pass runs once; 3 corpus scans is the
+    # two-pass-median structural floor (median → MAD → filter)
+    med = tracked_persist(
+        ev.groupBy("event_type").agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+        )
     )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "absdev", F.abs(F.col("value") - F.col("med"))
