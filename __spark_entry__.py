@@ -462,88 +462,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness run truncates at 50 queries. Round-5
-# rotation policy (VERDICT r4 ask #4): every one of the 217 declared
-# queries is sweep-green (SWEEP_LOCAL.json), so the window front-loads
-# by DRIVER-row staleness:
-#   1. ship_delay_priority — the single red r4 driver row (hash-only
-#      mismatch that re-verifies bit-exact locally); output now pinned
-#      to bigint on both sides. Stays first until a green driver row.
-#   2. queries whose implementation or oracle changed this round.
-#   3. the 47 queries that have NEVER had a driver row (added in late
-#      r4 sessions after the window filled) — first driver check.
-#   4. oldest driver-green groups (r1, then r2); r3/r4-green queries
-#      rotate to the back and stay covered by the committed sweep.
+# The driver's correctness run truncates at 50 queries. Round-8
+# rotation (VERDICT r7 asks #1+#3): the window is now GENERATED by
+# tools/rotate_window.py from the committed CORRECTNESS_r*.json
+# history — reds first, then queries changed this round, then the
+# pinned SURVEY-2 relational/loader core, then oldest-driver-row
+# first. This round's invocation (recorded so it can be reproduced):
+#
+#   python tools/rotate_window.py \
+#     --changed kmv_set_ops,span_dedup,cms_heavy_hitters,\
+#               cms_windowed,bloom_prefilter,join_size_estimate \
+#     --pin pricing_summary,column_exclusion,minmax_probe,top1,\
+#           range_split,dedup_window,csv_roundtrip,hive_text_roundtrip,\
+#           merge_load,append_load,partitioned_load,anti_join_merge,\
+#           multi_sink_fanout,quarantine_good,quarantine_bad,union_all,\
+#           table_profile,json_extract,explode,flatten_json_array,\
+#           map_rows_tokens,drop_falsy --python
+#
+# Window composition (50 slots): 7 reds (the 4 r7 mid-round-artifact
+# reds, judge-verified green at HEAD, plus 3 r3 no_oracle rows that
+# now HAVE oracles and get their first full hash check), 6
+# advice-fix-changed queries (kmv jaccard exact-regime denominator;
+# span_dedup null-text row set; cms/bloom tracked_persist), 22 pinned
+# SURVEY-2 relational/loader core names (driver-stale since r1-r3),
+# 15 r1-stale text/dedup rows. projection/filter got green r7 rows
+# so they rotate to the back with the other fresh greens.
 _RECHECK = [
-    # --- Round-7 rotation (VERDICT r6 ask #1). The driver window
-    # truncates at 50, so the FIRST 50 names below are the r7 window:
-    #   1. queries whose plan/operator changed this round (bm25
-    #      window-df, hybrid fused agg, minhash_join pre-verify parity
-    #      filter, kcore window peel, persist A/B outcomes, slabbed
-    #      Arrow exact pass, frequent_pairs width-cap fallback);
-    #   2. the 11 queries that have NEVER had a driver row (they sat
-    #      past position 50 in the r5/r6 window);
-    #   3. the SURVEY §2 relational/loader core, driver-checked last
-    #      in r1-r3 (projection/filter/dedup_window/csv_roundtrip/
-    #      merge_load/partitioned_load/range_split/anti_join_merge and
-    #      the transform/sink battery) — the judge's named stale set;
-    #   4. r1-stale text/dedup rows to fill the window.
-    # Everything after slot 50 orders the remaining backlog oldest-
-    # first so the r8 rotation can continue down the list.
-    # 0. brand new this round — first driver check
-    "kmv_set_ops",
-    "cusum_changepoint",
-    "l_diversity",
-    "benford_audit",
-    "gini_concentration",
-    "kaplan_meier",
-    "psi_drift",
+    # generated by tools/rotate_window.py — do not hand-edit;
+    # re-run with --changed <names> after semantic changes.
+    # --- red ---
     "streaming_sliding_counts",
-    "association_rules",
-    "mutual_information",
-    "theil_decomposition",
+    "l_diversity",
     "two_hop_features",
-    "burstiness_bots",
-    "cohort_ltv",
-    "neardup_dedup_quality",
-    "rfm_segmentation",
-    "embedding_centroids",
-    "compression_ratio",
-    "retrieval_metrics",
-    "pareto_frontier",
-    "point_in_time_join",
-    "quantile_normalize",
-    "seasonal_baseline",
-    "winsorize",
-    "dataset_card_stats",
-    "cooccurrence_pmi",
-    "dsir_select",
-    "containment_join",
-    "char_entropy",
-    "rp_project",
-    # 1. changed this round
-    "bm25_topk",
-    "hybrid_retrieval",
-    "minhash_join",
-    "minhash_lsh_pairs",
-    "kcore_peel",
-    "frequent_pairs",
-    "embedding_neardup",
-    # 2. never driver-checked
-    "resample_fill",
-    "retention_cohorts",
-    "rollup_cdc_apply",
-    "session_paths",
-    "streaming_stateful_counts",
-    "temperature_mix",
-    "trend_detection",
-    "triangle_count",
-    "url_dedup",
-    "waiting_suppliers",
-    "weighted_topk",
-    # 3. SURVEY §2 relational/loader core (stale since r1-r3)
-    "projection",
-    "filter",
+    "kaplan_meier",
+    "ann_topk_ivf",
+    "multimodal_features",
+    "approx_distinct",
+    # --- changed ---
+    "span_dedup",
+    "cms_heavy_hitters",
+    "cms_windowed",
+    "join_size_estimate",
+    "bloom_prefilter",
+    "kmv_set_ops",
+    # --- pinned (green r3) ---
+    "pricing_summary",
     "column_exclusion",
     "minmax_probe",
     "top1",
@@ -559,110 +522,236 @@ _RECHECK = [
     "quarantine_good",
     "quarantine_bad",
     "union_all",
+    # --- pinned (green r2) ---
     "table_profile",
+    # --- pinned (green r3) ---
     "json_extract",
     "explode",
     "flatten_json_array",
     "map_rows_tokens",
     "drop_falsy",
-    # 4. r1-stale fill to 50
-    "pricing_summary",
-    "dedup_exact",
-    "tfidf_topk",
+    # --- green r1 ---
     "text_quality",
     "text_langid",
-    "text_clean",
     "text_fingerprint",
-    "pii_redact",
-    "hashed_bow",
-    # --- end of the 50-query r7 window ---
-    # backlog, oldest driver row first (r1 group)
-    "corpus_prep",
+    "text_clean",
     "chunk_documents",
-    "bow_similarity",
+    "vocab_topk",
+    "repetition_stats",
     "dataset_split",
-    "decontaminate",
+    "tfidf_topk",
+    "hashed_bow",
+    "bow_similarity",
     "fuzzy_match",
+    "stratified_sample",
+    "corpus_prep",
+    "pii_redact",  # end of 50-slot driver window
+    "dedup_exact",
     "minhash_signatures",
     "neardup_clusters",
-    "neardup_dedup",
     "pagerank_neardup",
-    "repetition_stats",
+    "neardup_dedup",
     "simhash_near_pairs",
-    "stratified_sample",
-    "vocab_topk",
-    # r2 group
-    "ann_topk_bruteforce",
-    "asof_join",
-    "asof_join_forward",
-    "case_expr_bucketing",
-    "cross_join_grid",
-    "customer_order_counts",
-    "date_functions",
-    "distinct_agg",
-    "dq_violations",
-    "exists_subquery",
-    "groupby_cube",
-    "groupby_rollup",
-    "grouped_topk_pandas",
-    "hash_sample",
-    "having_filter",
-    "intersect_except",
-    "join_3way",
-    "join_full_outer",
-    "join_left_semi",
-    "join_right_outer",
-    "json_sink_roundtrip",
-    "moving_avg",
-    "ngram_jaccard",
-    "orc_roundtrip",
-    "ordered_agg",
-    "pivot",
-    "quantile_summary",
-    "range_join",
-    "returned_items",
-    "revenue_by_part_type",
-    "salted_join",
-    "scalar_subquery",
-    "shipping_priority",
+    # --- green r2 ---
     "simhash_signatures",
-    "small_order_revenue",
-    "snapshot_diff",
-    "supplier_rank",
-    "time_rollup",
-    "topk_per_group",
-    "unpivot",
+    "ngram_jaccard",
+    "ann_topk_bruteforce",
     "variant_extract",
+    "salted_join",
+    "moving_avg",
+    "join_right_outer",
+    "cross_join_grid",
     "window_first_last",
+    "ordered_agg",
+    "shipping_priority",
+    "returned_items",
+    "date_functions",
+    "small_order_revenue",
+    "customer_order_counts",
+    "having_filter",
+    "dq_violations",
+    "pivot",
+    "unpivot",
+    "quantile_summary",
+    "snapshot_diff",
+    "orc_roundtrip",
+    "xml_roundtrip",
+    "revenue_by_part_type",
+    "supplier_rank",
+    "grouped_topk_pandas",
+    "intersect_except",
+    "scalar_subquery",
     "window_ntile",
+    "hash_sample",
+    "join_3way",
+    "join_left_semi",
+    "join_full_outer",
+    "groupby_rollup",
+    "groupby_cube",
     "window_rank_lag",
     "window_running_sum",
-    "xml_roundtrip",
-    # r3 group (stale but newer than the above)
-    "ann_topk_ivf",
+    "topk_per_group",
+    "distinct_agg",
+    "case_expr_bucketing",
+    "exists_subquery",
+    "json_sink_roundtrip",
+    "asof_join",
+    "asof_join_forward",
+    "range_join",
+    "time_rollup",
+    # --- green r3 ---
+    "json_roundtrip",
+    "streaming_window_counts",
+    "sessionize",
+    "session_window",
+    "quota_sample",
+    "weighted_sample",
+    "pack_sequences",
+    "text_stats",
+    "quality_topp",
     "ann_topk_lsh",
-    "approx_distinct",
-    "cdc_apply",
-    "corr_matrix",
     "embedding_quantize",
     "embedding_quantize_error",
-    "frame_sample",
-    "json_roundtrip",
     "multimodal_decode",
-    "multimodal_features",
     "multimodal_resize",
-    "pack_sequences",
-    "quality_topp",
-    "quota_sample",
-    "scd2_load",
-    "session_window",
-    "sessionize",
-    "span_dedup",
-    "streaming_window_counts",
-    "text_stats",
-    "weighted_sample",
-    "window_range_frame",
+    "frame_sample",
     "zorder_key",
+    "scd2_load",
+    "cdc_apply",
+    "corr_matrix",
+    "window_range_frame",
+    # --- green r4 ---
+    "vocab_tokenize",
+    "padding_efficiency",
+    "bpe_pair_counts",
+    "set_similarity_join",
+    "event_transitions",
+    "deterministic_shuffle",
+    "bpe_train",
+    "negative_pairs",
+    "streaming_dedup_counts",
+    "blockhash_near_dup",
+    "binary_file_scan",
+    "streaming_interval_join",
+    "dpp_scan",
+    "schema_evolution_read",
+    "python_datasource_scan",
+    "window_percent_rank",
+    "grouping_sets",
+    "mad_outliers",
+    "rolling_distinct_users",
+    "volume_shipping",
+    "large_volume_customers",
+    "product_type_profit",
+    "top_supplier",
+    "supplier_part_counts",
+    "record_linkage",
+    "ab_test_zscore",
+    "group_quantiles",
+    "ivm_join",
+    "label_propagation",
+    "k_anonymize_suppress",
+    "feature_digitize",
+    "rollup_grouping_id",
+    "cumulative_users",
+    "fulfillment_lag",
+    "hierarchy_share",
+    "pivot_multi",
+    "new_vs_returning",
+    "aqp_revenue_estimate",
+    "supplier_lead_time",
+    "referential_audit",
+    "concurrency_curve",
+    "abandoned_actions",
+    "time_weighted_avg",
+    "purchase_attribution",
+    # --- green r6 ---
+    "versioned_merge",
+    "avro_roundtrip",
+    "jdbc_roundtrip",
+    "pruned_scan",
+    "compacted_load",
+    "gopher_rules",
+    "decontaminate",
+    "leakage_safe_split",
+    "boilerplate_ngrams",
+    "ann_topk_filtered",
+    "pq_topk",
+    "embedding_neardup_lsh",
+    "semantic_dedup",
+    "corpus_overlap",
+    "curation_pipeline",
+    "cdc_chunks",
+    "ngram_lm_score",
+    "vocab_drift",
+    "k_anonymity_check",
+    "lateral_topk",
+    "recursive_ancestors",
+    "ship_delay_priority",
+    "local_supplier_volume",
+    "numeric_histogram",
+    "incremental_rollup",
+    "hll_overlap",
+    "market_share",
+    "forecast_revenue",
+    "order_priority_check",
+    "disjunctive_join_filter",
+    "hll_rollup",
+    "group_zscore",
+    "dormant_customers",
+    "min_cost_supplier",
+    "promotion_suppliers",
+    "bucketed_join",
+    "period_over_period",
+    "funnel_analysis",
+    "ewma_smooth",
+    "target_encode",
+    # --- green r7 ---
+    "projection",
+    "filter",
+    "bm25_topk",
+    "dsir_select",
+    "hybrid_retrieval",
+    "streaming_stateful_counts",
+    "session_paths",
+    "minhash_lsh_pairs",
+    "containment_join",
+    "char_entropy",
+    "dataset_card_stats",
+    "cooccurrence_pmi",
+    "embedding_neardup",
+    "rp_project",
+    "url_dedup",
+    "triangle_count",
+    "kcore_peel",
+    "minhash_join",
+    "temperature_mix",
+    "weighted_topk",
+    "embedding_centroids",
+    "compression_ratio",
+    "retrieval_metrics",
+    "neardup_dedup_quality",
+    "frequent_pairs",
+    "rollup_cdc_apply",
+    "trend_detection",
+    "waiting_suppliers",
+    "winsorize",
+    "pareto_frontier",
+    "point_in_time_join",
+    "quantile_normalize",
+    "benford_audit",
+    "gini_concentration",
+    "association_rules",
+    "mutual_information",
+    "theil_decomposition",
+    "rfm_segmentation",
+    "resample_fill",
+    "retention_cohorts",
+    "seasonal_baseline",
+    "cusum_changepoint",
+    "psi_drift",
+    "burstiness_bots",
+    "cohort_ltv",
 ]
 
 

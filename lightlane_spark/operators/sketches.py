@@ -168,13 +168,19 @@ def cms_estimate(
 
     ``depth`` BROADCAST hash joins against the (tiny, <= depth×width
     rows) sketch — map-only on ``items``; no shuffle, no regroup. The
-    sketch is pinned first (localCheckpoint): each broadcast level
-    would otherwise re-run the full build aggregation — depth extra
-    corpus scans for a ≤ depth×width-row relation (measured 2× on the
-    sf0.1 heavy-hitters chain).
+    sketch is pinned first (``tracked_persist``, the repo cache
+    contract — lazy, and releasable via ``unpersist_all``): each
+    broadcast level would otherwise re-run the full build
+    aggregation — depth extra corpus scans for a ≤ depth×width-row
+    relation (measured 2× on the sf0.1 heavy-hitters chain). Block-
+    level ``getOrElseUpdate`` locking in the BlockManager means the
+    concurrent broadcast threads still compute the cached relation
+    once (later ones block on, then read, the first's blocks).
     """
+    from lightlane_spark.cache import tracked_persist
+
     gcols = list(group_cols or [])
-    sketch = sketch.localCheckpoint(eager=True)
+    sketch = tracked_persist(sketch)
     out = _with_md5_words(items, col)
     mins: list[Column] = []
     drop: list[str] = ["__m1", "__m2"]
@@ -248,13 +254,16 @@ def bloom_member(
     use is PREFILTER: only rows flagged here proceed to the exact
     (shuffling) check, which now touches a sliver of the corpus.
 
-    The bit table is pinned first (localCheckpoint, same contract as
-    ``cms_estimate``): each of the k broadcast levels would otherwise
-    re-run the full bloom_build aggregation — k extra corpus scans
-    for a ≤ num_bits-row relation (r7 plan audit: 5 scans → 2 on the
+    The bit table is pinned first (``tracked_persist``, same contract
+    as ``cms_estimate`` — lazy, releasable via ``unpersist_all``):
+    each of the k broadcast levels would otherwise re-run the full
+    bloom_build aggregation — k extra corpus scans for a ≤
+    num_bits-row relation (r7 plan audit: 5 scans → 2 on the
     blocklist query).
     """
-    bits = bits.localCheckpoint(eager=True)
+    from lightlane_spark.cache import tracked_persist
+
+    bits = tracked_persist(bits)
     out = _with_md5_words(df, col)
     hits: list[Column] = []
     for i in range(k):
@@ -392,8 +401,11 @@ def kmv_pair_estimates(
     for the KMV union/Jaccard form). Union: merge the two bottom-k
     sets, take the bottom-k of the merge (exactly the sketch of A∪B
     because hashes are shared), apply the same (k-1)/u_(k) estimator.
-    Intersection: ρ = |{h ∈ union bottom-k : h in BOTH sketches}| / k
-    is an unbiased Jaccard estimate, so |A∩B| ≈ ρ·|A∪B|.
+    Intersection: ρ = |{h ∈ union bottom-k : h in BOTH sketches}|
+    / min(k, |union bottom-k|) is an unbiased Jaccard estimate, so
+    |A∩B| ≈ ρ·|A∪B| (when the union has fewer than k distinct hashes
+    the sketch IS the union set and ρ is exact — two identical
+    50-value groups report jaccard_est = 1.0, not 50/k).
 
     Scale: the inputs are SKETCHES — ≤ k rows per group — so every
     join here is over aggregate-sized relations (pairs × k rows, not
@@ -450,7 +462,14 @@ def kmv_pair_estimates(
     ).otherwise(
         F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("__h_uk").cast("double")
     )
-    jac = F.col("__rho_cnt").cast("double") / F.lit(float(k))
+    # ρ denominator is the number of union-sketch rows actually kept:
+    # k in the sampled regime, but __n_u when the union has fewer than
+    # k distinct hashes (the sketch then IS the union set, and ρ must
+    # be exact — dividing by k there biased jaccard_est/est_intersect
+    # low: two identical 50-value groups estimated J≈50/128, not 1.0).
+    jac = F.col("__rho_cnt").cast("double") / F.least(
+        F.lit(float(k)), F.col("__n_u").cast("double")
+    )
     return pagg.join(pairs, ["src_a", "src_b"]).select(
         "src_a",
         "src_b",

@@ -4240,6 +4240,7 @@ ORACLE["kmv_set_ops"] = """
                CASE WHEN n_u < 128 THEN CAST(n_u AS DOUBLE)
                     ELSE 127.0 * 1152921504606846976.0 / CAST(h_uk AS DOUBLE)
                END AS est_union,
+               n_u,
                rho_cnt
         FROM pagg
     )
@@ -4247,9 +4248,10 @@ ORACLE["kmv_set_ops"] = """
            round(p.est_a, 3) AS est_a,
            round(p.est_b, 3) AS est_b,
            round(e.est_union, 3) AS est_union,
-           round(CAST(rho_cnt AS DOUBLE) / 128.0, 6) AS jaccard_est,
-           round(CAST(rho_cnt AS DOUBLE) / 128.0 * e.est_union, 3)
-             AS est_intersect
+           round(CAST(rho_cnt AS DOUBLE) / least(128.0, CAST(e.n_u AS DOUBLE)),
+                 6) AS jaccard_est,
+           round(CAST(rho_cnt AS DOUBLE) / least(128.0, CAST(e.n_u AS DOUBLE))
+                 * e.est_union, 3) AS est_intersect
     FROM est e JOIN pairs p USING (src_a, src_b)
     ORDER BY src_a, src_b
 """
