@@ -48,30 +48,73 @@ def _canonical_edges(edges: DataFrame, id_a: str, id_b: str) -> DataFrame:
     )
 
 
+def symmetrize(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Undirected → directed-both-ways in ONE pass: each edge row
+    explodes into (u,v) and (v,u) in-row. The ``e ∪ e.swap`` union
+    form re-runs the edge list's ENTIRE lineage twice — invisible
+    when the input is a checkpoint, a full second MinHash-chain
+    derivation when it is not (r8 lineage audit: pagerank_neardup,
+    two_hop_features)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(u).alias("u"), F.col(v).alias("v")),
+                F.struct(F.col(v).alias("u"), F.col(u).alias("v")),
+            )
+        ).alias("__e")
+    ).select(F.col("__e.u").alias(u), F.col("__e.v").alias(v))
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: m = min(N(u) + {u}); re-point every LARGER
-    neighbor at m. Emits (w, m) with m <= u < w."""
-    sym = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    nbrs = sym.groupBy("u").agg(F.collect_set("v").alias("ns"))
-    m = F.least(F.array_min("ns"), F.col("u"))
+    neighbor at m. Emits (w, m) with m <= u < w.
+
+    WINDOW form, no arrays (r8 skew smoke): the previous
+    collect_set → explode form was QUADRATIC in the hottest degree —
+    the per-row ``least(array_min(ns), u)`` projection sits above the
+    Generate, so a 500k-degree hub re-scanned its 500k-element array
+    once per exploded row (measured 6.9/21.5/56.4 s at hub degree
+    50k/100k/200k — O(d²); the 1M-edge skew smoke took 19 min
+    end-to-end). Here ``min(v) over (partition by u)`` streams each
+    partition once: O(d log d) for the sort, O(d) memory-bounded
+    aggregation, no per-key array buffer to OOM on a power-law hub.
+    """
+    sym = symmetrize(edges)
+    w = Window.partitionBy("u")
     return (
-        nbrs.select(F.col("u"), m.alias("m"), F.explode("ns").alias("w"))
-        .filter(F.col("w") > F.col("u"))
-        .select(F.col("m").alias("u"), F.col("w").alias("v"))
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("m").alias("u"), F.col("v").alias("v"))
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient each edge at its larger endpoint u; m = min of u's
-    smaller neighbors; re-point u and all its smaller neighbors at m.
-    Input/output edges satisfy u < v."""
-    nbrs = edges.groupBy("v").agg(F.collect_set("u").alias("ns"))
-    m = F.array_min("ns")  # all smaller than v by orientation
-    pts = F.array_union(F.array(F.col("v")), F.col("ns"))
+    """Orient each edge at its larger endpoint v (input satisfies
+    u < v); m = min of v's smaller neighbors; re-point v and all its
+    smaller neighbors at m.
+
+    Same window rewrite as ``_large_star`` (collect_set/array_union/
+    explode were quadratic on hot nodes): ``min(u) over (partition by
+    v)`` is each node's re-point target; every (v, u) row emits its u,
+    and the first row per partition (row_number over the same key)
+    additionally emits v itself via an in-row explode — one exchange,
+    no arrays. Output may carry duplicate (m, w) rows when the input
+    had duplicates; the caller's ``.distinct()`` (already required by
+    the contraction loop) collapses them, and ``connected_components``
+    fingerprints the distinct set, so semantics are unchanged."""
+    wo = Window.partitionBy("v").orderBy("u")
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        nbrs.select(m.alias("m"), F.explode(pts).alias("w"))
+        edges.withColumn("m", F.min("u").over(wfull))
+        .withColumn("__rn", F.row_number().over(wo))
+        .select(
+            "m",
+            F.explode(
+                F.when(
+                    F.col("__rn") == 1, F.array(F.col("u"), F.col("v"))
+                ).otherwise(F.array(F.col("u")))
+            ).alias("w"),
+        )
         .filter(F.col("w") != F.col("m"))
         .select(F.col("m").alias("u"), F.col("w").alias("v"))
     )
@@ -242,10 +285,10 @@ def pagerank_integer(
     probability mass in total — irrelevant for ranking at unit=1e12.
     """
     sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        symmetrize(
+            edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()

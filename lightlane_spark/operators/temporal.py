@@ -33,6 +33,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from lightlane_spark.cache import tracked_persist
+
 
 def asof_join(
     left: DataFrame,
@@ -239,8 +241,15 @@ def global_running_sum(
     physical planning. ``order_col`` values must be unique within a
     bucket (pre-aggregate ties first); uniqueness makes the running
     value frame-unambiguous on both engines.
+
+    The input is pinned (``tracked_persist``): the windowed path and
+    the bucket-totals branch both consume it, and the caller's input
+    is typically itself an aggregation of a corpus-sized relation
+    (sweep deltas, daily rollups) — unpinned, that upstream
+    aggregation runs twice (r8 lineage audit: concurrency_curve 4 → 1
+    corpus scans together with the in-row boundary explode).
     """
-    d = df.withColumn("__bk", bucket)
+    d = tracked_persist(df.withColumn("__bk", bucket))
     local = F.sum(value_col).over(
         Window.partitionBy("__bk").orderBy(order_col)
     )
@@ -281,10 +290,23 @@ def sweep_line_concurrency(
     single global window (one task); this is one groupBy plus the
     two-phase running sum — every stage linear and parallel.
     """
-    starts = df.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
-    ends = df.select(F.col(end_col).alias("t"), F.lit(-1).alias("d"))
+    # in-row boundary expansion (each row yields its +1 and −1 events
+    # from ONE read) — the starts ∪ ends union form scanned the input
+    # twice for the same rows (r8 lineage audit)
     deltas = (
-        starts.unionByName(ends)
+        df.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(start_col).alias("t"), F.lit(1).alias("d")
+                    ),
+                    F.struct(
+                        F.col(end_col).alias("t"), F.lit(-1).alias("d")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.t").alias("t"), F.col("__e.d").alias("d"))
         .groupBy("t")
         .agg(F.sum("d").alias("delta"))
     )

@@ -732,7 +732,13 @@ def span_dedup(
     """
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    # null-text docs are absent from the output (no token array → no
+    # spans → no totals row), matching the exploded-relation contract:
+    # without this filter the totals side would emit a spurious row
+    # with n_spans = ceil(size(NULL)/span) = ceil(-1/span) = 0.
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    ).filter(F.col("__t").isNotNull())
     spans = toks.select(
         id_col,
         F.posexplode(
@@ -793,12 +799,16 @@ def lm_doc_scores(
                -ln( (c(w1,w2) + 1) / (c(w1) + V) )      [add-one]
     with corpus counts c and vocabulary size V.
 
-    Scale shape: two count aggregations (unigram, bigram — both
-    map-side combined, shuffle rows bounded by vocab/bigram
-    cardinality, not corpus size), one scalar broadcast (V), then the
-    per-doc bigrams join the count relations keyed by bigram/w1 and
-    re-aggregate by id. No Python, no driver loops; every join key is
-    Zipf-skewed but AQE's skew-join split handles the hot tokens.
+    Scale shape: TWO corpus passes total (r8 lineage audit; was 4) —
+    pass 1 builds the unigram counts (map-side combined, shuffle rows
+    bounded by vocab cardinality), persisted at vocab size via
+    ``tracked_persist`` so the V scalar and the w1 join both read the
+    cache instead of re-scanning the corpus; pass 2 explodes bigrams
+    ONCE, with c(w1,w2) computed as a count window over the bigram
+    key (one shuffle — the groupBy+join-back form paid a second
+    corpus scan for identical values, same fix as BM25's df counts in
+    r7). Every shuffle key is Zipf-skewed but window count/groupBy
+    count stream their partitions in bounded memory.
 
     Cross-engine determinism: each bigram's surprisal is rounded to
     9dp and summed as DECIMAL (order-independent exact addition), so
@@ -810,7 +820,11 @@ def lm_doc_scores(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias("__t"),
     )
-    uni = (
+    from pyspark.sql import Window
+
+    from lightlane_spark.cache import tracked_persist
+
+    uni = tracked_persist(
         toks.select(F.explode("__t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
@@ -825,9 +839,10 @@ def lm_doc_scores(
             )
         ).alias("bigram"),
     )
-    bgc = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
     scored = (
-        bigrams.join(bgc, "bigram")
+        bigrams.withColumn(
+            "cb", F.count(F.lit(1)).over(Window.partitionBy("bigram"))
+        )
         .withColumn("__w1", F.split("bigram", " ")[0])
         .join(uni, F.col("__w1") == F.col("w"))
         .crossJoin(F.broadcast(vocab))

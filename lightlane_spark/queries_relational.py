@@ -4880,11 +4880,12 @@ def q_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_custkey").alias("u"), "v")
     )
-    edges = tracked_persist(
-        pairs.unionByName(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-    )
+    # in-row symmetrization: the pairs ∪ pairs.swap union form ran
+    # the customer self-join lineage twice INSIDE the cache build
+    # (4 scans for one materialization — r8 lineage audit)
+    from lightlane_spark.operators.clustering import symmetrize
+
+    edges = tracked_persist(symmetrize(pairs))
     feat = c.select(
         F.col("c_custkey").alias("node"),
         F.col("c_acctbal").cast("decimal(18,2)").alias("f"),
