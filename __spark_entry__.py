@@ -463,15 +463,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness run truncates at 50 queries. Round-8
-# rotation (VERDICT r7 asks #1+#3): the window is now GENERATED by
-# tools/rotate_window.py from the committed CORRECTNESS_r*.json
-# history — reds first, then queries changed this round, then the
-# pinned SURVEY-2 relational/loader core, then oldest-driver-row
-# first. This round's invocation (recorded so it can be reproduced):
+# rotation (VERDICT r7 asks #1+#3), GENERATED by
+# tools/rotate_window.py from CORRECTNESS_r*.json history. This
+# round's invocation (reproducible):
 #
 #   python tools/rotate_window.py \
-#     --changed kmv_set_ops,span_dedup,cms_heavy_hitters,\
-#               cms_windowed,bloom_prefilter,join_size_estimate \
+#     --changed kmv_set_ops,span_dedup,cms_heavy_hitters,cms_windowed,\
+#               bloom_prefilter,join_size_estimate,ngram_lm_score,\
+#               curation_pipeline,concurrency_curve,neardup_clusters,\
+#               neardup_dedup,neardup_dedup_quality,leakage_safe_split,\
+#               pagerank_neardup,label_propagation \
 #     --pin pricing_summary,column_exclusion,minmax_probe,top1,\
 #           range_split,dedup_window,csv_roundtrip,hive_text_roundtrip,\
 #           merge_load,append_load,partitioned_load,anti_join_merge,\
@@ -479,14 +480,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #           table_profile,json_extract,explode,flatten_json_array,\
 #           map_rows_tokens,drop_falsy --python
 #
-# Window composition (50 slots): 7 reds (the 4 r7 mid-round-artifact
-# reds, judge-verified green at HEAD, plus 3 r3 no_oracle rows that
-# now HAVE oracles and get their first full hash check), 6
-# advice-fix-changed queries (kmv jaccard exact-regime denominator;
-# span_dedup null-text row set; cms/bloom tracked_persist), 22 pinned
-# SURVEY-2 relational/loader core names (driver-stale since r1-r3),
-# 15 r1-stale text/dedup rows. projection/filter got green r7 rows
-# so they rotate to the back with the other fresh greens.
+# Window composition (50 slots): 7 reds (4 r7 mid-round-artifact reds
+# judge-verified green at HEAD + 3 r3 no_oracle rows that now HAVE
+# oracles), 15 changed-this-round (2 semantic: kmv exact-regime
+# denominator, span_dedup null-text rows; 13 plan-changed by the
+# ADVICE persist fixes, the lm_doc_scores/sweep-line lineage cuts,
+# and the window-form star contraction), all 22 pinned SURVEY-2
+# relational/loader core names (driver-stale since r1-r3), 6 r1-stale
+# fills. Queries in this window are semantically FROZEN for the rest
+# of the round (the r7 red rows came from editing after the driver
+# check ran).
 _RECHECK = [
     # generated by tools/rotate_window.py — do not hand-edit;
     # re-run with --changed <names> after semantic changes.
@@ -500,11 +503,20 @@ _RECHECK = [
     "approx_distinct",
     # --- changed ---
     "span_dedup",
+    "neardup_clusters",
+    "leakage_safe_split",
+    "pagerank_neardup",
+    "neardup_dedup",
+    "curation_pipeline",
     "cms_heavy_hitters",
     "cms_windowed",
     "join_size_estimate",
     "bloom_prefilter",
+    "ngram_lm_score",
     "kmv_set_ops",
+    "neardup_dedup_quality",
+    "label_propagation",
+    "concurrency_curve",
     # --- pinned (green r3) ---
     "pricing_summary",
     "column_exclusion",
@@ -536,7 +548,7 @@ _RECHECK = [
     "text_fingerprint",
     "text_clean",
     "chunk_documents",
-    "vocab_topk",
+    "vocab_topk",  # end of 50-slot driver window
     "repetition_stats",
     "dataset_split",
     "tfidf_topk",
@@ -545,12 +557,9 @@ _RECHECK = [
     "fuzzy_match",
     "stratified_sample",
     "corpus_prep",
-    "pii_redact",  # end of 50-slot driver window
+    "pii_redact",
     "dedup_exact",
     "minhash_signatures",
-    "neardup_clusters",
-    "pagerank_neardup",
-    "neardup_dedup",
     "simhash_near_pairs",
     # --- green r2 ---
     "simhash_signatures",
@@ -649,7 +658,6 @@ _RECHECK = [
     "ab_test_zscore",
     "group_quantiles",
     "ivm_join",
-    "label_propagation",
     "k_anonymize_suppress",
     "feature_digitize",
     "rollup_grouping_id",
@@ -661,7 +669,6 @@ _RECHECK = [
     "aqp_revenue_estimate",
     "supplier_lead_time",
     "referential_audit",
-    "concurrency_curve",
     "abandoned_actions",
     "time_weighted_avg",
     "purchase_attribution",
@@ -673,16 +680,13 @@ _RECHECK = [
     "compacted_load",
     "gopher_rules",
     "decontaminate",
-    "leakage_safe_split",
     "boilerplate_ngrams",
     "ann_topk_filtered",
     "pq_topk",
     "embedding_neardup_lsh",
     "semantic_dedup",
     "corpus_overlap",
-    "curation_pipeline",
     "cdc_chunks",
-    "ngram_lm_score",
     "vocab_drift",
     "k_anonymity_check",
     "lateral_topk",
@@ -730,7 +734,6 @@ _RECHECK = [
     "embedding_centroids",
     "compression_ratio",
     "retrieval_metrics",
-    "neardup_dedup_quality",
     "frequent_pairs",
     "rollup_cdc_apply",
     "trend_detection",

@@ -308,10 +308,12 @@ def jaccard_verify(
     2×|pairs| rows raw would be quadratic in duplicate-clique size.
     """
     if cand_ids is None:
+        # in-row explode: the two-select union form re-ran the pairs
+        # lineage (often a full LSH chain) twice for one id list
         cand_ids = (
-            pairs.select(F.col("id_a").alias(id_col))
-            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-            .distinct()
+            pairs.select(
+                F.explode(F.array("id_a", "id_b")).alias(id_col)
+            ).distinct()
         )
     doc_sets = (
         shingles.join(F.broadcast(cand_ids), on=id_col, how="left_semi")

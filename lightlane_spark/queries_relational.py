@@ -3579,10 +3579,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("u"), "v")
     )
     # materialize the edge relation ONCE — every round joins it;
-    # without the checkpoint each round re-derives the graph
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    # without the checkpoint each round re-derives the graph. In-row
+    # symmetrize: the pairs ∪ pairs.swap form ran the customer
+    # self-join twice inside the checkpoint build (r8 lineage audit)
+    from lightlane_spark.operators.clustering import symmetrize
+
+    edges = symmetrize(pairs).localCheckpoint()
     labels = c.select(
         F.col("c_custkey").alias("node"), F.col("c_custkey").alias("label")
     )
