@@ -33,8 +33,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from lightlane_spark.cache import tracked_persist
-
 
 def asof_join(
     left: DataFrame,
@@ -242,14 +240,16 @@ def global_running_sum(
     bucket (pre-aggregate ties first); uniqueness makes the running
     value frame-unambiguous on both engines.
 
-    The input is pinned (``tracked_persist``): the windowed path and
-    the bucket-totals branch both consume it, and the caller's input
-    is typically itself an aggregation of a corpus-sized relation
-    (sweep deltas, daily rollups) — unpinned, that upstream
-    aggregation runs twice (r8 lineage audit: concurrency_curve 4 → 1
-    corpus scans together with the in-row boundary explode).
+    The input is deliberately NOT persisted: the windowed path and
+    the bucket-totals branch both hash-partition by ``__bk``, so the
+    two consumers share ONE exchange at runtime (ReusedExchange —
+    identical canonicalized children). An r8 experiment that pinned
+    the input measured concurrency_curve at ~6.6 s vs 0.64 s idle:
+    the persist replaced a free exchange-reuse with a corpus-sized
+    cache write. (Plan-text scan counts overstate this shape — the
+    audit counts subtree mentions, not executed scans.)
     """
-    d = tracked_persist(df.withColumn("__bk", bucket))
+    d = df.withColumn("__bk", bucket)
     local = F.sum(value_col).over(
         Window.partitionBy("__bk").orderBy(order_col)
     )
