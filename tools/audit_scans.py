@@ -18,11 +18,17 @@ Interpreting hits — not every repeat is a bug:
   - fixture unions (docs ∪ mutated twins) scan the base per branch
     by construction;
   - recall-contract queries embed a second verifier chain on purpose;
-  - bucketed/range_split unions of disjoint scans ARE the operator.
+  - bucketed/range_split unions of disjoint scans ARE the operator;
+  - consumers hash-partitioned on the SAME key share one exchange at
+    runtime (ReusedExchange) — the "repeat" is already free.
 The bug smell is the SAME table repeated because a tiny intermediate
-was never pinned. Fixes land as tracked_persist (library cache
-contract) or localCheckpoint at the smallest relation that cuts the
-fan-out; tests/test_plan_quality.py pins the fixed counts.
+was never pinned. A hit is a HYPOTHESIS: confirm with a same-session
+A/B (tools/ab_persist.py) before shipping a persist — r8 shipped two
+fixes off the raw count alone, measured them 3-10x slower
+(the persist replaced free exchange reuse with a corpus-sized cache
+write), and reverted. Confirmed fixes land as tracked_persist
+(library cache contract) or localCheckpoint at the smallest relation
+that cuts the fan-out; tests/test_plan_quality.py pins the counts.
 """
 
 from __future__ import annotations
@@ -64,15 +70,35 @@ def main() -> None:
                 re.findall(r"([a-z_0-9]+)\.parquet", ps.text)
             )
             worst = max(tabs.values(), default=0)
+            # DISTINCT scan node ids: the formatted tree prints a
+            # SHARED subtree with the same node id everywhere it
+            # appears, so this dedups what the mention count double-
+            # counts. Still an upper bound on executed scans — it
+            # cannot see runtime ReusedExchange (two consumers hash-
+            # partitioned on the same key run ONE exchange), which is
+            # why a hit here is a HYPOTHESIS to A/B, never a fix to
+            # apply blind (r8: two "fixes" shipped off the raw count
+            # measured 3-10x slower and were reverted).
+            distinct_ids = len(
+                set(re.findall(r"\((\d+)\) Scan parquet", ps.text))
+            )
+            reused = len(re.findall(r"ReusedExchange", ps.text))
             if worst >= min_scans:
-                rows.append((worst, name, dict(tabs), ps.sortmerge_joins))
+                rows.append(
+                    (worst, name, dict(tabs), ps.sortmerge_joins,
+                     distinct_ids, reused)
+                )
         except Exception as exc:  # noqa: BLE001 — report, keep auditing
-            rows.append((-1, name, {"ERR": type(exc).__name__}, 0))
+            rows.append((-1, name, {"ERR": type(exc).__name__}, 0, 0, 0))
         finally:
             spark.catalog.clearCache()
     rows.sort(reverse=True)
-    for worst, name, tabs, smj in rows:
-        print(f"{worst:3d}  {name:32s} {tabs} smj={smj}", flush=True)
+    for worst, name, tabs, smj, distinct_ids, reused in rows:
+        print(
+            f"{worst:3d}  {name:32s} {tabs} smj={smj} "
+            f"distinct_scan_nodes={distinct_ids} reused_exchange={reused}",
+            flush=True,
+        )
     print(f"-- {len(rows)} queries at >= {min_scans} same-table scans", flush=True)
 
 
