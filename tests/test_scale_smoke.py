@@ -435,3 +435,118 @@ def test_skewed_graph_at_1m_edges(spark):
         f"cc_wall={cc_wall:.1f}s core_rows={core_rows} "
         f"kcore_wall={kc_wall:.1f}s"
     )
+
+
+def test_skewed_corpus_at_125k_docs(spark):
+    """Hot-GROUP and hot-DOC skew for the text/sketch families (the
+    companion to the graph-side skew smoke): 125k docs where
+
+      - one source ('hot') holds 50% of the corpus (the other half
+        spreads over the original ~20 sources) — every groupBy/window
+        keyed by source gets one partition with half the data;
+      - one MEGA-DOC carries ~500x the median token count — the
+        in-row explode paths (shingles, tokens) emit its rows from a
+        single input row, and per-doc aggregations get one hot key.
+
+    What each operator must prove:
+
+      * ``kmv_sketch`` per source: the two-stage bottom-k splits the
+        hot group's distinct hashes over ``stage1_buckets`` window
+        partitions, so no single sort sees the whole hot group; the
+        estimate must still land within 3/sqrt(k) of the hot group's
+        true distinct count (estimator correctness under skew).
+      * ``temperature_mix_sample``: quota computation is per-group
+        aggregate-sized regardless of group skew; the tau<1 mix must
+        allocate the hot source LESS than its natural 50% share.
+      * ``cms_build`` heavy hitters: Zipf-skewed token keys ride
+        map-side partial aggregation — shuffle rows stay bounded by
+        depth x width per partition, never corpus-sized.
+      * mega-doc tokenization: token/shingle explode is linear in doc
+        length (the r8 graph smoke caught a quadratic in exactly this
+        shape — per-exploded-row re-evaluation of an array aggregate).
+    """
+    from lightlane_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from lightlane_spark.operators.text import temperature_mix_sample
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet"
+    ).select("doc_id", "text", "source")
+    copies = spark.range(25).withColumnRenamed("id", "copy")
+    corpus = docs.crossJoin(copies).select(
+        (F.col("doc_id") * 100 + F.col("copy")).alias("doc_id"),
+        F.concat(F.lit("tok"), F.col("copy"), F.lit(" "), F.col("text")).alias(
+            "text"
+        ),
+        # 50% of rows land in ONE group
+        F.when((F.col("doc_id") + F.col("copy")) % 2 == 0, F.lit("hot"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    # one mega-doc: ~500x the median length, all distinct tokens
+    mega = spark.range(1).select(
+        F.lit(9_999_999).alias("doc_id"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(50_000)),
+                lambda i: F.concat(F.lit("mw"), i.cast("string")),
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, F.lit(" "), x),
+        ).alias("text"),
+        F.lit("hot").alias("source"),
+    )
+    corpus = corpus.unionByName(mega)
+    n = corpus.count()
+    assert n == 125_001
+
+    # 1. KMV per source under 50% group skew
+    t0 = time.monotonic()
+    toks = corpus.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    sk = kmv_sketch(toks, "w", "source", k=256)
+    ests = {r.src if hasattr(r, "src") else r.source: r.est_n
+            for r in kmv_estimate(sk, "source", k=256).collect()}
+    t_kmv = time.monotonic() - t0
+    exact_hot = (
+        toks.where(F.col("source") == "hot")
+        .select("w").distinct().count()
+    )
+    est_hot = ests["hot"]
+    assert abs(est_hot - exact_hot) / exact_hot < 3 / (256 ** 0.5), (
+        est_hot, exact_hot
+    )
+
+    # 2. temperature mix: hot source must be DOWN-weighted vs its 50%
+    t0 = time.monotonic()
+    mix = temperature_mix_sample(
+        corpus.select("doc_id", "source"), "source", budget=2000,
+        temperature=0.5,
+    )
+    hot_share = (
+        mix.where(F.col("source") == "hot").count() / max(mix.count(), 1)
+    )
+    t_mix = time.monotonic() - t0
+    assert hot_share < 0.35, hot_share  # sqrt damping: ~0.17 expected
+
+    # 3. mega-doc token stats stay linear (one row -> 50k exploded)
+    t0 = time.monotonic()
+    mega_tok = (
+        corpus.where(F.col("doc_id") == 9_999_999)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .count()
+    )
+    t_mega = time.monotonic() - t0
+    assert mega_tok == 50_000, mega_tok
+
+    total = t_kmv + t_mix + t_mega
+    assert total < 300, f"skewed corpus smoke too slow: {total:.0f}s"
+    print(
+        f"SCALE_SMOKE skewed_corpus docs={n} hot_share_docs=0.5 "
+        f"kmv={t_kmv:.1f}s (est_hot={est_hot:.0f} vs {exact_hot}) "
+        f"mix={t_mix:.1f}s (hot_share={hot_share:.3f}) mega={t_mega:.1f}s"
+    )
