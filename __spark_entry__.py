@@ -483,13 +483,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Window composition (50 slots): 7 reds (4 r7 mid-round-artifact reds
 # judge-verified green at HEAD + 3 r3 no_oracle rows that now HAVE
 # oracles), 15 changed-this-round (2 semantic: kmv exact-regime
-# denominator, span_dedup null-text rows; 13 plan-changed by the
-# ADVICE persist fixes, the lm_doc_scores/sweep-line lineage cuts,
-# and the window-form star contraction), all 22 pinned SURVEY-2
-# relational/loader core names (driver-stale since r1-r3), 6 r1-stale
-# fills. Queries in this window are semantically FROZEN for the rest
-# of the round (the r7 red rows came from editing after the driver
-# check ran).
+# denominator, span_dedup null-text rows; the rest touched-and-
+# A/B'd this round — ADVICE persist swaps, the in-row sweep-line
+# boundary explode, the window-form star contraction and symmetrize;
+# ngram_lm_score/curation_pipeline were changed then reverted after
+# measurement and keep their slots for the extra driver coverage),
+# all 22 pinned SURVEY-2 relational/loader core names (driver-stale
+# since r1-r3), 6 r1-stale fills. Queries in this window are
+# semantically FROZEN for the rest of the round (the r7 red rows
+# came from editing after the driver check ran).
 _RECHECK = [
     # generated by tools/rotate_window.py — do not hand-edit;
     # re-run with --changed <names> after semantic changes.
