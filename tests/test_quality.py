@@ -83,3 +83,31 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     assert got
     for r in got:
         assert abs(r.approx - r.exact) <= max(0.05 * r.exact, 2)
+
+
+def test_star_contraction_hub_graph(spark):
+    """The window-form large/small-star (r8 rewrite: the collect_set
+    form was O(degree²) on hot nodes) must label a 1k-degree hub star
+    graph + attached chain identically to union-find, through the
+    DISTRIBUTED path."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.clustering import connected_components
+
+    hub = spark.range(1, 1001).select(
+        F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b")
+    )
+    # chain attached to node 1000: 1000-2000
+    chain = spark.range(1000, 2000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    # separate 3-cycle component: 5000-5001-5002-5000
+    cyc = spark.createDataFrame(
+        [(5000, 5001), (5001, 5002), (5000, 5002)], "id_a bigint, id_b bigint"
+    )
+    edges = hub.unionByName(chain).unionByName(cyc)
+    cc = connected_components(edges, driver_edge_cap=None)
+    comp = {r.id: r.component for r in cc.collect()}
+    assert comp[0] == 0 and comp[500] == 0 and comp[2000] == 0
+    assert comp[5000] == 5000 and comp[5001] == 5000 and comp[5002] == 5000
+    assert len(comp) == 2001 + 3

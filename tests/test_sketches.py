@@ -242,3 +242,34 @@ def test_kmv_merge_equals_rebuild(spark, kmv_groups):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, rebuilt.collect())
     )
+
+
+def test_kmv_pair_jaccard_exact_regime(spark):
+    """ADVICE r7: two IDENTICAL groups whose union has fewer than k
+    distinct hashes must report jaccard_est exactly 1.0 and
+    est_intersect equal to the true intersection — the ρ denominator
+    is min(k, |union sketch|), not k (dividing by k biased the exact
+    regime low: 50/128 for identical 50-value groups)."""
+    from lightlane_spark.operators.sketches import (
+        kmv_pair_estimates,
+        kmv_sketch,
+    )
+
+    rows = [(g, f"val{i}") for g in ("a", "b") for i in range(50)]
+    df = spark.createDataFrame(rows, "src: string, v: string")
+    sk = kmv_sketch(df, "v", "src", k=128)
+    p = kmv_pair_estimates(sk, "src", k=128).first()
+    assert p.jaccard_est == 1.0, p
+    assert p.est_intersect == 50.0, p
+    assert p.est_union == 50.0, p
+
+    # disjoint exact-regime pair: jaccard must be exactly 0
+    rows2 = [("a", f"L{i}") for i in range(30)] + [
+        ("b", f"R{i}") for i in range(30)
+    ]
+    df2 = spark.createDataFrame(rows2, "src: string, v: string")
+    p2 = kmv_pair_estimates(
+        kmv_sketch(df2, "v", "src", k=128), "src", k=128
+    ).first()
+    assert p2.jaccard_est == 0.0 and p2.est_intersect == 0.0, p2
+    assert p2.est_union == 60.0, p2

@@ -460,3 +460,16 @@ def test_char_entropy_separates_uniform_from_degenerate(spark):
     assert abs(rows[2].entropy - math.log(16)) < 1e-6
     assert 0.0 < rows[3].entropy < math.log(16)
     assert rows[2].n_chars == 16
+
+
+def test_span_dedup_null_text_absent(spark):
+    """ADVICE r7: a null-text doc must be ABSENT from span_dedup
+    output (no token array → no spans → no totals row), not emitted
+    as a spurious n_spans=0 row via size(NULL) = -1."""
+    from lightlane_spark.operators.text import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None)], "doc_id bigint, text string"
+    )
+    out = span_dedup(df, span=4).collect()
+    assert [r.doc_id for r in out] == [1]
