@@ -111,3 +111,19 @@ def test_star_contraction_hub_graph(spark):
     assert comp[0] == 0 and comp[500] == 0 and comp[2000] == 0
     assert comp[5000] == 5000 and comp[5001] == 5000 and comp[5002] == 5000
     assert len(comp) == 2001 + 3
+
+
+def test_symmetrize_multiset_semantics(spark):
+    """symmetrize emits exactly one (u,v) and one (v,u) row per input
+    ROW (union-all multiset semantics, including duplicates and
+    self-loops passed through) — the in-row form must match the
+    e UNION ALL e.swap contract it replaced."""
+    from lightlane_spark.operators.clustering import symmetrize
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 3), (4, 5)], "u bigint, v bigint"
+    )
+    got = sorted(map(tuple, symmetrize(df).collect()))
+    assert got == sorted(
+        [(1, 2), (2, 1), (1, 2), (2, 1), (3, 3), (3, 3), (4, 5), (5, 4)]
+    )
