@@ -173,7 +173,13 @@ class VersionedTable:
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Delete all but the newest ``keep_last`` versions (never the
-        pointer target). Returns the versions removed."""
+        pointer target). Returns the versions removed.
+
+        ``keep_last`` must be >= 1: ``vs[-0:]`` is the WHOLE list in
+        Python, so 0 would silently keep everything — the opposite of
+        what a caller asking for 0 means. Rejected loudly instead."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         current = self.latest_version()
         vs = self.versions()
         keep = set(vs[-keep_last:]) | ({current} if current is not None else set())

@@ -213,3 +213,16 @@ def test_forget_null_predicate_rows_are_kept_not_lost(spark, tmp_path):
     arow = audit.collect()[0]
     assert arow["n_erased"] == 1
     assert arow["erased_in_version"] == v2
+
+
+def test_vacuum_rejects_keep_last_zero(spark, tmp_path):
+    """keep_last=0 would hit the vs[-0:] == whole-list Python trap
+    and silently keep everything; it must raise instead."""
+    import pytest
+
+    from lightlane_spark.loaders.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write_version(spark.range(3))
+    with pytest.raises(ValueError, match="keep_last"):
+        vt.vacuum(keep_last=0)
