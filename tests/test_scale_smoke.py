@@ -363,13 +363,14 @@ def test_skewed_graph_at_1m_edges(spark):
 
     What skew stresses where:
 
-      * ``connected_components`` (forced distributed path):
-        ``_large_star``/``_small_star`` aggregate ``collect_set`` per
-        node — the hub materializes a 500k-element array in ONE
-        aggregation buffer (~4 MB of longs at this size). Bounded
-        here; the measured wall + the SCALE.md note document where
-        the buffer-per-key model stops scaling (a 1B-degree hub needs
-        the window-min form instead).
+      * ``connected_components`` (forced distributed path): the
+        stars run in the WINDOW-MIN form this test motivated — the
+        original collect_set → explode form was O(degree²) on hot
+        nodes (the per-row re-point expression re-scanned the
+        neighbor array per exploded row; this test measured it at
+        1169 s before the r8 rewrite, 10.6 s after) and buffered the
+        hub's whole neighbor set in one aggregation buffer. The
+        window form streams each hub partition once, bounded memory.
       * ``kcore_peel``: both per-round windows hash-partition by
         vertex/edge key — the hub's 500k long-format rows land in one
         window partition, processed as a single sorted stream
@@ -543,10 +544,23 @@ def test_skewed_corpus_at_125k_docs(spark):
     t_mega = time.monotonic() - t0
     assert mega_tok == 50_000, mega_tok
 
-    total = t_kmv + t_mix + t_mega
+    # 4. CMS under Zipf-skewed token keys: the sketch relation is
+    # bounded by depth x width regardless of the hot tokens' counts
+    # (map-side partial aggregation carries the skew)
+    from lightlane_spark.operators.sketches import cms_build
+
+    t0 = time.monotonic()
+    sketch_rows = cms_build(
+        toks.select(F.col("w").alias("tok")), "tok", depth=4, width=256
+    ).count()
+    t_cms = time.monotonic() - t0
+    assert sketch_rows <= 4 * 256, sketch_rows
+
+    total = t_kmv + t_mix + t_mega + t_cms
     assert total < 300, f"skewed corpus smoke too slow: {total:.0f}s"
     print(
         f"SCALE_SMOKE skewed_corpus docs={n} hot_share_docs=0.5 "
         f"kmv={t_kmv:.1f}s (est_hot={est_hot:.0f} vs {exact_hot}) "
-        f"mix={t_mix:.1f}s (hot_share={hot_share:.3f}) mega={t_mega:.1f}s"
+        f"mix={t_mix:.1f}s (hot_share={hot_share:.3f}) mega={t_mega:.1f}s "
+        f"cms={t_cms:.1f}s ({sketch_rows} sketch rows)"
     )

@@ -15,9 +15,6 @@ Env: SPARK_GRAFT_SWEEP_SF_DIR (default /root/testdata/sf0.01).
 
 from __future__ import annotations
 
-import datetime as dt
-import decimal
-import math
 import os
 import sys
 
@@ -25,22 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-
-def norm(v):
-    if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
-
-
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows), sorted(cols)
+from tools.oracle_compare import compare, register_views
 
 
 def main() -> None:
@@ -52,33 +34,24 @@ def main() -> None:
     spark = SparkSession.builder.master("local[8]").appName("window").getOrCreate()
     spark.sparkContext.setLogLevel("FATAL")
     import __spark_entry__ as m
-    from lightlane_spark.sources.parquet import TABLES, table_path
 
     con = duckdb.connect()
-    for t in TABLES:
-        p = table_path(sf, t)
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    register_views(con, sf)
 
     qs, osql = m.queries(), m.oracle_sql()
     bad = []
     for name in list(qs)[:n]:
         try:
             sdf = qs[name](spark, sf)
-            srows = [tuple(r) for r in sdf.collect()]
             if name not in osql:
-                print(f"{name}: NO_ORACLE rows={len(srows)}", flush=True)
+                print(f"{name}: NO_ORACLE rows={sdf.count()}", flush=True)
                 continue
-            res = con.execute(osql[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-            sv, sc = canon(sdf.columns, srows)
-            ov, oc = canon(ocols, orows)
-            ok = sc == oc and sv == ov
-            if not ok:
+            schema_ok, values_ok, ns, no = compare(con, sdf, osql[name])
+            if not (schema_ok and values_ok):
                 bad.append(name)
             print(
-                f"{name}: {'OK' if ok else 'MISMATCH'} {len(sv)}/{len(ov)}",
+                f"{name}: {'OK' if schema_ok and values_ok else 'MISMATCH'} "
+                f"{ns}/{no}",
                 flush=True,
             )
         except Exception as exc:  # noqa: BLE001 — report, keep checking

@@ -91,7 +91,10 @@ def rotate(
     missing = [c for c in changed if c not in names]
     if missing:
         raise SystemExit(f"--changed names not in queries(): {missing}")
-    pinned = [p for p in (pinned or []) if p in names]
+    bad_pins = [p for p in (pinned or []) if p not in names]
+    if bad_pins:
+        raise SystemExit(f"--pin names not in queries(): {bad_pins}")
+    pinned = list(pinned or [])
 
     red = [n for n in names if n in hist and not hist[n][1]]
     red.sort(key=lambda n: (-hist[n][0], names.index(n)))

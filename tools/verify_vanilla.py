@@ -14,47 +14,28 @@ from pyspark.sql import SparkSession
 spark = SparkSession.builder.master('local[8]').appName('vanilla').getOrCreate()
 spark.sparkContext.setLogLevel('FATAL')
 import __spark_entry__ as m
-import datetime as dt, decimal, math, duckdb
-from lightlane_spark.sources.parquet import TABLES, table_path
+import duckdb
+
+# canonicalization + view setup shared with tools/check_window.py —
+# ONE definition so the freeze gate and this sweep can never disagree
+from tools.oracle_compare import compare, register_views
 
 sf = os.environ.get('SPARK_GRAFT_SWEEP_SF_DIR', '/root/testdata/sf0.01')
 con = duckdb.connect()
-for t in TABLES:
-    p = table_path(sf, t)
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-
-def norm(v):
-    if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, float) and math.isnan(v):
-        return 'NaN'
-    return v
-
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows), sorted(cols)
+register_views(con, sf)
 
 qs, osql = m.queries(), m.oracle_sql()
 bad = []
 for name in sorted(qs):
     try:
         sdf = qs[name](spark, sf)
-        srows = [tuple(r) for r in sdf.collect()]
         if name not in osql:
+            sdf.collect()
             continue
-        res = con.execute(osql[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
-        sv, sc = canon(sdf.columns, srows)
-        ov, oc = canon(ocols, orows)
-        if sc != oc or sv != ov:
+        schema_ok, values_ok, ns, no = compare(con, sdf, osql[name])
+        if not (schema_ok and values_ok):
             bad.append(name)
-            print('MISMATCH', name, 'cols_ok=', sc == oc, len(sv), len(ov), flush=True)
+            print('MISMATCH', name, 'cols_ok=', schema_ok, ns, no, flush=True)
     except Exception as e:
         bad.append(name)
         print('FAIL', name, type(e).__name__, str(e)[:150], flush=True)
