@@ -173,12 +173,21 @@ def incremental_agg_retract_merge(
         "__w", F.lit(1)
     )
     delta = retract.unionByName(assrt)
+    # count must stay null-aware: the state builder's count(c) counts
+    # NON-NULL values, so the signed retraction counts only rows where
+    # c is non-null too (a bare sum(__w) over-retracts/over-asserts on
+    # nullable columns and the merged state silently diverges from the
+    # recompute)
     d = delta.groupBy(*keys).agg(
         *[
             (
                 F.sum(F.col(c) * F.col("__w"))
                 if fn == "sum"
-                else F.sum(F.col("__w"))
+                else F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("__w")).otherwise(
+                        F.lit(0)
+                    )
+                )
             ).alias(f"{fn}_{c}")
             for c, fn in aggs.items()
         ]

@@ -142,3 +142,42 @@ def test_incremental_join_delta_counts_both_new_once(spark):
     assert sorted(tuple(r) for r in v_new.collect()) == sorted(
         tuple(r) for r in v_maintained.collect()
     )
+
+
+def test_retract_merge_nullable_count_matches_recompute(spark):
+    """count(c) counts NON-NULL values; the signed retraction must do
+    the same. An update that flips c between NULL and non-NULL is the
+    adversarial case: the merged state must equal the recompute."""
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.operators.incremental import (
+        incremental_agg_retract_merge,
+        incremental_agg_state,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "k", 10.0), (2, "k", None), (3, "k", 5.0), (4, "j", None)],
+        "pk bigint, grp string, v double",
+    )
+    # pk1: value -> NULL (count must drop); pk2: NULL -> value (count
+    # must rise); pk3 deleted; pk4 unchanged NULL
+    new = spark.createDataFrame(
+        [(1, "k", None), (2, "k", 7.0), (4, "j", None)],
+        "pk bigint, grp string, v double",
+    )
+    aggs = {"v": "count"}
+    state = incremental_agg_state(old, ["grp"], aggs)
+    merged = {
+        r.grp: r.count_v
+        for r in incremental_agg_retract_merge(
+            state, old, new, ["pk"], ["grp"], aggs
+        ).collect()
+    }
+    recomputed = {
+        r.grp: r.count_v
+        for r in incremental_agg_state(new, ["grp"], aggs).collect()
+    }
+    for g, n in recomputed.items():
+        assert merged[g] == n, (g, merged[g], n)
+    # group k: old had 2 non-null (pk1, pk3), new has 1 (pk2)
+    assert merged["k"] == 1
