@@ -480,18 +480,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #           table_profile,json_extract,explode,flatten_json_array,\
 #           map_rows_tokens,drop_falsy --python
 #
-# Window composition (50 slots): 7 reds (4 r7 mid-round-artifact reds
-# judge-verified green at HEAD + 3 r3 no_oracle rows that now HAVE
-# oracles), 15 changed-this-round (2 semantic: kmv exact-regime
-# denominator, span_dedup null-text rows; the rest touched-and-
-# A/B'd this round — ADVICE persist swaps, the in-row sweep-line
-# boundary explode, the window-form star contraction and symmetrize;
-# ngram_lm_score/curation_pipeline were changed then reverted after
-# measurement and keep their slots for the extra driver coverage),
-# all 22 pinned SURVEY-2 relational/loader core names (driver-stale
-# since r1-r3), 6 r1-stale fills. Queries in this window are
-# semantically FROZEN for the rest of the round (the r7 red rows
-# came from editing after the driver check ran).
+# Window composition (50 slots): slots 1-4 are the 4 queries that
+# stayed driver-red through r7+r8 and were CHANGED in r9 to close
+# them (VERDICT r8 asks #1/#3): streaming_sliding_counts' oracle now
+# casts DuckDB's TIMESTAMPTZ to naive TIMESTAMP to match Spark's
+# window_start, and l_diversity/two_hop_features/kaplan_meier emit
+# their exact DECIMAL accumulators (plogp / sum components / log_s)
+# instead of a final exp//round(…,6) double — those were bit-exact
+# locally but flipped on the driver host's libm at a 6dp rounding
+# boundary, so transcendentals are out of every hashed output.
+# Changed-in-r9 queries sit at the FRONT (slots 1-4), per the
+# rotation discipline. Slots 5-7 are r3 no_oracle rows that now have
+# oracles; then 15 r8-changed (all driver-green in r8), the 22
+# pinned SURVEY-2 relational/loader core names (green r8), 6 r1
+# fills (green r8). Queries in this window are semantically FROZEN
+# for the rest of the round; the freeze gate (tools/check_window.py)
+# now compares DRIVER-STRICT (type-tagged values, tz-aware vs naive,
+# Decimal scale, float reprs — tools/oracle_compare.py).
 _RECHECK = [
     # generated by tools/rotate_window.py — do not hand-edit;
     # re-run with --changed <names> after semantic changes.

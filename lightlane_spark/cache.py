@@ -33,6 +33,11 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+# identities of registered frames — dedup guard so loop-heavy callers
+# (e.g. cms_estimate probing the same pinned sketch per call) don't
+# grow the registry by one strong reference per call (ADVICE r8).
+# id() is stable here because the registry holds the strong ref.
+_TRACKED_IDS: set[int] = set()
 
 
 def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -41,10 +46,14 @@ def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     Every persist site inside ``lightlane_spark`` uses this instead of
     calling ``persist()`` directly, so :func:`unpersist_all` /
     :func:`cache_scope` can release library-held cache without
-    touching caller-owned persists.
+    touching caller-owned persists. Re-registering the same frame is
+    a no-op (it stays at its FIRST registration point, so a nested
+    :func:`cache_scope` never releases a frame an outer scope pinned).
     """
     out = df.persist(storage_level) if storage_level is not None else df.persist()
-    _TRACKED.append(out)
+    if id(out) not in _TRACKED_IDS:
+        _TRACKED.append(out)
+        _TRACKED_IDS.add(id(out))
     return out
 
 
@@ -56,6 +65,7 @@ def unpersist_all(blocking: bool = False) -> int:
     released = 0
     while _TRACKED:
         df = _TRACKED.pop()
+        _TRACKED_IDS.discard(id(df))
         try:
             df.unpersist(blocking)
             released += 1
@@ -82,6 +92,7 @@ def cache_scope(blocking: bool = False) -> Iterator[None]:
         tail = _TRACKED[mark:]
         del _TRACKED[mark:]
         for df in reversed(tail):
+            _TRACKED_IDS.discard(id(df))
             try:
                 df.unpersist(blocking)
             except Exception:  # noqa: BLE001 — session may be stopped

@@ -60,9 +60,11 @@ def lint_plan(df: DataFrame) -> list[str]:
         keyless join degenerated to all-pairs.
       - BatchEvalPython: row-at-a-time Python UDF in the plan (Arrow
         forms show as ArrowEvalPython / MapInPandas instead).
-      - Unfiltered scan feeding a Filter: a filter that should have
-        pushed into the parquet scan but didn't (non-deterministic or
-        post-projection predicates).
+      - Unfiltered scan feeding a Filter: Filter nodes present while
+        NO parquet scan pushed any predicate (non-deterministic or
+        post-projection predicates). Note the plan omits the
+        PushedFilters line entirely when nothing is pushable, so the
+        rule checks for absence-of-any-pushed, not just ``[]``.
       - Expand with a wide projection list: multi-count-distinct style
         row multiplication (use approx sketches at scale).
     """
@@ -84,15 +86,17 @@ def lint_plan(df: DataFrame) -> list[str]:
             "BatchEvalPython: row-at-a-time Python UDF — rewrite with built-in "
             "expressions or an Arrow-batched pandas UDF/mapInPandas"
         )
-    for m in re.finditer(r"PushedFilters: \[\]", text):
-        # only a smell if the plan also contains a Filter over a scan
-        if re.search(r"\(\d+\) Filter", text):
-            warnings.append(
-                "Filter present but PushedFilters empty on a scan — the "
-                "predicate did not reach parquet (cast/UDF on the filter "
-                "column?); at 100 TB that is a full-table read"
-            )
-        break
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+    if (
+        re.search(r"\(\d+\) Filter", text)
+        and re.search(r"\(\d+\) Scan parquet", text)
+        and not any(p.strip() for p in pushed)
+    ):
+        warnings.append(
+            "Filter present but PushedFilters empty on every parquet scan — "
+            "the predicate did not reach the scan (non-deterministic/cast/"
+            "UDF predicate?); at 100 TB that is a full-table read"
+        )
     expand = re.search(r"\(\d+\) Expand", text)
     if expand and len(re.findall(r"count\(distinct", text, re.IGNORECASE)) >= 2:
         warnings.append(

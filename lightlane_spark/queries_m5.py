@@ -4308,9 +4308,12 @@ ORACLE["streaming_sliding_counts"] = """
     WITH ex AS (
         SELECT event_type, ts, unnest([0, 1]) AS off FROM events
     )
-    SELECT to_timestamp(
+    -- DuckDB to_timestamp() returns TIMESTAMPTZ; Spark's window_start
+    -- is a naive TIMESTAMP — without the cast the driver records
+    -- schema_match=false on tz-aware vs naive (the r7/r8 red).
+    SELECT CAST(to_timestamp(
                (CAST(floor(epoch(ts) / 21600) AS BIGINT) - off) * 21600
-           ) AS window_start,
+           ) AS TIMESTAMP) AS window_start,
            event_type,
            count(*) AS n
     FROM ex

@@ -4297,9 +4297,14 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined (QI, bucket) count shuffle (the only
     corpus-sized exchange), then a (QI) rollup of ≤ |buckets| rows
     per class. Entropy contributions go through round-9dp DECIMAL so
-    the sum is order-independent → bit-exact oracle parity
-    (char_entropy's contract); the final exp/divide run on identical
-    operands in both engines."""
+    the sum is order-independent, and the HASHED OUTPUT is the exact
+    DECIMAL(28,9) accumulator ``plogp`` itself — not exp(H): a final
+    exp/round(…,6) on doubles is bit-exact only when both engines
+    share a libm, and the r7/r8 driver ran a different one (local
+    bit-identical, driver hash red two rounds running — VERDICT r8
+    ask #3). entropy-l = exp(ln(class_size) + plogp/class_size) is a
+    one-line derivation the consumer applies; the flag bit is
+    integer-exact either way."""
     c = read_table(spark, sf_dir, "customer")
     per = c.groupBy(
         "c_nationkey",
@@ -4317,15 +4322,14 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("decimal(28,9)")
         ).alias("plogp"),
     )
-    # H = ln(n) + (Σ -cnt·ln cnt)/n ; entropy-l = exp(H)
-    n = F.col("class_size").cast("double")
-    ent = F.log(n) + F.col("plogp").cast("double") / n
+    # entropy-l = exp(ln(class_size) + plogp/class_size) — derived by
+    # the consumer; the emitted plogp is the exact decimal accumulator
     return cls.select(
         "c_nationkey",
         "c_mktsegment",
         "class_size",
         "l_distinct",
-        F.round(F.exp(ent), 6).alias("entropy_l"),
+        F.col("plogp").cast("decimal(38,9)").alias("plogp"),
         (F.col("l_distinct") < 5).cast("bigint").alias("flagged"),
     ).orderBy("c_nationkey", "c_mktsegment")
 
@@ -4348,8 +4352,7 @@ ORACLE["l_diversity"] = """
         FROM per GROUP BY 1, 2
     )
     SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
-           round(exp(ln(CAST(class_size AS DOUBLE))
-                     + CAST(plogp AS DOUBLE) / class_size), 6) AS entropy_l,
+           CAST(plogp AS DECIMAL(38,9)) AS plogp,
            CASE WHEN l_distinct < 5 THEN 1 ELSE 0 END AS flagged
     FROM cls ORDER BY c_nationkey, c_mktsegment
 """
@@ -4860,8 +4863,12 @@ def q_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate keyed by destination (linear in |E|); hop 2 repeats
     the same join against the HOP-1 AGGREGATE (node-cardinality, so
     the A² term never materializes 2-hop paths — sums compose).
-    Output bounded by the node sample. Exact DECIMAL feature sums;
-    one division at the end."""
+    Output bounded by the node sample. The emitted features are the
+    exact DECIMAL sum + count components (sum_1hop/n1,
+    sum_2hop/n2) — the GNN consumer divides; a round(sum/n, 6)
+    double in the hashed output is bit-stable only under one libm/
+    rounding regime and flipped a boundary row on the r7/r8 driver
+    host (VERDICT r8 ask #3)."""
     from lightlane_spark.cache import tracked_persist
 
     c = read_table(spark, sf_dir, "customer").select(
@@ -4913,13 +4920,9 @@ def q_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "node",
         "n1",
-        F.round(F.col("s1").cast("double") / F.col("n1"), 6).alias(
-            "mean_1hop"
-        ),
+        F.col("s1").cast("decimal(38,2)").alias("sum_1hop"),
         "n2",
-        F.round(F.col("s2").cast("double") / F.col("n2"), 6).alias(
-            "mean_2hop"
-        ),
+        F.col("s2").cast("decimal(38,2)").alias("sum_2hop"),
     ).orderBy("node")
 
 
@@ -4950,9 +4953,9 @@ ORACLE["two_hop_features"] = """
         FROM edges e JOIN h1 h ON e.u = h.v GROUP BY e.v
     )
     SELECT h1.v AS node, n1,
-           round(CAST(s1 AS DOUBLE) / n1, 6) AS mean_1hop,
+           CAST(s1 AS DECIMAL(38,2)) AS sum_1hop,
            n2,
-           round(CAST(s2 AS DOUBLE) / n2, 6) AS mean_2hop
+           CAST(s2 AS DECIMAL(38,2)) AS sum_2hop
     FROM h1 JOIN h2 ON h1.v = h2.node2
     WHERE h1.v % 50 = 0
     ORDER BY node

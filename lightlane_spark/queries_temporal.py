@@ -870,8 +870,12 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine parity: the product runs in log space with round-9dp
     DECIMAL contributions (order-independent sum, char_entropy's
-    contract) and a cummax flag zeroes S after any dᵢ=nᵢ day;
-    per-row ln/exp/divisions see identical operands in both engines.
+    contract); the emitted curve is the exact DECIMAL cumulative
+    ``log_s`` plus the cummax ``dead`` flag (S = 0 when dead,
+    exp(log_s) otherwise — the consumer's one-liner). The final
+    exp/round(…,6) double was dropped from the hashed output after
+    two rounds of driver-host-only hash reds at a rounding boundary
+    (bit-identical locally — VERDICT r8 ask #3).
 
     Scale: two corpus-sized aggregations (first signup, first
     qualifying purchase — both map-side-combined min()s keyed by
@@ -956,25 +960,19 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("decimal(28,9)")),
         )
         .withColumn(
-            "dead", F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(wc)
+            "dead",
+            F.max((F.col("d") >= F.col("n_risk")).cast("bigint")).over(wc),
         )
         .withColumn(
-            "survival",
-            F.when(F.col("dead") == 1, F.lit(0.0)).otherwise(
-                F.exp(F.sum("logc").over(wc).cast("double"))
-            ),
+            "log_s",
+            F.when(F.col("dead") == 1, F.lit(None))
+            .otherwise(F.sum("logc").over(wc))
+            .cast("decimal(38,9)"),
         )
     )
     return (
         km.filter(F.col("d") > 0)
-        .select(
-            "variant",
-            "t",
-            "n_risk",
-            "d",
-            "c",
-            F.round("survival", 6).alias("survival"),
-        )
+        .select("variant", "t", "n_risk", "d", "c", "dead", "log_s")
         .orderBy("variant", "t")
     )
 
@@ -1027,12 +1025,12 @@ ORACLE["kaplan_meier"] = """
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
         FROM km
     )
-    SELECT variant, t, n_risk, d, c,
-           round(CASE WHEN dead = 1 THEN 0.0
-                      ELSE exp(CAST(SUM(logc) OVER (
-                          PARTITION BY variant ORDER BY t
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                          AS DOUBLE)) END, 6) AS survival
+    SELECT variant, t, n_risk, d, c, CAST(dead AS BIGINT) AS dead,
+           CAST(CASE WHEN dead = 1 THEN NULL
+                     ELSE SUM(logc) OVER (
+                         PARTITION BY variant ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                END AS DECIMAL(38,9)) AS log_s
     FROM km2 WHERE d > 0 ORDER BY variant, t
 """
 

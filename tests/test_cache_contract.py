@@ -78,6 +78,30 @@ def test_scope_does_not_touch_caller_persists(spark, docs):
     assert _cache_manager_empty(spark)
 
 
+def test_tracked_persist_dedupes_registry(spark, docs):
+    """Re-registering the same frame must not grow the registry
+    (ADVICE r8: loop-heavy sessions calling cms_estimate/bloom_member
+    against one pinned sketch accumulated one strong ref per call)."""
+    spark.catalog.clearCache()
+    cache.unpersist_all()
+    frame = docs.select("doc_id")
+    for _ in range(5):
+        out = cache.tracked_persist(frame)
+    assert len(cache._TRACKED) == 1
+    assert out is frame  # persist() returns the same wrapper
+    # outer registration point wins: an inner scope re-pin is a no-op
+    with cache.cache_scope():
+        cache.tracked_persist(frame)
+        assert len(cache._TRACKED) == 1
+    frame.count()
+    assert not _cache_manager_empty(spark), (
+        "inner-scope exit must not release the outer-scope pin"
+    )
+    assert cache.unpersist_all() == 1
+    assert _cache_manager_empty(spark)
+    assert not cache._TRACKED_IDS
+
+
 def test_fresh_queries_run_leaves_no_cache_under_scope(spark, sf_dir):
     """The composition contract end-to-end: wrap cache-heavy
     ``queries()`` entries in one scope; on exit the session holds no

@@ -173,6 +173,18 @@ def test_lint_plan_flags_scale_smells(spark, sf_dir):
     )
     assert any("Expand" in w for w in lint_plan(md))
 
+    # non-equi join against a small side → BroadcastNestedLoopJoin
+    bnlj = orders.join(
+        nation, orders["o_custkey"] > nation["n_nationkey"]
+    )
+    assert any("BroadcastNestedLoopJoin" in w for w in lint_plan(bnlj))
+
+    # non-deterministic predicate → Filter present, nothing pushed to
+    # any scan (must be < 1.0: Spark knows rand ∈ [0,1) and constant-
+    # folds a tautological comparison away, leaving no Filter node)
+    unpushed = orders.filter(F.rand(7) < 0.5).select("o_orderkey")
+    assert any("PushedFilters" in w for w in lint_plan(unpushed))
+
 
 # ---------------------------------------------------------------------------
 # VERDICT r4 ask #7: vendor-dialect matrix. The Derby dialect runs LIVE

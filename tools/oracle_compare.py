@@ -1,14 +1,36 @@
 """Shared oracle-comparison helpers for the driver-mimic checkers.
 
 One definition of value canonicalization and DuckDB view setup, used
-by BOTH tools/verify_vanilla.py (full 251-query sweep) and
+by BOTH tools/verify_vanilla.py (full-registry sweep) and
 tools/check_window.py (first-50 freeze gate) — a canonicalization fix
 landing in one but not the other would make the gate and the sweep
 disagree on the same query output.
 
-The canon form mirrors what the round driver records: columns sorted
-by name, rows sorted as tuples, Decimals→float, datetimes→naive ISO,
-NaN→'NaN'.
+STRICT by construction (VERDICT r8 ask #2): the r7/r8 rounds shipped
+a red the old gate called green because ``norm`` collapsed tz-aware
+datetimes to naive and Decimals to float before comparing — exactly
+the two classes the driver's hash check distinguishes
+(streaming_sliding_counts: DuckDB TIMESTAMPTZ vs Spark naive
+timestamp → driver schema_match=false, local gate green). The canon
+form now TAGS every value with its Python type class and keeps the
+exact repr:
+
+- datetimes keep tz-awareness (isoformat embeds the UTC offset, so
+  aware vs naive can never compare equal);
+- Decimals keep their exact string form (scale included) and never
+  become floats;
+- floats compare by full repr (shortest round-trip — any libm /
+  rounding-boundary divergence between engines is a mismatch);
+- ints, bools, strs, bytes, dates, arrays, maps compare within their
+  own class only — an int 5 never equals a float 5.0.
+
+Schema check = sorted column names AND, per column, the set of
+observed value-type tags (a column that is float on one side and
+Decimal on the other fails schema even when the numbers agree).
+This is deliberately AT LEAST as strict as the driver's
+rows/schema/hash triple: anything green here should be green there;
+a local green with a driver red means a comparator hole — treat as
+a bug in this file.
 """
 
 from __future__ import annotations
@@ -19,21 +41,56 @@ import math
 import os
 
 
-def norm(v):
+def strict_val(v):
+    """Canonical (type-tag, exact-repr) form. Values only compare
+    equal within the same Python type class; datetimes keep
+    tz-awareness; Decimals keep scale; floats use full repr."""
+    if v is None:
+        return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "NaN")
+        return ("float", repr(v))
     if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return ("decimal", str(v))
+    if isinstance(v, dt.datetime):  # before date: datetime subclasses date
+        # aware vs naive is a SCHEMA-class difference (the driver's
+        # TIMESTAMPTZ-vs-TIMESTAMP schema_match=false on r7/r8's
+        # streaming_sliding_counts red), so it gets its own tag
+        tag = "datetimetz" if v.tzinfo is not None else "datetime"
+        return (tag, v.isoformat())
     if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
+        return ("date", v.isoformat())
+    if isinstance(v, dt.time):
+        return ("time", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v))
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, dict):  # DuckDB structs/maps arrive as dicts
+        return ("map", tuple(sorted((str(k), strict_val(x)) for k, x in v.items())))
+    if isinstance(v, (list, tuple)):  # arrays; Spark Row is a tuple subclass
+        return ("list", tuple(strict_val(x) for x in v))
+    return ("other", repr(v))
 
 
 def canon(cols, rows):
+    """(sorted rows of strict values in name-sorted column order,
+    sorted column names, per-column observed type-tag sets)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows), sorted(cols)
+    canon_rows = [tuple(strict_val(r[i]) for i in order) for r in rows]
+    # repr is a deterministic total order even across mixed tags/None
+    canon_rows.sort(key=repr)
+    tags = [set() for _ in order]
+    for row in canon_rows:
+        for j, v in enumerate(row):
+            if v is not None:
+                tags[j].add(v[0])
+    return canon_rows, sorted(cols), tags
 
 
 def register_views(con, sf_dir: str) -> None:
@@ -48,11 +105,20 @@ def register_views(con, sf_dir: str) -> None:
 
 def compare(con, sdf, oracle_sql: str) -> tuple[bool, bool, int, int]:
     """Run the oracle and compare against a collected Spark frame.
-    Returns (schema_ok, values_ok, n_spark, n_oracle)."""
+    Returns (schema_ok, values_ok, n_spark, n_oracle).
+
+    schema_ok: column names match AND every column's observed
+    value-type class matches (all-null columns on either side skip
+    the type check — no evidence to compare).
+    values_ok: strict multiset equality of (type, exact-repr) rows.
+    """
     srows = [tuple(r) for r in sdf.collect()]
     res = con.execute(oracle_sql)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
-    sv, sc = canon(sdf.columns, srows)
-    ov, oc = canon(ocols, orows)
-    return sc == oc, sv == ov, len(sv), len(ov)
+    sv, sc, st = canon(sdf.columns, srows)
+    ov, oc, ot = canon(ocols, orows)
+    schema_ok = sc == oc and all(
+        not a or not b or a == b for a, b in zip(st, ot)
+    )
+    return schema_ok, sv == ov, len(sv), len(ov)
