@@ -223,6 +223,12 @@ def main() -> None:
     # scale amortizes to nothing; steady-state latency is the honest
     # per-query number.
     timings: dict[str, float | None] = {}
+    # per-rep raw samples, recorded so a BENCH_DETAIL reader can see
+    # within-run spread: the r9 noise investigation measured single
+    # queries swinging ±50% run-to-run on identical code, and the
+    # best-of-3 scalar alone can't show whether a number was stable
+    # or a lucky draw (SCALE.md "bounded re-measure" entry).
+    reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -238,6 +244,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
                 dt = time.perf_counter() - t0
+                reps.setdefault(name, []).append(round(dt, 4))
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 — isolate per query
@@ -267,6 +274,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
         "sf": sf_val,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],

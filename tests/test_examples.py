@@ -19,7 +19,15 @@ def _run(name: str, sf_dir: str):
 
 
 @pytest.mark.parametrize(
-    "name", ["curation_end_to_end", "dedup_walkthrough", "streaming_ingest", "retrieval_walkthrough", "tokenizer_and_shards"]
+    "name",
+    [
+        "curation_end_to_end",
+        "dedup_walkthrough",
+        "streaming_ingest",
+        "retrieval_walkthrough",
+        "tokenizer_and_shards",
+        "plan_lint_walkthrough",
+    ],
 )
 def test_example_runs(spark, sf_dir, name):
     report = _run(name, sf_dir)
