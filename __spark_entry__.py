@@ -490,7 +490,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # locally but flipped on the driver host's libm at a 6dp rounding
 # boundary, so transcendentals are out of every hashed output.
 # Changed-in-r9 queries sit at the FRONT (slots 1-4), per the
-# rotation discipline. Slots 5-7 are r3 no_oracle rows that now have
+# rotation discipline. ALSO changed in r9 but OUTSIDE this window
+# (the no-transcendental/no-rounded-double hardening sweep — pass
+# them to --changed on the NEXT rotate_window run): tfidf_topk,
+# cooccurrence_pmi, vocab_drift, theil_decomposition,
+# mutual_information, time_weighted_avg, hybrid_retrieval. Slots 5-7 are r3 no_oracle rows that now have
 # oracles; then 15 r8-changed (all driver-green in r8), the 22
 # pinned SURVEY-2 relational/loader core names (green r8), 6 r1
 # fills (green r8). Queries in this window are semantically FROZEN

@@ -27,7 +27,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     # 1. Did the new crawl shift the vocabulary? (gate before training)
     drift = m5.q_vocab_drift(spark, sf_dir)
     top_mover = drift.first()
-    print("top drift term:", top_mover["term"], top_mover["log_ratio"])
+    # rate_ratio is the raw (engine-deterministic) ratio; the classic
+    # log-ratio is the consumer's one-liner
+    import math
+
+    print(
+        "top drift term:", top_mover["term"],
+        round(math.log(top_mover["rate_ratio"]), 3),
+    )
 
     # 2. Exact BPE merges (the trainer's artifact — scale note: every
     #    round runs on the vocabulary relation, not the corpus)

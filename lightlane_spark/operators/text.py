@@ -335,9 +335,15 @@ def tfidf_topk(
     k: int = 3,
 ) -> DataFrame:
     """Top-k characteristic terms per doc by smoothed TF-IDF
-    (idf = ln((N+1)/(df+1))). Ranking uses the 6dp-ROUNDED score so
-    cross-engine last-ulp ln() differences can never flip the order;
-    ties break on the term itself.
+    (idf = ln((N+1)/(df+1))). The score is rounded to 9dp and carried
+    as DECIMAL(18,9) for BOTH ordering and output (the repo's
+    transcendental contract): a rounded double in hashed output is
+    exposed to cross-engine round()-implementation divergence at grid
+    boundaries — the exact class that flipped three driver-round(…,6)
+    queries in r7/r8 — while the decimal form pins the value the
+    moment it is rounded. Ties break on the term itself. The exact
+    (tf, df) integers are emitted alongside so a consumer can recompute
+    any idf variant without re-aggregating.
 
     Plan: two shuffles (term counts per doc, doc-frequency per term)
     + a window over per-doc terms. The doc-count scalar joins as a
@@ -358,8 +364,8 @@ def tfidf_topk(
         .withColumn(
             "tfidf",
             F.round(
-                F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)), 6
-            ),
+                F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)), 9
+            ).cast("decimal(18,9)"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -368,7 +374,7 @@ def tfidf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(id_col, "tok", "tfidf", "rank")
+        .select(id_col, "tok", "tf", "df", "tfidf", "rank")
     )
 
 

@@ -414,8 +414,11 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     a distributed top-k (TakeOrderedAndProject over the doc-frequency
     aggregate, deterministic df-desc/token-asc ties) and is broadcast
     back; doc frequencies re-attach to the pair counts by broadcast.
-    PMI = ln(P(a,b)/(P(a)P(b))) from exact integer counts, rounded
-    6dp for cross-engine ln parity."""
+    PMI = ln(P(a,b)/(P(a)P(b))) = ln(pmi_num/pmi_den); the emitted
+    columns are the EXACT integer numerator/denominator (n_both·N and
+    df_a·df_b) — the consumer applies the ln. A round(ln(…), 6) in
+    hashed output is the r7/r8 driver-red class (libm + round-grid
+    divergence across hosts); integers can't flip."""
     from lightlane_spark.cache import tracked_persist
     from lightlane_spark.operators.text import tokenize
 
@@ -460,13 +463,8 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_a",
             "tok_b",
             "n_both",
-            F.round(
-                F.log(
-                    (F.col("n_both") * F.col("n_corpus")).cast("double")
-                    / (F.col("df_a") * F.col("df_b")).cast("double")
-                ),
-                6,
-            ).alias("pmi"),
+            (F.col("n_both") * F.col("n_corpus")).alias("pmi_num"),
+            (F.col("df_a") * F.col("df_b")).alias("pmi_den"),
         )
         .orderBy("tok_a", "tok_b")
     )
@@ -1713,9 +1711,14 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docstats.crossJoin(F.broadcast(qnorm))
         .select(
             "doc_id",
-            F.round(
-                F.col("dot") / (F.sqrt(F.col("nd")) * F.sqrt(F.col("nq"))), 9
-            ).alias("cos"),
+            # raw double on purpose: dot/nd/nq are exact ints and
+            # sqrt/÷ are IEEE-correctly-rounded, so the value is
+            # bit-identical across engines — a round(…, 9) here would
+            # ADD the cross-engine round-grid divergence (the r7/r8
+            # driver-red class) to an otherwise deterministic key
+            (F.col("dot") / (F.sqrt(F.col("nd")) * F.sqrt(F.col("nq")))).alias(
+                "cos"
+            ),
         )
         .orderBy(F.col("cos").desc(), "doc_id")
         .limit(50)
@@ -2133,12 +2136,13 @@ ORACLE = {
         dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
         n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
         scored AS (
-            SELECT tf.doc_id, tf.tok,
-                   round(tf.tf * ln((nd + 1.0) / (df + 1.0)), 6) AS tfidf
+            SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+                   CAST(round(tf.tf * ln((nd + 1.0) / (df + 1.0)), 9)
+                        AS DECIMAL(18,9)) AS tfidf
             FROM tf JOIN dfreq USING (tok) CROSS JOIN n
         )
-        SELECT doc_id, tok, tfidf, CAST(rank AS INTEGER) AS rank FROM (
-            SELECT doc_id, tok, tfidf,
+        SELECT doc_id, tok, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT doc_id, tok, tf, df, tfidf,
                    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
             FROM scored
         ) WHERE rank <= 3
@@ -3177,8 +3181,8 @@ ORACLE["cooccurrence_pmi"] = """
     ),
     n AS (SELECT count(*) AS n_corpus FROM documents)
     SELECT tok_a, tok_b, CAST(n_both AS BIGINT) AS n_both,
-           round(ln(CAST(n_both * n_corpus AS DOUBLE)
-                    / CAST(va.df * vb.df AS DOUBLE)), 6) AS pmi
+           CAST(n_both * n_corpus AS BIGINT) AS pmi_num,
+           CAST(va.df * vb.df AS BIGINT) AS pmi_den
     FROM pairs
     JOIN vocab va ON va.tok = pairs.tok_a
     JOIN vocab vb ON vb.tok = pairs.tok_b
@@ -3381,7 +3385,7 @@ ORACLE["hybrid_retrieval"] = """
     ),
     cosed AS (
         SELECT d.doc_id,
-               round(d.dot / (sqrt(n.nd) * sqrt(q.nq)), 9) AS cos
+               d.dot / (sqrt(n.nd) * sqrt(q.nq)) AS cos
         FROM dots d JOIN norms n ON d.doc_id = n.doc_id CROSS JOIN qnorm q
         ORDER BY cos DESC, d.doc_id
         LIMIT 50
@@ -3532,10 +3536,15 @@ ORACLE["bpe_train"] = _bpe_osql(3)
 
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-shift detector between two corpus halves (sources
-    src0-9 vs src10-19): per-term smoothed log rate-ratio, top-20
-    movers — the curation signal for "did the new crawl change the
-    vocabulary". Counts are exact ints; the single ln() per surviving
-    term is 6dp-rounded (repo convention) so ordering is engine-exact.
+    src0-9 vs src10-19): per-term smoothed rate-ratio, top-20 movers —
+    the curation signal for "did the new crawl change the vocabulary".
+    Counts are exact ints; the emitted ``rate_ratio`` is built from
+    IEEE divisions only (each correctly rounded, so bit-identical
+    across engines on identical operands) — no ln() and no round() in
+    the hashed output (the r7/r8 driver-red class). |ln r| ordering is
+    preserved without the ln: |ln r| is monotone in max(r, 1/r), and
+    greatest(r, 1/r) is itself division-deterministic; the consumer
+    takes ln(rate_ratio) if they want the classic log form.
     Plan: one token-count aggregation per half over the SAME exploded
     relation (conditional aggregates, not two scans), a broadcast of
     the two scalar totals, and a top-k cut — linear in corpus size."""
@@ -3555,9 +3564,14 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate_b = (F.col("cb") + 1).cast("double") / (F.col("nb") + 1).cast("double")
     return (
         counts.join(F.broadcast(totals))
-        .withColumn("log_ratio", F.round(F.log(rate_a / rate_b), 6))
-        .select("term", "ca", "cb", "log_ratio")
-        .orderBy(F.abs(F.col("log_ratio")).desc(), "term")
+        .withColumn("rate_ratio", rate_a / rate_b)
+        .select("term", "ca", "cb", "rate_ratio")
+        .orderBy(
+            F.greatest(
+                F.col("rate_ratio"), F.lit(1.0) / F.col("rate_ratio")
+            ).desc(),
+            "term",
+        )
         .limit(20)
     )
 
@@ -3617,11 +3631,16 @@ ORACLE["vocab_drift"] = """
         FROM toks WHERE length(term) >= 2 GROUP BY 1
     ), totals AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM counts)
     SELECT term, ca, cb,
-           round(ln( ((ca + 1) / (CAST(na AS DOUBLE) + 1))
-                   / ((cb + 1) / (CAST(nb AS DOUBLE) + 1)) ), 6) AS log_ratio
+           ((CAST(ca AS DOUBLE) + 1) / (CAST(na AS DOUBLE) + 1))
+             / ((CAST(cb AS DOUBLE) + 1) / (CAST(nb AS DOUBLE) + 1))
+             AS rate_ratio
     FROM counts, totals
-    ORDER BY abs(round(ln( ((ca + 1) / (CAST(na AS DOUBLE) + 1))
-                   / ((cb + 1) / (CAST(nb AS DOUBLE) + 1)) ), 6)) DESC, term
+    ORDER BY greatest(
+           ((CAST(ca AS DOUBLE) + 1) / (CAST(na AS DOUBLE) + 1))
+             / ((CAST(cb AS DOUBLE) + 1) / (CAST(nb AS DOUBLE) + 1)),
+           1.0 / (((CAST(ca AS DOUBLE) + 1) / (CAST(na AS DOUBLE) + 1))
+             / ((CAST(cb AS DOUBLE) + 1) / (CAST(nb AS DOUBLE) + 1)))
+           ) DESC, term
     LIMIT 20
 """
 

@@ -4645,7 +4645,10 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint relation is ≤ |features|·|labels|·|values| rows and the
     marginals fold out of it by re-aggregation, never re-scanning.
     MI contributions go through round-9dp DECIMAL (order-independent
-    sum, the char_entropy contract)."""
+    sum, the char_entropy contract), and the EMITTED score is that
+    exact decimal itself — a final round(double, 6) in hashed output
+    is the r7/r8 driver-red boundary class. The 0.05 leak threshold
+    compares decimal-to-decimal, so the flag bit is exact too."""
     from lightlane_spark.cache import tracked_persist
 
     ev = read_table(spark, sf_dir, "events").select(
@@ -4697,10 +4700,10 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     mi = joined.groupBy("feature").agg(F.sum(contrib).alias("mi_dec"))
     return mi.select(
         "feature",
-        F.round(F.col("mi_dec").cast("double"), 6).alias("mi"),
-        (F.col("mi_dec").cast("double") > 0.05).cast("bigint").alias(
-            "flagged"
-        ),
+        F.col("mi_dec").cast("decimal(38,9)").alias("mi_dec"),
+        (F.col("mi_dec") > F.lit("0.05").cast("decimal(38,9)"))
+        .cast("bigint")
+        .alias("flagged"),
     ).orderBy("feature")
 
 
@@ -4741,8 +4744,8 @@ ORACLE["mutual_information"] = """
         GROUP BY 1
     )
     SELECT feature,
-           round(CAST(mi_dec AS DOUBLE), 6) AS mi,
-           CASE WHEN CAST(mi_dec AS DOUBLE) > 0.05 THEN 1 ELSE 0 END
+           CAST(mi_dec AS DECIMAL(38,9)) AS mi_dec,
+           CASE WHEN mi_dec > CAST(0.05 AS DECIMAL(38,9)) THEN 1 ELSE 0 END
              AS flagged
     FROM mi ORDER BY feature
 """
@@ -4755,16 +4758,18 @@ def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN-segment and BETWEEN-segment components (Gini cannot be
     decomposed additively), the lens for "is revenue concentration a
     segment story or a whales-everywhere story". Output per segment:
-    population, income share s_g, within-Theil T_g and the between
-    term s_g·ln(μ_g/μ); both engines compute every term from the
-    same exact-decimal revenue rollup, so the decomposition identity
-    is pinned by the hash on all components at once.
+    population n_g, exact-decimal segment revenue sx_g, and the exact
+    DECIMAL(38,9) within-contribution sum s_dec — every decomposition
+    term (s_g = sx_g/Σsx_g, T_g = s_dec/n_g, between = s_g·ln(μ_g/μ))
+    is a one-line derivation from these. Earlier rounds emitted the
+    derived round(…,6) doubles; a rounded ln/division in hashed output
+    is the class that flipped three driver queries at round-grid
+    boundaries (r7/r8), so only the exact accumulators are hashed now.
 
     One corpus-sized (custkey) revenue rollup joined to the broadcast
     customer dim; the per-customer relation is materialized once
     (three consumers: totals, segment moments, the contribution sum);
-    log contributions go through round-9dp DECIMAL; means divide
-    decimal-exact sums in double on identical operands."""
+    log contributions go through round-9dp DECIMAL."""
     from lightlane_spark.cache import tracked_persist
 
     o = read_table(spark, sf_dir, "orders")
@@ -4776,9 +4781,6 @@ def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .select(F.col("c_mktsegment").alias("seg"), "x")
-    )
-    tot = rev.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
     )
     seg = rev.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n_g"), F.sum("x").alias("sx_g")
@@ -4792,23 +4794,15 @@ def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = (
         rev.join(F.broadcast(seg), "seg")
         .groupBy("seg")
-        .agg(F.sum(contrib).alias("s_dec"), F.max("n_g").alias("n_g"))
-        .select(
-            "seg",
-            (F.col("s_dec").cast("double") / F.col("n_g")).alias("t_g"),
-        )
+        .agg(F.sum(contrib).alias("s_dec"))
     )
-    mu = F.col("sx").cast("double") / F.col("n")
-    share = F.col("sx_g").cast("double") / F.col("sx").cast("double")
     return (
         within.join(F.broadcast(seg), "seg")
-        .crossJoin(F.broadcast(tot))
         .select(
             "seg",
             "n_g",
-            F.round(share, 6).alias("income_share"),
-            F.round("t_g", 6).alias("theil_within"),
-            F.round(share * F.log(mu_g / mu), 6).alias("between_term"),
+            F.col("sx_g").cast("decimal(38,2)").alias("sx_g"),
+            F.col("s_dec").cast("decimal(38,9)").alias("s_dec"),
         )
         .orderBy("seg")
     )
@@ -4823,7 +4817,6 @@ ORACLE["theil_decomposition"] = """
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment, o.o_custkey
     ),
-    tot AS (SELECT count(*) AS n, SUM(x) AS sx FROM rev),
     seg AS (
         SELECT seg, count(*) AS n_g, SUM(x) AS sx_g FROM rev GROUP BY 1
     ),
@@ -4833,18 +4826,13 @@ ORACLE["theil_decomposition"] = """
                    (CAST(r.x AS DOUBLE) / (CAST(s.sx_g AS DOUBLE) / s.n_g))
                    * ln(CAST(r.x AS DOUBLE)
                         / (CAST(s.sx_g AS DOUBLE) / s.n_g)), 9)
-                   AS DECIMAL(28,9))) AS s_dec,
-               MAX(s.n_g) AS n_g
+                   AS DECIMAL(28,9))) AS s_dec
         FROM rev r JOIN seg s USING (seg) GROUP BY 1
     )
     SELECT w.seg, s.n_g,
-           round(CAST(s.sx_g AS DOUBLE) / CAST(t.sx AS DOUBLE), 6)
-             AS income_share,
-           round(CAST(w.s_dec AS DOUBLE) / w.n_g, 6) AS theil_within,
-           round(CAST(s.sx_g AS DOUBLE) / CAST(t.sx AS DOUBLE)
-                 * ln((CAST(s.sx_g AS DOUBLE) / s.n_g)
-                      / (CAST(t.sx AS DOUBLE) / t.n)), 6) AS between_term
-    FROM within w JOIN seg s USING (seg), tot t ORDER BY w.seg
+           CAST(s.sx_g AS DECIMAL(38,2)) AS sx_g,
+           CAST(w.s_dec AS DECIMAL(38,9)) AS s_dec
+    FROM within w JOIN seg s USING (seg) ORDER BY w.seg
 """
 
 

@@ -392,10 +392,19 @@ def q_abandoned_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact time-weighted average of the value signal per user (TWAP
     shape): each observation holds until the user's next event; weight
-    = microsecond gap to the next event (BIGINT-exact), value·weight
-    summed in exact decimal, one division at the end. Single lead()
-    window + one aggregation — two shuffles, both on user_id; last
-    events (no successor) carry zero weight in both engines."""
+    = microsecond gap to the next event (BIGINT-exact). The value
+    column is 2dp-exact by data contract, so CAST to DECIMAL(12,2)
+    recovers its true decimal in both engines (a 2dp point is ~1e-13
+    from the stored double, nowhere near a cast boundary); from there
+    value·weight and the sum are pure decimal arithmetic. The emitted
+    columns are that exact DECIMAL weighted sum and the BIGINT weight
+    total — twap = vw_sum/w_sum is the consumer's division. The
+    earlier form quantized the DOUBLE product value·dt_us per row
+    (grid ulp ≈ cast divergence at 1e9 magnitudes — measured red
+    under the strict comparator) and emitted a round(…,6) ratio (the
+    two_hop_features driver-red class). Single lead() window + one
+    aggregation — two shuffles, both on user_id; last events (no
+    successor) carry zero weight in both engines."""
     from pyspark.sql import Window
 
     ev = read_table(spark, sf_dir, "events").select(
@@ -407,20 +416,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         weighted.groupBy("user_id")
         .agg(
-            F.sum(
-                (F.col("value") * F.col("dt_us")).cast("decimal(38,6)")
-            ).cast("double").alias("vw_sum"),
+            F.sum(F.col("value").cast("decimal(12,2)") * F.col("dt_us"))
+            .cast("decimal(38,2)")
+            .alias("vw_sum"),
             F.sum("dt_us").alias("w_sum"),
         )
         .filter(F.col("w_sum") > 0)
-        .select(
-            "user_id",
-            # 6dp-rounded ratio (repo convention for >15-sig-digit
-            # numerators whose decimal→double cast can differ 1 ulp
-            # across engines; see tfidf_topk)
-            F.round(F.col("vw_sum") / F.col("w_sum"), 6).alias("twap"),
-            "w_sum",
-        )
+        .select("user_id", "vw_sum", "w_sum")
         .orderBy("user_id")
     )
 
@@ -460,8 +462,8 @@ ORACLE["time_weighted_avg"] = """
         FROM events
     )
     SELECT user_id,
-           round(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
-             / CAST(SUM(dt_us) AS BIGINT), 6) AS twap,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)) * dt_us) AS DECIMAL(38,2))
+             AS vw_sum,
            CAST(SUM(dt_us) AS BIGINT) AS w_sum
     FROM e GROUP BY 1
     HAVING SUM(dt_us) > 0
