@@ -1113,10 +1113,14 @@ def bm25_topk(
     term_score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6).cast(
         "decimal(18,6)"
     )
+    # the score stays DECIMAL end-to-end: a decimal→double cast here
+    # would re-introduce a conversion the two engines implement
+    # differently at the last ulp (the r9 hardening taxonomy), for no
+    # benefit — decimal orders and hashes exactly
     scored = (
         tfdf.join(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.sum(term_score).cast("double").alias("score"))
+        .agg(F.sum(term_score).cast("decimal(38,6)").alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -1148,7 +1152,8 @@ def rrf_fuse(
     fused = (
         tagged.withColumn("__c", contrib)
         .groupBy(id_col)
-        .agg(F.sum("__c").cast("double").alias("rrf_score"))
+        # DECIMAL end-to-end (no →double cast): exact ordering + hash
+        .agg(F.sum("__c").cast("decimal(38,12)").alias("rrf_score"))
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
 
@@ -1370,7 +1375,7 @@ def bm25_multi(
     query. Same formula/rounding contract as ``bm25_topk`` (Lucene
     idf, per-term scores rounded 6dp → DECIMAL sum, ties on doc id).
 
-    Returns (qid, id_col, score DOUBLE, n_matched) for every doc
+    Returns (qid, id_col, score DECIMAL(38,6), n_matched) for every doc
     matching ≥1 term of the query; ``n_matched`` (distinct query
     terms present) lets callers derive conjunctive relevance.
 
@@ -1412,7 +1417,7 @@ def bm25_multi(
         .join(F.broadcast(stats))
         .groupBy("qid", id_col)
         .agg(
-            F.sum(term_score).cast("double").alias("score"),
+            F.sum(term_score).cast("decimal(38,6)").alias("score"),
             F.count(F.lit(1)).alias("n_matched"),
         )
     )

@@ -3284,7 +3284,7 @@ ORACLE["bm25_topk"] = """
                * t.tf * (1.2 + 1.0)
                / (t.tf + 1.2 * (1.0 - 0.75
                    + 0.75 * t.dl / (CAST(s.toks AS DOUBLE) / s.n))), 6)
-               AS DECIMAL(18,6))) AS DOUBLE) AS score
+               AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS score
     FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN stats s
     GROUP BY doc_id
     ORDER BY score DESC, doc_id
@@ -3352,7 +3352,7 @@ ORACLE["hybrid_retrieval"] = """
                    * t.tf * (1.2 + 1.0)
                    / (t.tf + 1.2 * (1.0 - 0.75
                        + 0.75 * t.dl / (CAST(s.toks AS DOUBLE) / s.n))), 6)
-                   AS DECIMAL(18,6))) AS DOUBLE) AS score
+                   AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS score
         FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN stats s
         GROUP BY doc_id
         ORDER BY score DESC, doc_id
@@ -3402,7 +3402,7 @@ ORACLE["hybrid_retrieval"] = """
     )
     SELECT doc_id,
            CAST(SUM(CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(24,12)))
-                AS DOUBLE) AS rrf_score
+                AS DECIMAL(38,12)) AS rrf_score
     FROM unioned
     GROUP BY doc_id
     ORDER BY rrf_score DESC, doc_id
@@ -4135,7 +4135,7 @@ ORACLE["retrieval_metrics"] = """
                    * t.tf * (1.2 + 1.0)
                    / (t.tf + 1.2 * (1.0 - 0.75
                        + 0.75 * t.dl / (CAST(s.toks AS DOUBLE) / s.n))), 6)
-                   AS DECIMAL(18,6))) AS DOUBLE) AS score,
+                   AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS score,
                count(*) AS n_matched
         FROM tfdf t JOIN qs q ON q.tok = t.tok CROSS JOIN stats s
         GROUP BY q.qid, t.doc_id
