@@ -81,6 +81,19 @@ def test_maps_sort_keys():
     assert strict_val({"b": 1, "a": 2}) == strict_val({"a": 2, "b": 1})
 
 
+def test_spark_struct_row_matches_duckdb_dict():
+    """Spark collects struct columns as Row (a tuple subclass with
+    asDict); DuckDB returns dicts — they must canonicalize alike, not
+    as list-vs-map."""
+
+    class FakeRow(tuple):
+        def asDict(self):
+            return {"a": self[0], "b": self[1]}
+
+    assert strict_val(FakeRow((1, "x"))) == strict_val({"a": 1, "b": "x"})
+    assert strict_val(FakeRow((1, "x"))) != strict_val({"a": 1, "b": "y"})
+
+
 def test_canon_sorts_columns_and_rows_and_reports_tags():
     rows = [(1, "x"), (None, "y")]
     vals, cols, tags = canon(["n", "s"], rows)

@@ -73,7 +73,9 @@ def strict_val(v):
         return ("str", v)
     if isinstance(v, dict):  # DuckDB structs/maps arrive as dicts
         return ("map", tuple(sorted((str(k), strict_val(x)) for k, x in v.items())))
-    if isinstance(v, (list, tuple)):  # arrays; Spark Row is a tuple subclass
+    if hasattr(v, "asDict"):  # Spark struct Row ↔ DuckDB struct dict
+        return strict_val(v.asDict())
+    if isinstance(v, (list, tuple)):  # arrays
         return ("list", tuple(strict_val(x) for x in v))
     return ("other", repr(v))
 
