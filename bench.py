@@ -261,6 +261,18 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v is not None), 4)
+    # Noise self-diagnosis: median worst/best rep ratio across queries.
+    # Clean runs sit ~1.1-1.3; the degraded shared-host windows that
+    # inflated whole runs 1.3-1.7x show 2x+ swings WITHIN a query's
+    # three reps (SCALE.md run-E sample: 2.6x), so this one number
+    # lets a reader of the artifact tell a bad-box run from a real
+    # regression without re-benching.
+    spreads = sorted(
+        max(r) / min(r) for r in reps.values() if len(r) == 3 and min(r) > 0
+    )
+    rep_spread_median = (
+        round(spreads[len(spreads) // 2], 3) if spreads else None
+    )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     failed = sorted(n for n, v in timings.items() if v is None)
     # Full per-query detail goes to a committed file (and stderr for
@@ -275,6 +287,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "reps": reps,
+        "rep_spread_median": rep_spread_median,
         "sf": sf_val,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
@@ -304,6 +317,7 @@ def main() -> None:
             )[:10]
         },
         "detail_file": "BENCH_DETAIL.json",
+        "rep_spread_median": rep_spread_median,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
     }
