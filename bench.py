@@ -261,6 +261,19 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v is not None), 4)
+    # Steady-state headline (VERDICT r9 ask #7): the r9 driver run's
+    # 1.5x median rep spread came almost entirely from inflated FIRST
+    # reps (minhash_lsh_pairs 7.26→1.93→1.82), making the all-reps-
+    # derived total nearly uninterpretable on a loaded box. Report
+    # the drop-rep-1 best alongside: `value` stays best-of-3 (series
+    # comparability with BENCH_r01..r09), `steady_total` is the
+    # best-of-reps-2..3 sum (what a warm executor would do), and
+    # `rep1_total` the cold sum — the gap between them IS the box
+    # noise indicator in absolute seconds.
+    steady_total = round(
+        sum(min(r[1:]) for r in reps.values() if len(r) >= 2), 4
+    )
+    rep1_total = round(sum(r[0] for r in reps.values() if r), 4)
     # Noise self-diagnosis: median worst/best rep ratio across queries.
     # Clean runs sit ~1.1-1.3; the degraded shared-host windows that
     # inflated whole runs 1.3-1.7x show 2x+ swings WITHIN a query's
@@ -284,6 +297,8 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_total",
         "value": total,
+        "steady_total": steady_total,
+        "rep1_total": rep1_total,
         "unit": "sec",
         "queries": timings,
         "reps": reps,
@@ -306,6 +321,8 @@ def main() -> None:
     compact = {
         "metric": "headline_queries_total",
         "value": total,
+        "steady_total": steady_total,
+        "rep1_total": rep1_total,
         "unit": "sec",
         "sf": sf_val,
         "n_queries": sum(1 for v in timings.values() if v is not None),

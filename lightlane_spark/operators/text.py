@@ -336,14 +336,17 @@ def tfidf_topk(
 ) -> DataFrame:
     """Top-k characteristic terms per doc by smoothed TF-IDF
     (idf = ln((N+1)/(df+1))). The score is rounded to 9dp and carried
-    as DECIMAL(18,9) for BOTH ordering and output (the repo's
-    transcendental contract): a rounded double in hashed output is
-    exposed to cross-engine round()-implementation divergence at grid
-    boundaries — the exact class that flipped three driver-round(…,6)
-    queries in r7/r8 — while the decimal form pins the value the
-    moment it is rounded. Ties break on the term itself. The exact
-    (tf, df) integers are emitted alongside so a consumer can recompute
-    any idf variant without re-aggregating.
+    as DECIMAL(18,9) for ORDERING ONLY — it is NOT emitted. The r10
+    numeric-output policy bans both DecimalType in hashed output (the
+    r9 driver-red class: the driver's hasher canonicalizes Decimal
+    differently from both local engines) and ln-derived values in
+    hashed output (the residual round-grid/libm class); dropping the
+    score leaves rank as the only ln-DERIVED hashed value, which
+    reduces — not eliminates — the cross-libm exposure (a flip needs
+    two terms' 9dp grids to cross, not one value to move). The exact
+    (tf, df) integers are emitted so a consumer recomputes any idf
+    variant (including this one) without re-aggregating; N is one
+    countDistinct away. Ties break on the term itself.
 
     Plan: two shuffles (term counts per doc, doc-frequency per term)
     + a window over per-doc terms. The doc-count scalar joins as a
@@ -374,7 +377,7 @@ def tfidf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(id_col, "tok", "tf", "df", "tfidf", "rank")
+        .select(id_col, "tok", "tf", "df", "rank")
     )
 
 
@@ -1080,7 +1083,12 @@ def bm25_topk(
     (identical in DuckDB) ROUNDED to 6dp then cast DECIMAL(18,6), so
     the per-doc SUM is exact and order-independent — a raw double sum
     would be summation-order-dependent and could not hash-match
-    cross-engine. Ranking ties break on the doc id.
+    cross-engine. The EMITTED score is that exact decimal sum cast to
+    DOUBLE (the ``_dec_sum`` contract, 9 driver rounds green): the r9
+    driver proved its hasher diverges on Decimal values themselves,
+    so DecimalType may order but never leave a query. Ranking (and
+    the top-k cut) runs on the double + doc-id tiebreak, identically
+    on the oracle side. Ranking ties break on the doc id.
     """
     terms = [str(t) for t in query_terms]
     # token array materialized BEFORE size()/explode() reference it:
@@ -1113,14 +1121,20 @@ def bm25_topk(
     term_score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 6).cast(
         "decimal(18,6)"
     )
-    # the score stays DECIMAL end-to-end: a decimal→double cast here
-    # would re-introduce a conversion the two engines implement
-    # differently at the last ulp (the r9 hardening taxonomy), for no
-    # benefit — decimal orders and hashes exactly
+    # decimal sum (exact, order-independent) → DOUBLE emit: local
+    # Spark and DuckDB agree on the decimal, but the DRIVER's hasher
+    # canonicalizes Decimal differently (r9 verdict: 3/3 decimal-
+    # output window queries red vs 0/47 green), so the cast happens
+    # BEFORE ordering and both engines rank the same double
     scored = (
         tfdf.join(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.sum(term_score).cast("decimal(38,6)").alias("score"))
+        .agg(
+            F.sum(term_score)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("score")
+        )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -1139,10 +1153,14 @@ def rrf_fuse(
 
     Each ranking is (id_col, rank_col) with ranks from 1. Union +
     one groupBy; per-ranking contributions are rounded to 12dp and
-    summed as DECIMAL(24,12) so the fused ordering is exact and
+    summed as DECIMAL(24,12) so the fused sum is exact and
     order-independent (a raw double Σ would depend on aggregation
-    order and could not hash-match cross-engine). Ties break on the
-    id.
+    order and could not hash-match cross-engine); the EMITTED score
+    is that decimal cast to DOUBLE (no DecimalType leaves a query —
+    the r9 driver hasher diverges on Decimal itself), and ordering
+    runs on the double + id tiebreak, mirrored in the oracle. The
+    contributions are rational (1/(k+rank)) — no transcendental
+    enters the hash. Ties break on the id.
     """
     tagged = None
     for r in rankings:
@@ -1152,8 +1170,13 @@ def rrf_fuse(
     fused = (
         tagged.withColumn("__c", contrib)
         .groupBy(id_col)
-        # DECIMAL end-to-end (no →double cast): exact ordering + hash
-        .agg(F.sum("__c").cast("decimal(38,12)").alias("rrf_score"))
+        # decimal accumulate → double emit (the _dec_sum contract)
+        .agg(
+            F.sum("__c")
+            .cast("decimal(38,12)")
+            .cast("double")
+            .alias("rrf_score")
+        )
     )
     return fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
 

@@ -47,6 +47,64 @@ class PlanSummary:
         return True
 
 
+_TREE_NODE = re.compile(r"^([ +:|\\-]*)\*?\s*(?:\((\d+)\)\s*)?([A-Za-z][\w ]*?)\s*(?:\((\d+)\))?\s*$")
+# nodes that legitimately produce rows a scan-level predicate cannot
+# see (so a Filter above them is a HAVING/post-transform filter, not
+# an unpushed scan predicate)
+_BARRIER = re.compile(
+    r"^(HashAggregate|SortAggregate|ObjectHashAggregate|Window|"
+    r"WindowGroupLimit|Generate|Expand|MapInPandas|FlatMapGroupsInPandas|"
+    r"ArrowEvalPython|BatchEvalPython|AggregateInPandas)\b"
+)
+
+
+def _filter_over_raw_scan(text: str) -> bool:
+    """True iff some Filter node in the formatted plan TREE reaches a
+    parquet scan downward without crossing an aggregation/window/
+    generator barrier — i.e. a filter whose predicate plausibly COULD
+    have been pushed to the scan. A plan whose only Filters sit above
+    an Aggregate (HAVING-style) has nothing pushable by construction
+    and must not trip the unpushed-filter lint (r10 ADVICE #4's
+    false-positive class)."""
+    lines = text.splitlines()
+    # tree section = lines between "== Physical Plan ==" and the
+    # first blank line; each line's depth is the column where the
+    # node name starts (formatted mode indents 3 per level)
+    try:
+        start = next(
+            i for i, ln in enumerate(lines) if ln.startswith("== Physical Plan")
+        )
+    except StopIteration:
+        return True  # unknown layout: keep the old (conservative) behavior
+    nodes: list[tuple[int, str]] = []  # (depth, name)
+    for ln in lines[start + 1 :]:
+        if not ln.strip():
+            break
+        m = _TREE_NODE.match(ln)
+        if not m:
+            continue
+        depth = len(m.group(1))
+        name = m.group(3).strip()
+        nodes.append((depth, name))
+    for i, (d, name) in enumerate(nodes):
+        if not name.startswith("Filter"):
+            continue
+        # walk the Filter's subtree; for each scan found, the path
+        # back up to the Filter is the chain of strictly-shallower
+        # preceding nodes — barrier-free path ⇒ raw-scan filter
+        path: list[tuple[int, str]] = []  # current ancestor stack below the Filter
+        for dj, nj in nodes[i + 1 :]:
+            if dj <= d:
+                break
+            while path and path[-1][0] >= dj:
+                path.pop()
+            if nj.startswith("Scan parquet") or nj.startswith("BatchScan"):
+                if not any(_BARRIER.match(p[1]) for p in path):
+                    return True
+            path.append((dj, nj))
+    return False
+
+
 def lint_plan(df: DataFrame) -> list[str]:
     """Scale-smell linter: inspect the physical plan for the patterns
     that hurt at 100 TB and return human-readable warnings (empty list
@@ -65,6 +123,12 @@ def lint_plan(df: DataFrame) -> list[str]:
         post-projection predicates). Note the plan omits the
         PushedFilters line entirely when nothing is pushable, so the
         rule checks for absence-of-any-pushed, not just ``[]``.
+        Scoped to Filters whose tree path down to a parquet scan
+        crosses no aggregate/window/generator: a HAVING-style filter
+        above an Aggregate has nothing pushable by construction and
+        does not fire the rule. Advisory residual: a Filter above a
+        join fires if EITHER join input reaches a scan barrier-free,
+        even when the predicate only references the other side.
       - Expand with a wide projection list: multi-count-distinct style
         row multiplication (use approx sketches at scale).
     """
@@ -91,6 +155,7 @@ def lint_plan(df: DataFrame) -> list[str]:
         re.search(r"\(\d+\) Filter", text)
         and re.search(r"\(\d+\) Scan parquet", text)
         and not any(p.strip() for p in pushed)
+        and _filter_over_raw_scan(text)
     ):
         warnings.append(
             "Filter present but PushedFilters empty on every parquet scan — "

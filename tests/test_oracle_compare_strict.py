@@ -81,6 +81,24 @@ def test_maps_sort_keys():
     assert strict_val({"b": 1, "a": 2}) == strict_val({"a": 2, "b": 1})
 
 
+def test_map_keys_are_type_tagged():
+    """An int key 1 and a str key '1' must not collide (r10 ADVICE
+    #3: str(k) erased key-type distinctions, inconsistent with the
+    everything-type-tagged philosophy)."""
+    assert strict_val({1: "x"}) != strict_val({"1": "x"})
+
+
+def test_map_mixed_value_types_sort_without_typeerror():
+    """Two stringify-equal keys whose values are None vs a tag-tuple
+    raised TypeError under the old (str(k), canon) pair sort; the
+    repr-keyed sort is a total order over mixed shapes."""
+    m = {1: None, "1": 2}
+    got = strict_val(m)  # must not raise
+    assert got[0] == "map" and len(got[1]) == 2
+    # and stays order-insensitive
+    assert strict_val({"a": None, "b": 1}) == strict_val({"b": 1, "a": None})
+
+
 def test_spark_struct_row_matches_duckdb_dict():
     """Spark collects struct columns as Row (a tuple subclass with
     asDict); DuckDB returns dicts — they must canonicalize alike, not

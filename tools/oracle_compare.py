@@ -72,7 +72,20 @@ def strict_val(v):
     if isinstance(v, str):
         return ("str", v)
     if isinstance(v, dict):  # DuckDB structs/maps arrive as dicts
-        return ("map", tuple(sorted((str(k), strict_val(x)) for k, x in v.items())))
+        # keys go through strict_val too (an int key 1 and a str key
+        # '1' must not collide), and the pair sort uses repr — the
+        # same mixed-tag total order canon() uses for rows; sorting
+        # raw (key, canon-value) pairs raised TypeError when two
+        # stringified-equal keys carried a None vs tag-tuple value
+        return (
+            "map",
+            tuple(
+                sorted(
+                    ((strict_val(k), strict_val(x)) for k, x in v.items()),
+                    key=repr,
+                )
+            ),
+        )
     if hasattr(v, "asDict"):  # Spark struct Row ↔ DuckDB struct dict
         return strict_val(v.asDict())
     if isinstance(v, (list, tuple)):  # arrays
@@ -96,9 +109,18 @@ def canon(cols, rows):
 
 
 def register_views(con, sf_dir: str) -> None:
-    """CREATE VIEW per test table that exists under ``sf_dir``."""
+    """CREATE VIEW per test table that exists under ``sf_dir``.
+
+    Also pins the connection's TimeZone to UTC: the Spark session is
+    pinned to UTC (session.py), and DuckDB's TIMESTAMPTZ→TIMESTAMP
+    cast converts to the SESSION time zone's wall clock — so any
+    oracle that casts an epoch-derived TIMESTAMPTZ to naive TIMESTAMP
+    (streaming_sliding_counts) would flip red on a non-UTC host
+    without this pin (r10 ADVICE #1). One shared definition here, for
+    the same reason canonicalization lives here."""
     from lightlane_spark.sources.parquet import TABLES, table_path
 
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = table_path(sf_dir, t)
         if os.path.exists(p):
