@@ -297,7 +297,11 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, url, table="orders_t", splitby='"o_orderkey"', splits=4,
         bounds=(lo, hi), properties=props,
     )
-    return back.select(*_ORDER_COLS)
+    # timestamp_ntz emit for o_orderdate: TZ-adjusted timestamps
+    # collect in the host Python zone (see sources/parquet.py)
+    return back.select(*_ORDER_COLS).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz")
+    )
 
 
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,7 +474,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   python tools/rotate_window.py \
 #     --changed streaming_sliding_counts,tfidf_topk,time_weighted_avg,\
 #               bm25_topk,hybrid_retrieval,mutual_information,\
-#               theil_decomposition,cooccurrence_pmi,vocab_drift \
+#               theil_decomposition,cooccurrence_pmi,vocab_drift,\
+#               asof_join,asof_join_forward,date_functions,hll_rollup,\
+#               jdbc_roundtrip,period_over_period,resample_fill,\
+#               scd2_load,streaming_window_counts,time_rollup \
 #     --pin pricing_summary,column_exclusion,minmax_probe,top1,\
 #           range_split,dedup_window,csv_roundtrip,hive_text_roundtrip,\
 #           merge_load,append_load,partitioned_load,anti_join_merge,\
@@ -484,21 +491,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # the hashed output (3/3 red vs 0/47 green; the driver's hasher
 # canonicalizes Decimal differently from both local engines), so in
 # r10 they emit their accumulators CAST TO DOUBLE (_dec_sum form, 9
-# rounds green on pricing_summary). Slots 4-12 are the r10-changed
-# set: the 6 latent decimal-output queries the r9 hardening created
+# rounds green on pricing_summary). Then the 19 r10-changed queries:
+# (a) the 6 latent decimal-output queries the r9 hardening created
 # (bm25_topk/hybrid_retrieval/tfidf_topk/mutual_information/
 # theil_decomposition → double emit; time_weighted_avg → cents
 # BIGINT, its sum leaves the 2^53 exactly-representable-double
 # envelope where Spark and DuckDB decimal→double conversions diverge
-# by 1 ulp — measured 36/150 rows), streaming_sliding_counts (oracle
-# bucket now built TZ-FREE — the r9 TIMESTAMPTZ→TIMESTAMP cast went
-# through the DuckDB session TimeZone, correct only on a UTC host),
-# and the r9-changed-outside-window carryover (cooccurrence_pmi,
-# vocab_drift). No query emits DecimalType any more —
+# by 1 ulp — measured 36/150 rows); (b) streaming_sliding_counts
+# (oracle bucket now built TZ-FREE — the r9 TIMESTAMPTZ→TIMESTAMP
+# cast went through the DuckDB session TimeZone, correct only on a
+# UTC host); (c) the r9-changed-outside-window carryover
+# (cooccurrence_pmi, vocab_drift); (d) the 11 TIMESTAMP→
+# TIMESTAMP_NTZ emit conversions (asof_join/asof_join_forward/
+# date_functions/hll_rollup/jdbc_roundtrip/period_over_period/
+# resample_fill/scd2_load/streaming_window_counts/
+# streaming_sliding_counts/time_rollup): pyspark's
+# TimestampType.fromInternal renders instants in the HOST PYTHON
+# time zone at collect() regardless of the pinned session zone
+# (measured: epoch 0 → 1969-12-31 19:00 under TZ=America/New_York),
+# while NTZ collection is TZ-free — value-identical on UTC hosts,
+# host-proof elsewhere; gate verified under TZ=America/New_York.
+# No query emits DecimalType or TZ-adjusted TimestampType any more —
 # tests/test_numeric_policy.py sweeps all 251 output schemas. Then
 # the 22 pinned SURVEY-2 relational/loader core names (green r9)
-# and 16 stalest greens (r1/r2). Queries in this window are
-# semantically FROZEN for the rest of the round; the freeze gate
+# and the stalest greens. Queries in this window are semantically
+# FROZEN for the rest of the round; the freeze gate
 # (tools/check_window.py) compares DRIVER-STRICT (type-tagged
 # values, tz-aware vs naive, Decimal scale, float reprs —
 # tools/oracle_compare.py).
@@ -510,14 +527,24 @@ _RECHECK = [
     "two_hop_features",
     "kaplan_meier",
     # --- changed ---
+    "jdbc_roundtrip",
     "bm25_topk",
     "hybrid_retrieval",
+    "streaming_window_counts",
     "tfidf_topk",
     "cooccurrence_pmi",
     "vocab_drift",
     "streaming_sliding_counts",
+    "scd2_load",
+    "date_functions",
+    "hll_rollup",
+    "period_over_period",
     "mutual_information",
     "theil_decomposition",
+    "asof_join",
+    "asof_join_forward",
+    "time_rollup",
+    "resample_fill",
     "time_weighted_avg",
     # --- pinned (green r9) ---
     "pricing_summary",
@@ -548,7 +575,7 @@ _RECHECK = [
     "hashed_bow",
     "bow_similarity",
     "fuzzy_match",
-    "stratified_sample",
+    "stratified_sample",  # end of 50-slot driver window
     "corpus_prep",
     "pii_redact",
     "dedup_exact",
@@ -559,7 +586,7 @@ _RECHECK = [
     "ngram_jaccard",
     "ann_topk_bruteforce",
     "variant_extract",
-    "salted_join",  # end of 50-slot driver window
+    "salted_join",
     "moving_avg",
     "join_right_outer",
     "cross_join_grid",
@@ -567,7 +594,6 @@ _RECHECK = [
     "ordered_agg",
     "shipping_priority",
     "returned_items",
-    "date_functions",
     "small_order_revenue",
     "customer_order_counts",
     "having_filter",
@@ -597,13 +623,9 @@ _RECHECK = [
     "case_expr_bucketing",
     "exists_subquery",
     "json_sink_roundtrip",
-    "asof_join",
-    "asof_join_forward",
     "range_join",
-    "time_rollup",
     # --- green r3 ---
     "json_roundtrip",
-    "streaming_window_counts",
     "sessionize",
     "session_window",
     "quota_sample",
@@ -618,7 +640,6 @@ _RECHECK = [
     "multimodal_resize",
     "frame_sample",
     "zorder_key",
-    "scd2_load",
     "cdc_apply",
     "corr_matrix",
     "window_range_frame",
@@ -667,7 +688,6 @@ _RECHECK = [
     # --- green r6 ---
     "versioned_merge",
     "avro_roundtrip",
-    "jdbc_roundtrip",
     "pruned_scan",
     "compacted_load",
     "gopher_rules",
@@ -691,13 +711,11 @@ _RECHECK = [
     "forecast_revenue",
     "order_priority_check",
     "disjunctive_join_filter",
-    "hll_rollup",
     "group_zscore",
     "dormant_customers",
     "min_cost_supplier",
     "promotion_suppliers",
     "bucketed_join",
-    "period_over_period",
     "funnel_analysis",
     "ewma_smooth",
     "target_encode",
@@ -734,7 +752,6 @@ _RECHECK = [
     "gini_concentration",
     "association_rules",
     "rfm_segmentation",
-    "resample_fill",
     "retention_cohorts",
     "seasonal_baseline",
     "cusum_changepoint",

@@ -721,7 +721,9 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users")
     )
     return exact.join(roll, "coarse").select(
-        F.col("coarse").alias("week"),
+        # timestamp_ntz emit: TZ-adjusted timestamps collect in the
+        # host Python zone (see sources/parquet.py session pin note)
+        F.col("coarse").cast("timestamp_ntz").alias("week"),
         "exact_users",
         (
             F.abs(F.col("approx_distinct") - F.col("exact_users"))
@@ -811,7 +813,10 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate").cast("date")
     return o.select(
         "o_orderkey",
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        # timestamp_ntz emit: host-zone-proof collection
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("month_start"),
         F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since"),
         F.add_months(d, 2).alias("plus_two_months"),
         F.last_day(d).alias("month_end"),
@@ -915,7 +920,12 @@ def q_scd2_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
     )
-    return scd2_apply(hist, upd, ["o_orderkey"], "2024-06-01 00:00:00")
+    out = scd2_apply(hist, upd, ["o_orderkey"], "2024-06-01 00:00:00")
+    # timestamp_ntz emit: host-zone-proof collection (see
+    # sources/parquet.py session pin note)
+    return out.withColumn(
+        "valid_from", F.col("valid_from").cast("timestamp_ntz")
+    ).withColumn("valid_to", F.col("valid_to").cast("timestamp_ntz"))
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3851,7 +3861,8 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         monthly.withColumn("prev", F.lag("revenue").over(w))
         .select(
-            "month",
+            # timestamp_ntz emit: host-zone-proof collection
+            F.col("month").cast("timestamp_ntz").alias("month"),
             "revenue",
             F.coalesce(
                 F.round((F.col("revenue") - F.col("prev")) / F.col("prev"), 6),

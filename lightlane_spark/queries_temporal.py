@@ -52,9 +52,13 @@ def _asof_output(out: DataFrame) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
+        # timestamp_ntz emit: TZ-adjusted timestamps collect in the
+        # host Python zone (see sources/parquet.py session pin note)
         F.coalesce(
             F.col("__asof_ts"), F.lit("1970-01-01").cast("timestamp")
-        ).alias("err_ts"),
+        )
+        .cast("timestamp_ntz")
+        .alias("err_ts"),
         F.coalesce(F.col("err_value"), F.lit(-1.0)).alias("err_value"),
     )
 
@@ -106,7 +110,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup: hour/day/week aggregates in one
     shuffle (explode-to-grain then a single groupBy)."""
     ev = read_table(spark, sf_dir, "events")
-    return time_rollup(
+    out = time_rollup(
         ev,
         "ts",
         ["hour", "day", "week"],
@@ -115,6 +119,8 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("sum_value"),
         ],
     )
+    # timestamp_ntz emit: host-zone-proof collection
+    return out.withColumn("bucket", F.col("bucket").cast("timestamp_ntz"))
 
 
 def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,7 +147,11 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         forward_fill=["sum_value"],
     )
     return out.select(
-        "event_type", "bucket", "n_events", F.round("sum_value", 6).alias("sum_value")
+        "event_type",
+        # timestamp_ntz emit: host-zone-proof collection
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
     )
 
 

@@ -83,9 +83,14 @@ def windowed_counts(
         win.alias("win"),
         *[F.col(c) for c in (group_cols or [])],
     )
+    # TIMESTAMP_NTZ emit: TimestampType collects in the host PYTHON
+    # process zone (pyspark fromInternal uses datetime.fromtimestamp),
+    # shifting window bounds on any non-UTC host even with the session
+    # zone pinned; NTZ conversion is TZ-free and, under the UTC
+    # session pin, keeps the exact wall clock UTC hosts always saw.
     return grouped.agg(F.count(F.lit(1)).alias("n")).select(
-        F.col("win.start").alias("window_start"),
-        F.col("win.end").alias("window_end"),
+        F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("win.end").cast("timestamp_ntz").alias("window_end"),
         *[F.col(c) for c in (group_cols or [])],
         "n",
     )

@@ -124,13 +124,25 @@ def _type_violations(dt, path: str, out: list[str]) -> None:
         T.StringType,
         T.BooleanType,
         T.DateType,
-        T.TimestampType,
         T.TimestampNTZType,
         T.BinaryType,
         T.NullType,
     )
     if isinstance(dt, T.DecimalType):
         out.append(f"{path}: {dt.simpleString()} (DecimalType — the r9 driver-hasher red class)")
+    elif isinstance(dt, T.TimestampType):
+        # TZ-adjusted timestamps are host-dependent at COLLECT time:
+        # PySpark's TimestampType.fromInternal renders the instant in
+        # the PYTHON PROCESS time zone (independent of the pinned
+        # session zone — measured: epoch 0 collects as 1969-12-31
+        # 19:00 under TZ=America/New_York), while the DuckDB oracle's
+        # naive timestamps don't move. Emit TIMESTAMP_NTZ, whose
+        # conversion is TZ-free; with the session zone pinned UTC the
+        # NTZ wall clock equals what UTC hosts always collected.
+        out.append(
+            f"{path}: {dt.simpleString()} (TZ-adjusted timestamp — collect() "
+            "renders it in the host process zone; cast to timestamp_ntz)"
+        )
     elif isinstance(dt, T.ArrayType):
         _type_violations(dt.elementType, path + "[]", out)
     elif isinstance(dt, T.MapType):
