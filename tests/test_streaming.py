@@ -341,3 +341,33 @@ def test_transform_with_state_running_counts(spark, sf_dir, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_windowed_counts_emits_timestamp_ntz(spark, sf_dir, tmp_path):
+    """The host-timezone output class (SCALE.md r10): TimestampType
+    collects via datetime.fromtimestamp — the host PYTHON process
+    zone, independent of the pinned session zone — so windowed_counts
+    must emit TIMESTAMP_NTZ, whose collection is TZ-free."""
+    land = str(tmp_path / "landing_ntz")
+    schema, _ = _stage_event_files(spark, sf_dir, land)
+    stream = stream_from_directory(spark, land, schema)
+    agg = windowed_counts(
+        stream, ts_col="ts", window="1 day", watermark="2 days"
+    )
+    dtypes = dict(agg.dtypes)
+    assert dtypes["window_start"] == "timestamp_ntz"
+    assert dtypes["window_end"] == "timestamp_ntz"
+
+
+def test_read_table_pins_session_timezone_utc(spark, sf_dir):
+    """read_table is every query's data entry point; it must pin the
+    session zone so window()/date_trunc bucketing is host-independent
+    on the driver's PLAIN (unpinned) SparkSession."""
+    from lightlane_spark.sources.parquet import read_table
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        read_table(spark, sf_dir, "nation")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
