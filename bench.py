@@ -270,10 +270,21 @@ def main() -> None:
     # best-of-reps-2..3 sum (what a warm executor would do), and
     # `rep1_total` the cold sum — the gap between them IS the box
     # noise indicator in absolute seconds.
+    # gate both on successful queries (timings[n] set): a query whose
+    # later rep RAISED would otherwise leak its partial reps into one
+    # sum but not the other, skewing the rep1-vs-steady gap
     steady_total = round(
-        sum(min(r[1:]) for r in reps.values() if len(r) >= 2), 4
+        sum(
+            min(r[1:])
+            for n, r in reps.items()
+            if len(r) >= 2 and timings.get(n) is not None
+        ),
+        4,
     )
-    rep1_total = round(sum(r[0] for r in reps.values() if r), 4)
+    rep1_total = round(
+        sum(r[0] for n, r in reps.items() if r and timings.get(n) is not None),
+        4,
+    )
     # Noise self-diagnosis: median worst/best rep ratio across queries.
     # Clean runs sit ~1.1-1.3; the degraded shared-host windows that
     # inflated whole runs 1.3-1.7x show 2x+ swings WITHIN a query's

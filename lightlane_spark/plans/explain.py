@@ -86,6 +86,22 @@ def _filter_over_raw_scan(text: str) -> bool:
         depth = len(m.group(1))
         name = m.group(3).strip()
         nodes.append((depth, name))
+    # conservative fallback (avoid lint false-NEGATIVES): if the main
+    # tree shows no parquet scan but the full text does, the scan
+    # lives in a "===== Subqueries =====" section this parser does
+    # not walk — keep the old whole-text behavior and let the rule
+    # fire
+    if not any(
+        n.startswith(("Scan parquet", "BatchScan")) for _, n in nodes
+    ) and re.search(r"\(\d+\) Scan parquet", text):
+        return True
+
+    # ReusedExchange hides the scan subtree it points at — treat it
+    # as scan-reaching so a Filter above a reused raw-scan exchange
+    # still trips the rule
+    def is_scan_like(n: str) -> bool:
+        return n.startswith(("Scan parquet", "BatchScan", "ReusedExchange"))
+
     for i, (d, name) in enumerate(nodes):
         if not name.startswith("Filter"):
             continue
@@ -98,7 +114,7 @@ def _filter_over_raw_scan(text: str) -> bool:
                 break
             while path and path[-1][0] >= dj:
                 path.pop()
-            if nj.startswith("Scan parquet") or nj.startswith("BatchScan"):
+            if is_scan_like(nj):
                 if not any(_BARRIER.match(p[1]) for p in path):
                     return True
             path.append((dj, nj))

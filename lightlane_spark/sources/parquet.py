@@ -67,8 +67,16 @@ def read_table(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, table))
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer DIV — double division would lose precision on ~1e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # integer DIV — double division would lose precision on ~1e18 ns.
+        # timestamp_micros yields TZ-ADJUSTED TimestampType; cast to
+        # NTZ so this fallback produces the same type the native
+        # parquet read yields (timestamp_ntz) — otherwise a nanos-
+        # surfacing environment would re-introduce the host-zone
+        # output class through every query that emits ts
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+        )
     if exclude:
         df = df.drop(*exclude)
     if columns and columns != "*":

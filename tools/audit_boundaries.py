@@ -44,6 +44,9 @@ def audit(name, rows):
         margin = dist / shift if shift > 0 else float('inf')
         if worst is None or margin < worst[0]:
             worst = (margin, x, dist, shift)
+    if worst is None:
+        print(f"{name}: n=0 (no qualifying summand rows at this SF)")
+        return
     print(f"{name}: n={len(rows)} worst margin = {worst[0]:.1f}x  (dist {worst[2]:.4f} grid units vs 1-ulp shift {worst[3]:.2e})")
 
 # l_diversity: x = -cnt*ln(cnt) per (nation, segment, bucket) class row
