@@ -178,3 +178,58 @@ def test_no_decimal_in_any_query_output_schema(spark, sf_dir):
         "_dec_sum contract or scaled BIGINT before emitting):\n"
         + "\n".join(bad)
     )
+
+
+# ---------------------------------------------------------------------------
+# The envelope rule itself (SCALE.md r10): a DECIMAL whose scaled
+# integer value fits in 2^53 converts to double EXACTLY — so any two
+# correct decimal->double implementations (Spark's BigDecimal
+# .doubleValue(), DuckDB's int128/10^scale, Python's float()) agree
+# bit-for-bit inside the envelope. Outside it they may round apart
+# (measured: time_weighted_avg, 36/150 rows) — hence cents-BIGINT.
+# ---------------------------------------------------------------------------
+
+import decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    unscaled=st.integers(min_value=-(2**53) + 1, max_value=2**53 - 1),
+    scale=st.integers(min_value=0, max_value=9),
+)
+def test_decimal_to_double_is_exact_inside_the_envelope(unscaled, scale):
+    d = decimal.Decimal(unscaled).scaleb(-scale)
+    f = float(d)
+    # exact: the double round-trips to the same decimal VALUE —
+    # because unscaled*2^-0 .. the scaled integer fits the 53-bit
+    # significand, f = unscaled / 10^scale is correctly rounded and
+    # (since both operands are exact and the quotient may round) the
+    # round-trip through Decimal(f) must compare equal iff the
+    # conversion lost nothing
+    assert decimal.Decimal(f) == d or (
+        # quotient not a binary fraction: conversion rounds, but then
+        # EVERY correctly-rounded implementation rounds identically —
+        # assert Python and a second path (int/10**scale division in
+        # float) agree bit-for-bit
+        f == unscaled / (10.0**scale) if scale <= 22 else True
+    )
+
+
+def test_decimal_to_double_diverges_outside_the_envelope_exists():
+    """Outside 2^53 the conversion must round; this pins a concrete
+    witness that two plausible implementations disagree — the
+    mechanism behind the measured time_weighted_avg divergence (the
+    naive scaled-division path vs correctly-rounded decimal
+    conversion differ by 1 ulp)."""
+    found = False
+    for unscaled in range(10**16 + 1, 10**16 + 20000, 7):
+        d = decimal.Decimal(unscaled).scaleb(-2)
+        correct = float(d)          # correctly-rounded conversion
+        naive = unscaled / 100.0    # scaled-division path
+        if correct != naive:
+            found = True
+            break
+    assert found, "expected a 1-ulp witness above 2^53"

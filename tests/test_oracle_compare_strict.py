@@ -153,3 +153,83 @@ def test_compare_catches_decimal_vs_double_column():
     assert not schema_ok and not values_ok
     schema_ok, values_ok, *_ = compare(con, sdf, "SELECT CAST(1.5 AS DOUBLE) AS v")
     assert schema_ok and values_ok
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis): the comparator's core claims
+# hold for arbitrary value shapes, not just the hand-picked cases.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=8),
+    st.decimals(
+        allow_nan=False, allow_infinity=False, places=3,
+        min_value=-(10**6), max_value=10**6,
+    ),
+    st.dates(min_value=dt.date(1970, 1, 1), max_value=dt.date(2100, 1, 1)),
+)
+_value = st.recursive(
+    _scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(
+            st.one_of(st.integers(min_value=0, max_value=9), st.text(max_size=3)),
+            children,
+            max_size=3,
+        ),
+    ),
+    max_leaves=6,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(st.tuples(_value, _value, _value), min_size=0, max_size=6),
+    seed=st.randoms(use_true_random=False),
+)
+def test_canon_invariant_under_row_and_column_permutation(rows, seed):
+    """The driver sorts columns by name and rows canonically before
+    hashing; canon() must therefore be a pure function of the
+    (column-name -> multiset of values) mapping — any row order and
+    any column order must canonicalize identically, for ARBITRARY
+    nested value shapes (incl. mixed-type map keys and None)."""
+    cols = ["b", "a", "c"]
+    base = canon(cols, rows)
+
+    shuffled_rows = list(rows)
+    seed.shuffle(shuffled_rows)
+    assert canon(cols, shuffled_rows) == base
+
+    perm = [2, 0, 1]  # c, b, a
+    pcols = [cols[i] for i in perm]
+    prows = [tuple(r[i] for i in perm) for r in shuffled_rows]
+    assert canon(pcols, prows) == base
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=_value)
+def test_strict_val_total_and_deterministic(v):
+    """strict_val never raises on any supported shape and is
+    deterministic (same input -> same canonical form)."""
+    assert strict_val(v) == strict_val(v)
+
+
+def test_stringify_equal_values_stay_distinct_across_classes():
+    """1, '1', 1.0, Decimal('1') all render as '1'-ish strings; the
+    comparator must keep every pair distinct (the type-tag
+    philosophy the map-key fix extended to keys)."""
+    forms = [
+        strict_val(1),
+        strict_val("1"),
+        strict_val(1.0),
+        strict_val(decimal.Decimal("1")),
+        strict_val(True),
+    ]
+    assert len({repr(f) for f in forms}) == len(forms)
