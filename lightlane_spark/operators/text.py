@@ -1398,9 +1398,15 @@ def bm25_multi(
     query. Same formula/rounding contract as ``bm25_topk`` (Lucene
     idf, per-term scores rounded 6dp → DECIMAL sum, ties on doc id).
 
-    Returns (qid, id_col, score DECIMAL(38,6), n_matched) for every doc
+    Returns (qid, id_col, score DOUBLE, n_matched) for every doc
     matching ≥1 term of the query; ``n_matched`` (distinct query
-    terms present) lets callers derive conjunctive relevance.
+    terms present) lets callers derive conjunctive relevance. The
+    score accumulates as exact DECIMAL(38,6) and is cast to DOUBLE on
+    emit — the same no-DecimalType-leaves-an-operator contract as
+    ``bm25_topk``/``rrf_fuse`` (r9 verdict: the driver's hasher
+    canonicalizes Decimal differently from both local engines), so a
+    future query emitting this column directly cannot reintroduce
+    the red class.
 
     Scale: tokens filter to the UNION of query vocabularies before
     any shuffle (postings-proportional); the (qid, term) table and
@@ -1440,7 +1446,10 @@ def bm25_multi(
         .join(F.broadcast(stats))
         .groupBy("qid", id_col)
         .agg(
-            F.sum(term_score).cast("decimal(38,6)").alias("score"),
+            F.sum(term_score)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("score"),
             F.count(F.lit(1)).alias("n_matched"),
         )
     )

@@ -47,7 +47,15 @@ class PlanSummary:
         return True
 
 
-_TREE_NODE = re.compile(r"^([ +:|\\-]*)\*?\s*(?:\((\d+)\)\s*)?([A-Za-z][\w ]*?)\s*(?:\((\d+)\))?\s*$")
+# the name class must cover catalog-qualified scans
+# ("Scan parquet spark_catalog.default.orders") — with dots excluded
+# the node silently dropped out of the tree, and a Filter above it
+# escaped the unpushed-filter rule whenever ANOTHER scan in the plan
+# parsed (the no-scan-parsed fallback below only fires when NO scan
+# survives parsing)
+_TREE_NODE = re.compile(
+    r"^([ +:|\\-]*)\*?\s*(?:\((\d+)\)\s*)?([A-Za-z][\w .$`#-]*?)\s*(?:\((\d+)\))?\s*$"
+)
 # nodes that legitimately produce rows a scan-level predicate cannot
 # see (so a Filter above them is a HAVING/post-transform filter, not
 # an unpushed scan predicate)

@@ -206,6 +206,40 @@ def test_lint_plan_flags_scale_smells(spark, sf_dir):
     assert any("PushedFilters" in w for w in lint_plan(both))
 
 
+def test_tree_parser_handles_catalog_qualified_scans():
+    """Catalog-table scans print with dotted identifiers ("Scan
+    parquet spark_catalog.default.orders"); with dots outside the
+    node-name class the node dropped out of the parsed tree, and a
+    Filter above it escaped the unpushed-filter rule whenever another
+    (path-based) scan in the same plan parsed — the no-scan-parsed
+    fallback only fires when NO scan survives parsing (r10 review
+    finding, reproduced before the fix)."""
+    from lightlane_spark.plans.explain import _TREE_NODE, _filter_over_raw_scan
+
+    m = _TREE_NODE.match(
+        ":  +- Scan parquet spark_catalog.default.orders (1)"
+    )
+    assert m and m.group(3) == "Scan parquet spark_catalog.default.orders"
+
+    dotted_plus_plain = """== Physical Plan ==
+* SortMergeJoin Inner (5)
+:- * Filter (2)
+:  +- Scan parquet spark_catalog.default.orders (1)
++- * Sort (4)
+   +- Scan parquet  (3)
+"""
+    assert _filter_over_raw_scan(dotted_plus_plain)
+
+    # the HAVING suppression must survive the broader name class
+    having_only = """== Physical Plan ==
+* Filter (4)
++- * HashAggregate (3)
+   +- Exchange (2)
+      +- Scan parquet spark_catalog.default.orders (1)
+"""
+    assert not _filter_over_raw_scan(having_only)
+
+
 # ---------------------------------------------------------------------------
 # VERDICT r4 ask #7: vendor-dialect matrix. The Derby dialect runs LIVE
 # (tests/test_jdbc_live.py); this matrix pins BOTH renderings of the

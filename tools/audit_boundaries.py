@@ -33,6 +33,52 @@ from tools.oracle_compare import register_views
 con = duckdb.connect()
 register_views(con, sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
 
+# ---------------------------------------------------------------------------
+# Drift guard (r10 review finding): the audit SQL below hand-models
+# each query's summand instead of deriving it from the shared ORACLE
+# definitions, so a future change to a query's grouping/contribution
+# formula would leave this audit silently measuring rows that no
+# longer exist. Before measuring anything, assert the distinctive
+# summand fragment this audit models still appears verbatim in the
+# registry ORACLE string — a shape change then fails HERE instead of
+# producing a stale "measured" margin.
+# ---------------------------------------------------------------------------
+def _check_oracle_shape():
+    import __spark_entry__ as entry
+
+    osql = entry.oracle_sql()
+    expected = {
+        "l_diversity": [
+            "round(-CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)), 9)",
+            "floor(c_acctbal / 1000)",
+        ],
+        "kaplan_meier": [
+            "round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)",
+        ],
+        "mutual_information": [
+            "ln(CAST(n_xy AS DOUBLE) * n",
+        ],
+        "theil_decomposition": [
+            "ln(CAST(r.x AS DOUBLE)",
+        ],
+    }
+    stale = [
+        f"{q}: {frag!r}"
+        for q, frags in expected.items()
+        for frag in frags
+        if frag not in osql[q]
+    ]
+    if stale:
+        sys.exit(
+            "audit_boundaries.py models summands that no longer match the "
+            "registry ORACLE SQL — update the audit queries below to the new "
+            "shape before trusting any margin it prints:\n  "
+            + "\n  ".join(stale)
+        )
+
+
+_check_oracle_shape()
+
 def audit(name, rows):
     worst = None
     for (x, ln_arg, mult) in rows:
