@@ -1101,14 +1101,27 @@ def bm25_topk(
         F.explode("__t").alias("tok"),
     )
     hits = toks.where(F.col("tok").isin(terms))
+    # persisted: read by the doc-frequency aggregate AND the score
+    # join below — query-term postings only, so it's small relative
+    # to the corpus, and the persist keeps the corpus at one
+    # postings tokenization pass (column pruning makes the two
+    # consumers' subtrees differ, so exchange reuse can't dedupe)
     tf = hits.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("tf"), F.first("__dl").alias("dl")
-    )
-    from pyspark.sql import Window as W
-
-    tfdf = tf.withColumn(
-        "df", F.count(F.lit(1)).over(W.partitionBy("tok"))
-    )
+    ).transform(tracked_persist)
+    # document frequency via groupBy + broadcast join, NOT
+    # count().over(Window.partitionBy("tok")): the window form puts a
+    # term's ENTIRE postings list in one task's sort buffer — a
+    # common term at corpus scale is 1e8+ (doc, term) rows in a
+    # single partition, the classic hot-key window stall — while the
+    # groupBy combines map-side to ≤|terms| rows, trivially
+    # broadcastable. Same exact integer either way. Measured on a
+    # 30M-hot-postings corpus (local[32], steady-state): window form
+    # 19-45 s vs this form 9-11 s; at 3M the window is still faster
+    # (one in-RAM sort), so the fix targets the scale shape
+    # (tests/test_scale_smoke.py::test_bm25_hot_token_at_6m_docs).
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tfdf = tf.join(F.broadcast(dfreq), "tok")
     stats = df.agg(
         F.countDistinct(F.col(id_col)).alias("__n"),
         F.sum(F.size(tokenize(F.col(text_col)))).alias("__toks"),
@@ -1423,12 +1436,18 @@ def bm25_multi(
         F.explode("__t").alias("tok"),
     )
     hits = toks.where(F.col("tok").isin(vocab))
+    # persisted: union-vocab postings only; feeds the df aggregate
+    # and the score join without re-tokenizing the corpus (the
+    # single-postings-pass contract test_plan_quality pins)
     tf = hits.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("tf"), F.first("__dl").alias("dl")
-    )
-    from pyspark.sql import Window as W
-
-    tfdf = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("tok")))
+    ).transform(tracked_persist)
+    # df via groupBy + broadcast join (≤|union vocab| rows), not a
+    # token-partitioned window — same hot-key rationale as bm25_topk:
+    # one common term's postings must never serialize through a
+    # single task's window buffer
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tfdf = tf.join(F.broadcast(dfreq), "tok")
     stats = df.agg(
         F.countDistinct(F.col(id_col)).alias("__n"),
         F.sum(F.size(tokenize(F.col(text_col)))).alias("__toks"),

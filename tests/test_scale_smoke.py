@@ -564,3 +564,46 @@ def test_skewed_corpus_at_125k_docs(spark):
         f"mix={t_mix:.1f}s (hot_share={hot_share:.3f}) mega={t_mega:.1f}s "
         f"cms={t_cms:.1f}s ({sketch_rows} sketch rows)"
     )
+
+
+def test_bm25_hot_token_at_6m_docs(spark):
+    """Hot-TOKEN skew for the retrieval family: 6M docs that ALL
+    contain one query term ('hot') while 1/1000 contain a
+    discriminative term ('rare') — the stop-word-in-the-query shape.
+
+    What the operator must prove: document frequency comes from a
+    map-side-combined groupBy + broadcast join, NOT from
+    count().over(Window.partitionBy(tok)) — the window form shuffles
+    the hot term's ENTIRE postings list (6M (doc, term) rows here,
+    1e8+ at corpus scale) into ONE task's sort buffer. Measured at
+    30M hot rows on local[32]: window 19-45 s vs groupBy+join 9-11 s
+    steady-state, and the gap is the single-task wall, so it widens
+    with scale; at 3M rows the window is still FASTER (one in-RAM
+    sort beats re-tokenizing) — the fix targets the 100 TB shape,
+    not the small one.
+
+    Correctness ride-along: every 'rare' doc shares tf/dl, so the
+    top-10 must be exactly the first ten rare doc ids (idf of a
+    term in every doc ~ 0; ties break on doc id).
+    """
+    from lightlane_spark.operators.text import bm25_topk
+
+    n = 6_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("hot filler"),
+            (F.col("id") % 7).cast("string"),
+            F.when(F.col("id") % 1000 == 0, F.lit(" rare")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    t0 = time.monotonic()
+    top = bm25_topk(docs, ["hot", "rare"], k=10).collect()
+    dt = time.monotonic() - t0
+    assert [r.doc_id for r in top] == [i * 1000 for i in range(10)], top
+    # single-partition window on the hot term would blow far past
+    # this on spill; the groupBy+join form rides partial aggregation
+    assert dt < 120, f"bm25 hot-token smoke too slow: {dt:.0f}s"
+    print(f"SCALE_SMOKE bm25_hot_token docs={n} hot_postings={n} dt={dt:.1f}s")
