@@ -7,8 +7,16 @@ EXACT SQL oracles — both engines compute identical signatures,
 buckets, and verified pairs.
 
 Float policy (same as the main entry): integer-derived values compared
-exactly; the only cross-engine-risky floats (cosine similarities) are
-rounded to 6dp, far coarser than the ≤1e-15 engine divergence.
+exactly. Exact-rational ratios (Jaccard/containment/fractions — int
+or decimal numerator over int denominator) are emitted UNROUNDED:
+both engines produce bit-identical IEEE quotients, while a final
+round() diverges whenever the quotient's SHORTEST DECIMAL REPR is an
+exact grid half but its binary value sits epsilon below — Spark
+rounds the repr (BigDecimal.valueOf) up, DuckDB rounds the binary
+value down (measured: 33374.0610425 → …43 vs …42). Only
+genuinely noisy floats keep a round as a documented ulp-mask: cosine
+similarities (reduction-order variance, ≤1e-15) and moments past the
+2^53 envelope (corr_matrix, trend_detection).
 """
 
 from __future__ import annotations
@@ -344,8 +352,8 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.round(dup_ngram_fraction("text", 2), 6).alias("dup_2gram_frac"),
-        F.round(dup_ngram_fraction("text", 3), 6).alias("dup_3gram_frac"),
+        dup_ngram_fraction("text", 2).alias("dup_2gram_frac"),
+        dup_ngram_fraction("text", 3).alias("dup_3gram_frac"),
     )
 
 
@@ -570,7 +578,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified MinHash-LSH near-dup pairs (3-gram shingles, 16 hashes, 4x4 banding, exact-Jaccard verify at 0.7)."""
     verified = dedup_minhash(_docs_with_dups(spark, sf_dir), threshold=0.7)
     return verified.select(
-        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -671,7 +679,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id % 7 = 0 OR doc_id >= 2000000"
     )
     pairs = ngram_jaccard_pairs(corpus, threshold=0.5, max_doc_freq=25)
-    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+    return pairs.select("id_a", "id_b", "jaccard")
 
 
 def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,7 +741,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_doc.select(
             "doc_id", "n_grams", "n_boiler",
-            F.round(F.col("n_boiler") / F.col("n_grams"), 6).alias("boiler_ratio"),
+            (F.col("n_boiler") / F.col("n_grams")).alias("boiler_ratio"),
         )
         .orderBy(F.col("boiler_ratio").desc(), "doc_id")
         .limit(20)
@@ -750,7 +758,7 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lightlane_spark.operators.fuzzy_dedup import prefix_filter_jaccard_join
 
     pairs = prefix_filter_jaccard_join(_docs_with_dups(spark, sf_dir), threshold=0.7)
-    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+    return pairs.select("id_a", "id_b", "jaccard")
 
 
 def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,7 +772,7 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = containment_join(_docs_with_dups(spark, sf_dir), threshold=0.9)
     return pairs.select(
-        "id_a", "id_b", F.round(F.col("containment"), 6).alias("containment")
+        "id_a", "id_b", "containment"
     )
 
 
@@ -1222,7 +1230,7 @@ def q_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = minhash_join(docs, batch, threshold=0.5)
     return out.select(
-        "left_id", "right_id", F.round(F.col("jaccard"), 6).alias("jaccard")
+        "left_id", "right_id", "jaccard"
     )
 
 
@@ -1283,7 +1291,7 @@ def _minhash_join_oracle_sql(threshold: float = 0.5) -> str:
     )
     SELECT (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2 AS left_id,
            (CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) // 2 AS right_id,
-           round(jaccard, 6) AS jaccard
+           jaccard
     FROM verified WHERE (id_a + id_b) % 2 = 1
     """
 
@@ -1629,7 +1637,7 @@ def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("padded_tokens", F.col("bucket_len") * F.col("n_docs"))
         .withColumn(
             "efficiency",
-            F.round(F.col("real_tokens") / F.col("padded_tokens"), 9),
+            F.col("real_tokens") / F.col("padded_tokens"),
         )
         .orderBy("bucket_len")
     )
@@ -2223,9 +2231,9 @@ ORACLE = {
         )
         SELECT doc_id,
                CASE WHEN len(t) < 2 THEN 0.0
-                    ELSE round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS dup_2gram_frac,
+                    ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS dup_2gram_frac,
                CASE WHEN len(t) < 3 THEN 0.0
-                    ELSE round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END AS dup_3gram_frac
+                    ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup_3gram_frac
         FROM g
     """,
     "decontaminate": """
@@ -2375,7 +2383,7 @@ ORACLE = {
     """,
     "minhash_lsh_pairs": f"""
         WITH {_VERIFIED_PAIRS_CTES}
-        SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verified
+        SELECT id_a, id_b, jaccard FROM verified
     """,
     "pagerank_neardup": f"""
         WITH RECURSIVE {_VERIFIED_PAIRS_CTES},
@@ -2483,7 +2491,7 @@ ORACLE = {
         SELECT doc_id,
                CAST(n_grams AS BIGINT) AS n_grams,
                CAST(n_boiler AS BIGINT) AS n_boiler,
-               round(CAST(n_boiler AS DOUBLE) / n_grams, 6) AS boiler_ratio
+               CAST(n_boiler AS DOUBLE) / n_grams AS boiler_ratio
         FROM per_doc
         ORDER BY boiler_ratio DESC, doc_id
         LIMIT 20
@@ -2506,7 +2514,7 @@ ORACLE = {
         ),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
         SELECT p.id_a, p.id_b,
-               round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+               CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
         FROM pairs p
         JOIN sizes za ON za.doc_id = p.id_a
         JOIN sizes zb ON zb.doc_id = p.id_b
@@ -3099,7 +3107,7 @@ ORACLE["set_similarity_join"] = f"""
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
     SELECT p.id_a, p.id_b,
-           round(CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+           CAST(n_inter AS DOUBLE) / (za.n_sh + zb.n_sh - n_inter) AS jaccard
     FROM pairs p
     JOIN sizes za ON za.doc_id = p.id_a
     JOIN sizes zb ON zb.doc_id = p.id_b
@@ -3207,7 +3215,7 @@ ORACLE["containment_join"] = f"""
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
     SELECT p.id_a, p.id_b,
-           round(CAST(n_inter AS DOUBLE) / za.n_sh, 6) AS containment
+           CAST(n_inter AS DOUBLE) / za.n_sh AS containment
     FROM pairs p
     JOIN sizes za ON za.doc_id = p.id_a
     WHERE n_inter * 10 >= za.n_sh * 9
@@ -3257,7 +3265,7 @@ ORACLE["padding_efficiency"] = """
            COUNT(*) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS real_tokens,
            bucket_len * COUNT(*) AS padded_tokens,
-           round(CAST(SUM(n) AS BIGINT) / CAST(bucket_len * COUNT(*) AS DOUBLE), 9)
+           CAST(SUM(n) AS BIGINT) / CAST(bucket_len * COUNT(*) AS DOUBLE)
                AS efficiency
     FROM d WHERE n >= 1
     GROUP BY bucket_len ORDER BY bucket_len
@@ -4201,11 +4209,11 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "src_a",
         "src_b",
-        F.round("est_a", 3).alias("est_a"),
-        F.round("est_b", 3).alias("est_b"),
-        F.round("est_union", 3).alias("est_union"),
-        F.round("jaccard_est", 6).alias("jaccard_est"),
-        F.round("est_intersect", 3).alias("est_intersect"),
+        "est_a",
+        "est_b",
+        "est_union",
+        "jaccard_est",
+        "est_intersect",
     ).orderBy("src_a", "src_b")
 
 
@@ -4266,13 +4274,13 @@ ORACLE["kmv_set_ops"] = """
         FROM pagg
     )
     SELECT e.src_a, e.src_b,
-           round(p.est_a, 3) AS est_a,
-           round(p.est_b, 3) AS est_b,
-           round(e.est_union, 3) AS est_union,
-           round(CAST(rho_cnt AS DOUBLE) / least(128.0, CAST(e.n_u AS DOUBLE)),
-                 6) AS jaccard_est,
-           round(CAST(rho_cnt AS DOUBLE) / least(128.0, CAST(e.n_u AS DOUBLE))
-                 * e.est_union, 3) AS est_intersect
+           p.est_a,
+           p.est_b,
+           e.est_union,
+           CAST(rho_cnt AS DOUBLE) / least(128.0, CAST(e.n_u AS DOUBLE))
+               AS jaccard_est,
+           CAST(rho_cnt AS DOUBLE) / least(128.0, CAST(e.n_u AS DOUBLE))
+               * e.est_union AS est_intersect
     FROM est e JOIN pairs p USING (src_a, src_b)
     ORDER BY src_a, src_b
 """

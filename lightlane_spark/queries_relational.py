@@ -387,7 +387,7 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_acctbal",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.percent_rank().over(w).alias("pct_rank"),
     )
 
 
@@ -1081,10 +1081,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            F.round(
+            (
                 F.coalesce(F.col("__tv"), F.lit(0)).cast("double")
-                / F.col("__av").cast("double"),
-                9,
+                / F.col("__av").cast("double")
             ).alias("mkt_share"),
         )
         .orderBy("o_year")
@@ -1221,6 +1220,15 @@ def q_trend_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
     return m.select(
         "event_type",
+        # round(·, 6) here is a LOAD-BEARING ulp-mask, not cosmetics:
+        # sxx ≈ 1.4e17 and sxy exceed the 2^53 envelope, so the
+        # engines' int128/decimal→double conversions differ in the
+        # last ulp, and the closed form's n·sxy − sx·sy cancellation
+        # amplifies that to ~1e-13 relative noise (measured at sf0.1
+        # when emitted unrounded). Ties on the 6dp grid are
+        # measure-zero precisely BECAUSE the value carries that
+        # noise — the opposite regime from exact-rational ratios,
+        # where rounding is the hazard and emission is unrounded.
         F.round(slope * 86400, 6).alias("slope_per_day"),
         F.round(intercept, 6).alias("intercept"),
     )
@@ -1732,14 +1740,13 @@ def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
-        F.round(
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        (
             F.col("c_acctbal")
             / F.sum(F.col("c_acctbal").cast("decimal(28,2)"))
             .over(wtot)
-            .cast("double"),
-            9,
+            .cast("double")
         ).alias("bal_share"),
     )
 
@@ -2180,7 +2187,7 @@ ORACLE = {
     "window_ntile": """
         SELECT c_custkey, c_mktsegment, c_acctbal,
                NTILE(4) OVER w AS quartile,
-               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+               PERCENT_RANK() OVER w AS pct_rank
         FROM customer
         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
     """,
@@ -2548,9 +2555,9 @@ ORACLE["market_share"] = """
         WHERE r.r_name = 'ASIA'
     )
     SELECT CAST(o_year AS INTEGER) AS o_year,
-           ROUND(CAST(COALESCE(SUM(CASE WHEN is_target = 1 THEN vol END), 0)
-                      AS DOUBLE)
-                 / CAST(SUM(vol) AS DOUBLE), 9) AS mkt_share
+           CAST(COALESCE(SUM(CASE WHEN is_target = 1 THEN vol END), 0)
+                AS DOUBLE)
+               / CAST(SUM(vol) AS DOUBLE) AS mkt_share
     FROM base GROUP BY 1
 """
 
@@ -2673,11 +2680,11 @@ ORACLE["dpp_scan"] = """
 
 ORACLE["window_percent_rank"] = """
     SELECT c_custkey, c_nationkey, c_acctbal,
-           round(percent_rank() OVER w, 9) AS pct_rank,
-           round(cume_dist() OVER w, 9) AS cume,
-           round(c_acctbal /
-                 CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2)))
-                      OVER (PARTITION BY c_nationkey) AS DOUBLE), 9)
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           c_acctbal /
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2)))
+                    OVER (PARTITION BY c_nationkey) AS DOUBLE)
                AS bal_share
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -3846,8 +3853,11 @@ ORACLE["rollup_grouping_id"] = """
 
 def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue change: monthly decimal-exact totals,
-    lag window for the prior month, 6dp-rounded pct change (repo
-    float convention). The window runs over the MONTH-cardinality
+    lag window for the prior month, pct change emitted UNROUNDED
+    (both operands are envelope-safe decimal→double conversions, so
+    the IEEE ratio is bit-identical cross-engine; a final 6dp round
+    of a cent-rational ratio is tie-prone — the burstiness_bots
+    class). The window runs over the MONTH-cardinality
     aggregate, not the fact table — one fact shuffle, one tiny sorted
     window; NULL first-month change kept as the -999.0 sentinel
     (driver canonicalization cannot order NULLs)."""
@@ -3865,7 +3875,7 @@ def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("month").cast("timestamp_ntz").alias("month"),
             "revenue",
             F.coalesce(
-                F.round((F.col("revenue") - F.col("prev")) / F.col("prev"), 6),
+                (F.col("revenue") - F.col("prev")) / F.col("prev"),
                 F.lit(-999.0),
             ).alias("pct_change"),
         )
@@ -3936,8 +3946,8 @@ ORACLE["period_over_period"] = """
         FROM orders GROUP BY 1
     )
     SELECT month, revenue,
-           COALESCE(round((revenue - lag(revenue) OVER (ORDER BY month))
-                          / lag(revenue) OVER (ORDER BY month), 6),
+           COALESCE((revenue - lag(revenue) OVER (ORDER BY month))
+                        / lag(revenue) OVER (ORDER BY month),
                     -999.0) AS pct_change
     FROM m ORDER BY month
 """
@@ -3980,7 +3990,15 @@ def q_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (region, nation)-cardinality AGGREGATE — bounded by geography,
     never corpus size — so the unpartitioned window is safe (the
     two-phase global-sum discipline applies to data-sized relations
-    only). Ratios 6dp-rounded per repo convention."""
+    only). The window totals sum the exact DECIMAL accumulator — a
+    window sum of the DOUBLE revenues would depend on within-frame
+    addition order — and the shares are emitted UNROUNDED: both
+    sides are envelope-safe decimal→double conversions, so the IEEE
+    ratios are bit-identical cross-engine, while a final
+    round(·, 6) of a cent-rational ratio diverges whenever the
+    shortest decimal repr lands on a grid half with the binary value
+    epsilon below it (the class the sf0.1 stress sweep caught on
+    burstiness_bots)."""
     from pyspark.sql import Window
 
     o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -3994,20 +4012,26 @@ def q_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(_dec_sum(F.col("o_totalprice"), "revenue"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias(
+                "__rev_dec"
+            )
+        )
     )
     w_region = Window.partitionBy("region")
     w_all = Window.partitionBy()
+    reg_dec = F.sum("__rev_dec").over(w_region)
+    all_dec = F.sum("__rev_dec").over(w_all)
     return agg.select(
         "region",
         "nation",
-        "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
-            "share_of_region"
+        F.col("__rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("__rev_dec").cast("double") / reg_dec.cast("double")
+        ).alias("share_of_region"),
+        (reg_dec.cast("double") / all_dec.cast("double")).alias(
+            "region_share_of_total"
         ),
-        F.round(
-            F.sum("revenue").over(w_region) / F.sum("revenue").over(w_all), 6
-        ).alias("region_share_of_total"),
     ).orderBy("region", "nation")
 
 
@@ -4015,19 +4039,26 @@ QUERIES["hierarchy_share"] = q_hierarchy_share
 
 ORACLE["hierarchy_share"] = """
     WITH agg AS (
+        -- exact DECIMAL accumulator kept through the window totals
+        -- (a window SUM over DOUBLE revenues would be addition-order
+        -- dependent); shares emitted UNROUNDED from envelope-safe
+        -- decimal->double casts, mirroring the Spark side
         SELECT r.r_name AS region, n.n_name AS nation,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+               SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS rev_dec
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY 1, 2
     )
-    SELECT region, nation, revenue,
-           round(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+    SELECT region, nation,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE)
              AS share_of_region,
-           round(SUM(revenue) OVER (PARTITION BY region)
-                 / SUM(revenue) OVER (), 6) AS region_share_of_total
+           CAST(SUM(rev_dec) OVER (PARTITION BY region) AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER () AS DOUBLE)
+             AS region_share_of_total
     FROM agg
     ORDER BY region, nation
 """
@@ -4121,7 +4152,8 @@ def q_aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the sample scan touches 1% of the data for a
     dashboard-grade answer; the error column is what makes it
     engineering instead of hope. Every output is deterministic: the
-    decimal sums are exact and the one division is 6dp-rounded."""
+    decimal sums are exact and the one division is plain IEEE on
+    envelope-safe doubles, emitted unrounded."""
     o = read_table(spark, sf_dir, "orders")
     h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
     sampled = o.filter(h.cast("long") % 100 == 0)
@@ -4141,10 +4173,9 @@ def q_aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sampled",
             "est_revenue",
             "exact_revenue",
-            F.round(
+            (
                 F.abs(F.col("est_revenue") - F.col("exact_revenue"))
-                / F.col("exact_revenue"),
-                6,
+                / F.col("exact_revenue")
             ).alias("rel_err"),
         )
         .orderBy("o_orderpriority")
@@ -4169,7 +4200,7 @@ ORACLE["aqp_revenue_estimate"] = """
         FROM orders GROUP BY 1
     )
     SELECT s.o_orderpriority, s.n_sampled, s.est_revenue, e.exact_revenue,
-           round(abs(s.est_revenue - e.exact_revenue) / e.exact_revenue, 6)
+           abs(s.est_revenue - e.exact_revenue) / e.exact_revenue
              AS rel_err
     FROM s JOIN e ON s.o_orderpriority = e.p2
     ORDER BY s.o_orderpriority
@@ -4600,13 +4631,13 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ant",
             "cons",
             "n_ab",
-            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias(
                 "conf_ab"
             ),
-            F.round(F.col("n_ab").cast("double") / F.col("n_b"), 6).alias(
+            (F.col("n_ab").cast("double") / F.col("n_b")).alias(
                 "conf_ba"
             ),
-            F.round(lift, 6).alias("lift"),
+            lift.alias("lift"),
         )
         .orderBy(F.col("lift").desc(), "ant", "cons")
         .limit(20)
@@ -4629,9 +4660,9 @@ ORACLE["association_rules"] = """
         GROUP BY 1, 2
     )
     SELECT ant, cons, n_ab,
-           round(CAST(n_ab AS DOUBLE) / sa.n_s, 6) AS conf_ab,
-           round(CAST(n_ab AS DOUBLE) / sc.n_s, 6) AS conf_ba,
-           round(CAST(n_ab AS DOUBLE) * n.n_orders / (sa.n_s * sc.n_s), 6)
+           CAST(n_ab AS DOUBLE) / sa.n_s AS conf_ab,
+           CAST(n_ab AS DOUBLE) / sc.n_s AS conf_ba,
+           CAST(n_ab AS DOUBLE) * n.n_orders / (sa.n_s * sc.n_s)
              AS lift
     FROM pairs
     JOIN supp sa ON sa.p_brand = ant

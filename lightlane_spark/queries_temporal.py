@@ -151,7 +151,7 @@ def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         # timestamp_ntz emit: host-zone-proof collection
         F.col("bucket").cast("timestamp_ntz").alias("bucket"),
         "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
+        "sum_value",
     )
 
 
@@ -310,10 +310,10 @@ ORACLE = {
         )
         SELECT g.event_type, g.bucket,
                COALESCE(a.n_events, 0) AS n_events,
-               round(last_value(a.sum_value IGNORE NULLS) OVER (
+               last_value(a.sum_value IGNORE NULLS) OVER (
                    PARTITION BY g.event_type ORDER BY g.bucket
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 6) AS sum_value
+               ) AS sum_value
         FROM grid g LEFT JOIN agg a
           ON a.event_type = g.event_type AND a.bucket = g.bucket
     """,
@@ -597,7 +597,7 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-partition sort is over the filtered slice, not the fact
     # table; for per-key smoothing add partitionBy to the window.
     return ev.select(
-        "event_id", "value", F.round(num / den, 6).alias("ewma")
+        "event_id", "value", (num / den).alias("ewma")
     )
 
 
@@ -636,7 +636,7 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_mktsegment",
             "n",
-            F.round(enc, 6).alias("enc"),
+            enc.alias("enc"),
         )
         .orderBy("c_mktsegment")
     )
@@ -656,9 +656,9 @@ ORACLE["ewma_smooth"] = """
         FROM p
     )
     SELECT event_id, value,
-           round(list_reduce(vals, (a, b) -> a / 2 + b)
-                 / list_reduce(list_transform(vals, x -> 1.0::DOUBLE),
-                               (a, b) -> a / 2 + b), 6) AS ewma
+           list_reduce(vals, (a, b) -> a / 2 + b)
+               / list_reduce(list_transform(vals, x -> 1.0::DOUBLE),
+                             (a, b) -> a / 2 + b) AS ewma
     FROM framed
 """
 
@@ -674,8 +674,8 @@ ORACLE["target_encode"] = """
     )
     SELECT c_mktsegment,
            CAST(n AS BIGINT) AS n,
-           round((CAST(s AS DOUBLE) + 10.0 * (CAST(ts AS DOUBLE) / tn))
-                 / (n + 10.0), 6) AS enc
+           (CAST(s AS DOUBLE) + 10.0 * (CAST(ts AS DOUBLE) / tn))
+               / (n + 10.0) AS enc
     FROM per_cat, tot
     ORDER BY c_mktsegment
 """
@@ -1174,7 +1174,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return psi.select(
         "event_type",
-        F.round(F.col("psi_dec").cast("double"), 6).alias("psi"),
+        F.col("psi_dec").cast("double").alias("psi"),
         (F.col("psi_dec").cast("double") > 0.2).cast("bigint").alias(
             "flagged"
         ),
@@ -1245,7 +1245,7 @@ ORACLE["psi_drift"] = """
         FROM cells GROUP BY 1
     )
     SELECT event_type,
-           round(CAST(psi_dec AS DOUBLE), 6) AS psi,
+           CAST(psi_dec AS DOUBLE) AS psi,
            CASE WHEN CAST(psi_dec AS DOUBLE) > 0.2 THEN 1 ELSE 0 END
              AS flagged
     FROM psi ORDER BY event_type
@@ -1264,11 +1264,23 @@ def q_burstiness_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine parity: gaps are exact integer MICROSECONDS
     (unix_micros ↔ epoch_us — NOT unix seconds, which Spark
-    truncates and DuckDB fractions), converted per-row to seconds
-    (≤6 decimal digits, exact in double), moments via round-9dp
-    DECIMAL sums, one double division at the end. Scale: one
-    (user, ts) window sort — the sessionize shuffle — then a
-    map-side-combined per-user moment aggregate."""
+    truncates and DuckDB fractions). All accumulators are
+    INTEGER-EXACT BIGINTs — Σgap_µs for the mean, and
+    second-granular moments (gap DIV 1e6) for the Fano factor — and
+    the emitted doubles are unrounded IEEE derivations of those
+    exact integers, so both engines produce identical bits with NO
+    rounding step anywhere. The sf0.1 stress sweep caught the
+    previous round(·,6) emit flipping on 33374.0610425: the double's
+    exact binary value is ...0424999977 (below the half) but its
+    SHORTEST DECIMAL REPR is the exact half — Spark's round goes
+    through BigDecimal.valueOf(shortest repr) and rounds UP, DuckDB
+    rounds the binary value DOWN. Rational ratios (µs-sums/n) produce
+    shortest-repr-half doubles routinely, unlike noisy floats, so
+    final rounding of exact-rational emits is banned here. Envelope proof for the squared
+    sum: Σgap_sec² ≤ (Σgap_sec)·max_gap ≤ period² ≈ 6.7e12 per user
+    regardless of event count — inside 2^53 at ANY corpus size.
+    Scale: one (user, ts) window sort — the sessionize shuffle —
+    then a map-side-combined per-user moment aggregate."""
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
     )
@@ -1294,22 +1306,29 @@ def q_burstiness_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wg)
         ).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
-    gap_s = F.col("gap_us").cast("double") / 1e6
+    gap_sec = F.expr("gap_us DIV 1000000")
     agg = g.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.sum(F.round(gap_s, 9).cast("decimal(28,9)")).alias("sg"),
-        F.sum(F.round(gap_s * gap_s, 9).cast("decimal(28,9)")).alias("sgg"),
+        F.sum("gap_us").alias("sg_us"),
+        F.sum(gap_sec).alias("sg_sec"),
+        F.sum(gap_sec * gap_sec).alias("sgg_sec"),
     )
-    m = F.col("sg").cast("double") / F.col("n_gaps")
-    v = F.col("sgg").cast("double") / F.col("n_gaps") - m * m
-    fano = v / m
+    m_sec = F.col("sg_sec").cast("double") / F.col("n_gaps")
+    v_sec = (
+        F.col("sgg_sec").cast("double") / F.col("n_gaps") - m_sec * m_sec
+    )
+    fano = v_sec / m_sec
     return (
         agg.filter(F.col("n_gaps") >= 5)
         .select(
             "user_id",
             "n_gaps",
-            F.round(m, 6).alias("mean_gap_s"),
-            F.round(fano, 6).alias("fano"),
+            (
+                F.col("sg_us").cast("double")
+                / F.col("n_gaps")
+                / F.lit(1e6)
+            ).alias("mean_gap_s"),
+            fano.alias("fano"),
             (fano < 100.0).cast("bigint").alias("is_bot"),
         )
         .orderBy("user_id")
@@ -1335,24 +1354,29 @@ ORACLE["burstiness_bots"] = """
         FROM fixed
     ),
     agg AS (
+        -- integer-exact BIGINT accumulators, mirroring the Spark
+        -- side: us-sum for the mean, second-granular (gap_us //
+        -- 1000000) moments for Fano; the emitted doubles are
+        -- unrounded IEEE derivations (a final round(double, 6)
+        -- flipped on a ratio whose shortest decimal repr is an exact
+        -- 6dp half while its binary value sits below it: Spark
+        -- rounds the repr up, DuckDB rounds the binary value down)
         SELECT user_id, count(*) AS n_gaps,
-               SUM(CAST(round(CAST(gap_us AS DOUBLE) / 1e6, 9)
-                        AS DECIMAL(28,9))) AS sg,
-               SUM(CAST(round((CAST(gap_us AS DOUBLE) / 1e6)
-                              * (CAST(gap_us AS DOUBLE) / 1e6), 9)
-                        AS DECIMAL(28,9))) AS sgg
+               SUM(gap_us) AS sg_us,
+               SUM(gap_us // 1000000) AS sg_sec,
+               SUM((gap_us // 1000000) * (gap_us // 1000000)) AS sgg_sec
         FROM g WHERE gap_us IS NOT NULL GROUP BY 1
     )
     SELECT user_id, n_gaps,
-           round(CAST(sg AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
-           round((CAST(sgg AS DOUBLE) / n_gaps
-                  - (CAST(sg AS DOUBLE) / n_gaps)
-                    * (CAST(sg AS DOUBLE) / n_gaps))
-                 / (CAST(sg AS DOUBLE) / n_gaps), 6) AS fano,
-           CASE WHEN (CAST(sgg AS DOUBLE) / n_gaps
-                      - (CAST(sg AS DOUBLE) / n_gaps)
-                        * (CAST(sg AS DOUBLE) / n_gaps))
-                     / (CAST(sg AS DOUBLE) / n_gaps) < 100.0
+           CAST(sg_us AS DOUBLE) / n_gaps / 1e6 AS mean_gap_s,
+           (CAST(sgg_sec AS DOUBLE) / n_gaps
+            - (CAST(sg_sec AS DOUBLE) / n_gaps)
+              * (CAST(sg_sec AS DOUBLE) / n_gaps))
+             / (CAST(sg_sec AS DOUBLE) / n_gaps) AS fano,
+           CASE WHEN (CAST(sgg_sec AS DOUBLE) / n_gaps
+                      - (CAST(sg_sec AS DOUBLE) / n_gaps)
+                        * (CAST(sg_sec AS DOUBLE) / n_gaps))
+                     / (CAST(sg_sec AS DOUBLE) / n_gaps) < 100.0
                 THEN 1 ELSE 0 END AS is_bot
     FROM agg WHERE n_gaps >= 5 ORDER BY user_id
 """
@@ -1407,8 +1431,8 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cohort_day",
             "age",
-            F.round(
-                F.sum("rev").over(w).cast("double") / F.col("cohort_n"), 6
+            (
+                F.sum("rev").over(w).cast("double") / F.col("cohort_n")
             ).alias("ltv_per_user"),
         )
         .orderBy("cohort_day", "age")
@@ -1437,10 +1461,10 @@ ORACLE["cohort_ltv"] = """
         SELECT cohort_day, count(*) AS cohort_n FROM first GROUP BY 1
     )
     SELECT d.cohort_day, d.age,
-           round(CAST(SUM(d.rev) OVER (
-                     PARTITION BY d.cohort_day ORDER BY d.age
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DOUBLE) / s.cohort_n, 6) AS ltv_per_user
+           CAST(SUM(d.rev) OVER (
+                    PARTITION BY d.cohort_day ORDER BY d.age
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / s.cohort_n AS ltv_per_user
     FROM daily d JOIN sizes s USING (cohort_day)
     ORDER BY 1, 2
 """

@@ -240,3 +240,46 @@ def test_decimal_to_double_diverges_outside_the_envelope_exists():
             found = True
             break
     assert found, "expected a 1-ulp witness above 2^53"
+
+
+# ---------------------------------------------------------------------------
+# The final-round divergence mechanism (r10 sf0.1 stress-sweep find,
+# root-caused on burstiness_bots): Spark's round(double, k) goes
+# through BigDecimal.valueOf, i.e. it rounds the SHORTEST DECIMAL
+# REPRESENTATION of the double; DuckDB rounds the EXACT BINARY value.
+# They diverge whenever the shortest repr terminates exactly on a
+# k-dp half while the binary value sits epsilon below it — which
+# exact-rational ratios (µs-sums/n, cent-shares, jaccard counts)
+# produce routinely. Hence the emit policy: exact-rational values are
+# emitted UNROUNDED (bit-identical IEEE quotients on both engines);
+# round() survives only as a documented ulp-mask on genuinely noisy
+# floats (cosine reduction-order variance, >2^53-moment cancellation
+# in corr_matrix/trend_detection), where repr-half landings are
+# measure-zero.
+# ---------------------------------------------------------------------------
+
+
+def test_round_diverges_on_shortest_repr_half(spark):
+    """Pin the measured mechanism with the exact burstiness value:
+    binary expansion ...0424999977 (below the half), shortest repr
+    ...0425 (the half). DuckDB rounds the binary value down; Spark
+    rounds the repr up. If either engine ever changes behavior, this
+    test flags that the emit policy's premise needs re-auditing."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    v = 33374.0610425
+    assert repr(v) == "33374.0610425"  # shortest repr IS the half
+    assert decimal.Decimal(v) < decimal.Decimal("33374.0610425")  # binary below it
+
+    duck = duckdb.connect().execute("SELECT round(?, 6)", [v]).fetchone()[0]
+    sprk = spark.range(1).select(F.round(F.lit(v), 6)).collect()[0][0]
+    assert duck == 33374.061042  # binary-value rounding: down
+    assert sprk == 33374.061043  # shortest-repr rounding: up
+    assert duck != sprk  # the divergence the emit policy exists for
+
+    # control: identical unrounded doubles compare equal — the safe form
+    assert (
+        spark.range(1).select(F.lit(v).alias("x")).collect()[0]["x"] == v
+    )
