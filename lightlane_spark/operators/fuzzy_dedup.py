@@ -580,7 +580,11 @@ def corpus_overlap_estimates(
         "src_a",
         "src_b",
         "n_agree",
-        F.round(F.col("n_agree") / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        # unrounded: n_agree/num_hashes is an exact-rational IEEE
+        # quotient, identical on both engines; a final round() is
+        # only an identity while num_hashes stays a power of two and
+        # becomes the repr-half divergence class the moment it isn't
+        (F.col("n_agree") / F.lit(float(num_hashes))).alias("est_jaccard"),
     )
 
 

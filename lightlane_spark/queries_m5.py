@@ -2862,7 +2862,7 @@ ORACLE["corpus_overlap"] = """
     SELECT a.source AS src_a, b.source AS src_b,
            CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS BIGINT)
                AS n_agree,
-           ROUND(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) / 32.0, 6)
+           SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) / 32.0
                AS est_jaccard
     FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
     GROUP BY 1, 2

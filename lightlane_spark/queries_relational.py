@@ -1045,7 +1045,9 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio. All five dimension hops broadcast; the only shuffles are
     the fact-fact orderkey join and the final per-year aggregation.
     Share = decimal-exact conditional sum over decimal-exact total,
-    divided once in double and rounded 9dp."""
+    divided once in double and emitted UNROUNDED (envelope-safe
+    operands → bit-identical IEEE quotient; a final round is the
+    repr-half divergence class)."""
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n_cust = read_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")

@@ -1317,7 +1317,14 @@ def q_burstiness_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_sec = (
         F.col("sgg_sec").cast("double") / F.col("n_gaps") - m_sec * m_sec
     )
-    fano = v_sec / m_sec
+    # sg_sec == 0 ⟺ every gap is sub-second (truncation): a user
+    # firing ≥5 events under 1 s apart IS the metronomic-automation
+    # class — fano 0, flagged. Without the guard, fano = 0.0/0.0
+    # crashes under ANSI (DIVIDE_BY_ZERO) and NULLs otherwise, and
+    # the oracle's CASE would emit is_bot = 0 — a latent
+    # data-dependent red (r10 review finding; current fixtures have
+    # no such user, so the sweeps could not catch it).
+    fano = F.when(F.col("sg_sec") > 0, v_sec / m_sec).otherwise(F.lit(0.0))
     return (
         agg.filter(F.col("n_gaps") >= 5)
         .select(
@@ -1369,11 +1376,18 @@ ORACLE["burstiness_bots"] = """
     )
     SELECT user_id, n_gaps,
            CAST(sg_us AS DOUBLE) / n_gaps / 1e6 AS mean_gap_s,
-           (CAST(sgg_sec AS DOUBLE) / n_gaps
-            - (CAST(sg_sec AS DOUBLE) / n_gaps)
-              * (CAST(sg_sec AS DOUBLE) / n_gaps))
-             / (CAST(sg_sec AS DOUBLE) / n_gaps) AS fano,
-           CASE WHEN (CAST(sgg_sec AS DOUBLE) / n_gaps
+           -- sg_sec = 0 (all gaps sub-second) is the metronomic
+           -- class: fano 0, flagged — mirrors the Spark guard
+           -- (0.0/0.0 is NULL here but a DIVIDE_BY_ZERO crash under
+           -- Spark ANSI)
+           CASE WHEN sg_sec > 0 THEN
+               (CAST(sgg_sec AS DOUBLE) / n_gaps
+                - (CAST(sg_sec AS DOUBLE) / n_gaps)
+                  * (CAST(sg_sec AS DOUBLE) / n_gaps))
+                 / (CAST(sg_sec AS DOUBLE) / n_gaps)
+           ELSE 0.0 END AS fano,
+           CASE WHEN sg_sec = 0 OR
+                     (CAST(sgg_sec AS DOUBLE) / n_gaps
                       - (CAST(sg_sec AS DOUBLE) / n_gaps)
                         * (CAST(sg_sec AS DOUBLE) / n_gaps))
                      / (CAST(sg_sec AS DOUBLE) / n_gaps) < 100.0
@@ -1387,9 +1401,12 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort age (days since the cohort's first-seen day), the
     product-analytics complement to retention_cohorts' activity
     counts: "how much has the Jan-3 cohort earned per member by day
-    k". Revenue stays DECIMAL-exact from the per-(cohort, age) rollup
-    through the running-total window (cumsum order pinned by age);
-    the single fp division by cohort size happens at presentation.
+    k". Revenue is quantized to integer CENTS via floor(x*100 + 0.5)
+    (bit-deterministic on both engines, unlike round(value, 2) —
+    Spark rounds the shortest decimal repr, DuckDB the binary value)
+    and stays BIGINT-exact from the per-(cohort, age) rollup through
+    the running-total window (cumsum order pinned by age); the fp
+    divisions by 100 and cohort size happen at presentation.
 
     Scale: first-seen is one map-side-combined min() keyed by user;
     purchases join that user-cardinality relation (broadcast- or
@@ -1413,11 +1430,21 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cohort_day",
             F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("age"),
-            F.round("value", 2).cast("decimal(18,2)").alias("v"),
+            # cents via floor(x*100 + 0.5), NOT round(value, 2): Spark
+            # rounds the double's shortest decimal repr, DuckDB its
+            # binary value, so round diverges on repr-half inputs
+            # (the burstiness class, pre-accumulator form — r10
+            # review finding); floor of identical IEEE products is
+            # bit-deterministic on both engines
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias(
+                "v_cents"
+            ),
         )
         .filter(F.col("age") <= 7)
     )
-    daily = rev.groupBy("cohort_day", "age").agg(F.sum("v").alias("rev"))
+    daily = rev.groupBy("cohort_day", "age").agg(
+        F.sum("v_cents").alias("rev_cents")
+    )
     sizes = first.groupBy("cohort_day").agg(
         F.count(F.lit(1)).alias("cohort_n")
     )
@@ -1432,7 +1459,9 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_day",
             "age",
             (
-                F.sum("rev").over(w).cast("double") / F.col("cohort_n")
+                F.sum("rev_cents").over(w).cast("double")
+                / 100
+                / F.col("cohort_n")
             ).alias("ltv_per_user"),
         )
         .orderBy("cohort_day", "age")
@@ -1449,22 +1478,23 @@ ORACLE["cohort_ltv"] = """
     rev AS (
         SELECT f.cohort_day,
                date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age,
-               CAST(round(e.value, 2) AS DECIMAL(18,2)) AS v
+               CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS v_cents
         FROM events e JOIN first f USING (user_id)
         WHERE e.event_type = 'purchase'
           AND date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 7
     ),
     daily AS (
-        SELECT cohort_day, age, SUM(v) AS rev FROM rev GROUP BY 1, 2
+        SELECT cohort_day, age, SUM(v_cents) AS rev_cents
+        FROM rev GROUP BY 1, 2
     ),
     sizes AS (
         SELECT cohort_day, count(*) AS cohort_n FROM first GROUP BY 1
     )
     SELECT d.cohort_day, d.age,
-           CAST(SUM(d.rev) OVER (
+           CAST(SUM(d.rev_cents) OVER (
                     PARTITION BY d.cohort_day ORDER BY d.age
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) / s.cohort_n AS ltv_per_user
+                AS DOUBLE) / 100 / s.cohort_n AS ltv_per_user
     FROM daily d JOIN sizes s USING (cohort_day)
     ORDER BY 1, 2
 """

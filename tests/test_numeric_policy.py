@@ -283,3 +283,33 @@ def test_round_diverges_on_shortest_repr_half(spark):
     assert (
         spark.range(1).select(F.lit(v).alias("x")).collect()[0]["x"] == v
     )
+
+
+def test_burstiness_sub_second_bot_guard(spark, tmp_path):
+    """A user firing >= 5 events under 1 s apart truncates every gap
+    to 0 whole seconds, so the second-granular moments give
+    m_sec = 0: without the guard, fano = 0.0/0.0 crashes under ANSI
+    (DIVIDE_BY_ZERO) or NULLs, and the oracle's CASE emits
+    is_bot = 0 — a latent data-dependent red the committed fixtures
+    cannot reach (r10 review finding). The guard defines this
+    metronomic sub-second class as fano 0, flagged, on BOTH engines."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lightlane_spark.queries_temporal import q_burstiness_bots
+
+    rows = [(99, i, i * 500_000) for i in range(6)]  # 0.5 s cadence
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, us long"
+    ).select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+    )
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = q_burstiness_bots(spark, d).collect()
+    assert [(r["user_id"], r["n_gaps"], r["fano"], r["is_bot"]) for r in out] == [
+        (99, 5, 0.0, 1)
+    ]
