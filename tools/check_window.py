@@ -57,6 +57,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, keep checking
             bad.append(name)
             print(f"{name}: FAIL {type(exc).__name__} {str(exc)[:150]}", flush=True)
+        finally:
+            # per-call tracked_persist sites otherwise accumulate
+            # orphan cache blocks across the window (ADVICE r10)
+            spark.catalog.clearCache()
     print("WINDOW DONE bad =", bad, flush=True)
     sys.exit(1 if bad else 0)
 

@@ -39,6 +39,12 @@ for name in sorted(qs):
     except Exception as e:
         bad.append(name)
         print('FAIL', name, type(e).__name__, str(e)[:150], flush=True)
+    finally:
+        # tracked_persist sites (bm25/tfidf postings, KM day table,
+        # ...) pin a new cache entry per call; 251 queries in one
+        # session otherwise accumulate orphan blocks until late
+        # queries pay eviction + GC (ADVICE r10)
+        spark.catalog.clearCache()
 print('DONE bad =', bad, flush=True)
 
 # Machine-readable sweep record: one row per query with the same
