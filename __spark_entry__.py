@@ -495,7 +495,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB disagree on exact integers — a proven driver-harness
 # artifact, to be documented in SCALE.md and closed. Slot 4 is
 # table_profile, changed this round to carry the engine-behavior
-# CANARY (8 integer columns fingerprinting round()/libm/decimal→
+# CANARY (9 integer columns fingerprinting round()/libm/decimal→
 # double build behavior — VERDICT r10 ask #5; if a local-green
 # window query goes driver-red, table_profile's own red/green
 # localizes whether the driver's engine builds diverge on those

@@ -928,14 +928,18 @@ def q_scd2_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("valid_to", F.col("valid_to").cast("timestamp_ntz"))
 
 
-# Engine-behavior canary (VERDICT r10 ask #5): 8 integer columns that
+# Engine-behavior canary (VERDICT r10 ask #5): 9 integer columns that
 # fingerprint the FLOAT-HANDLING BUILD of whichever engine evaluates
 # them — libm bit patterns at full mantissa (ln/exp/log10/sqrt/pow),
 # round() path at repr-grid halves (2.675 and 0.0610425 sit on a
 # shortest-repr half; a repr/half-up build emits 268/61043, a pure
-# binary-path build 267/61042), round-half mode (343 = half-up/away;
-# half-even gives 240), and decimal→double conversion beyond the 2^53
-# exact envelope. All 8 verified value-identical between local Spark
+# binary-path build 267/61042), round-half mode at k=0 (343 =
+# half-up/away; half-even gives 240) AND at k=6 on a binary-EXACT
+# dyadic half (0.4765625 = 61/128 → 476563 half-away, 476562
+# half-even — the class the repr-grid audit marks "benign,
+# canary-covered" for bow_similarity/embedding_centroids at sf0.1),
+# and decimal→double conversion beyond the 2^53
+# exact envelope. All 9 verified value-identical between local Spark
 # and local DuckDB at r11 HEAD; the one measured local divergence
 # (round(33374.0610425, 6)) is deliberately EXCLUDED. Purpose: if a
 # local-green window query goes driver-red, table_profile's own
@@ -953,6 +957,8 @@ _CANARY_SQL = (
     "CAST(round(CAST(2.5 AS DOUBLE), 0) AS BIGINT) * 100 "
     "+ CAST(round(CAST(3.5 AS DOUBLE), 0) AS BIGINT) * 10 "
     "+ CAST(abs(round(CAST(-2.5 AS DOUBLE), 0)) AS BIGINT) AS can_round_half, "
+    "CAST(round(CAST(0.4765625 AS DOUBLE), 6) * 1e6 AS BIGINT) "
+    "AS can_round_half6, "
     "CAST(floor(CAST(CAST('91234567890123456.75' AS DECIMAL(20,2)) "
     "AS DOUBLE) / 16) AS BIGINT) AS can_dec53"
 )

@@ -158,16 +158,33 @@ def _audit_round(x: float, k: int) -> float:
     return float(q)
 
 
-def _is_repr_half(x: float, k: int) -> bool:
-    """True iff x's shortest decimal repr sits EXACTLY on a k-dp
-    grid half — the only pre-round inputs where Spark's repr-path
-    and DuckDB's binary-path round() can disagree. Exact decimal
-    arithmetic on repr(x), so e-notation reprs are handled."""
+def _repr_half_class(x: float, k: int) -> str | None:
+    """Classify x against the k-dp repr grid.
+
+    - None: shortest repr is not on a grid half — round() paths agree.
+    - "exact": repr is a half AND the double is binary-EXACT at it
+      (dyadic rational, e.g. 0.4765625 = 61/128 at 6dp): Spark's
+      repr-path HALF_UP and DuckDB's binary-path half-away see the
+      SAME exact half and both round away — agreement by
+      construction, verified by the canary's own 0.125/2.5 probes.
+      Flip risk exists only under a half-EVEN build, which flips the
+      can_round_half canary column first (table_profile goes red and
+      localizes it). Reported, not failing.
+    - "inexact": repr is a half but the binary value is NOT the half
+      (e.g. 33374.0610425, binary below) — the MEASURED divergence
+      class (Spark rounds the repr up, DuckDB the binary value
+      down). Any hit here fails the audit: convert that emit.
+
+    Exact decimal arithmetic on repr(x), so e-notation is handled.
+    """
     if not math.isfinite(x):
-        return False
-    shifted = Decimal(repr(x)).scaleb(k)
+        return None
+    shortest = Decimal(repr(x))
+    shifted = shortest.scaleb(k)
     frac = shifted - shifted.to_integral_value(rounding="ROUND_FLOOR")
-    return frac == Decimal("0.5")
+    if frac != Decimal("0.5"):
+        return None
+    return "exact" if Decimal(x) == shortest else "inexact"
 
 
 def _rewrite_rounds(sql: str) -> str:
@@ -227,7 +244,8 @@ def repr_grid_audit():
         if pat.search(sql) and n not in _DELIBERATE
     }
     print(f"\nrepr-grid audit: {len(rounding)} rounding oracles at {SF_DIR}")
-    hits_total = 0
+    inexact_total = 0
+    exact_total = 0
     failed = []
     for name in sorted(rounding):
         _captured.clear()
@@ -236,18 +254,31 @@ def repr_grid_audit():
         except Exception as exc:  # noqa: BLE001 — report, keep auditing
             failed.append((name, f"{type(exc).__name__}: {str(exc)[:120]}"))
             continue
-        hits = [(x, k) for (x, k) in _captured if _is_repr_half(x, k)]
-        hits_total += len(hits)
-        status = "HIT " + str(hits[:5]) if hits else "ok"
+        inexact, exact = [], []
+        for (x, k) in _captured:
+            cls = _repr_half_class(x, k)
+            if cls == "inexact":
+                inexact.append((x, k))
+            elif cls == "exact":
+                exact.append((x, k))
+        inexact_total += len(inexact)
+        exact_total += len(exact)
+        status = "ok"
+        if exact:
+            status = f"exact-dyadic-half n={len(exact)} {exact[:3]} (benign, canary-covered)"
+        if inexact:
+            status = f"INEXACT-HALF HIT {inexact[:5]}"
         print(f"  {name}: n_pre_round={len(_captured)} {status}")
     for name, err in failed:
         print(f"  {name}: REWRITE-FAILED {err}")
     print(
-        f"repr-grid audit DONE: {hits_total} repr-half hits, "
-        f"{len(failed)} rewrite failures "
+        f"repr-grid audit DONE: {inexact_total} inexact repr-half hits "
+        f"(divergence class — must be 0), {exact_total} exact dyadic halves "
+        f"(both engines round these identically; a half-even build flips "
+        f"the can_round_half canary first), {len(failed)} rewrite failures "
         f"(table_profile excluded: canary probes sit on halves by design)"
     )
-    if hits_total or failed:
+    if inexact_total or failed:
         sys.exit(1)
 
 
