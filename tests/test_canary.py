@@ -1,0 +1,87 @@
+"""Pin the engine-behavior canary (queries_relational._CANARY_SQL).
+
+The canary's value rests on two facts measured at r11: (1) local
+Spark and local DuckDB produce IDENTICAL values for all 9 probes, and
+(2) those values are the specific constants below. If a future
+Spark/DuckDB upgrade shifts any fingerprint, this test fails loudly
+in the suite instead of table_profile silently going red at the
+driver — and the failing column names which float class moved
+(libm bits, round() path at repr-grid halves, round-half mode at
+k=0 / fractional k, decimal→double past 2^53).
+
+Also pins tools/audit_boundaries._repr_half_class, the classifier the
+repr-grid audit's pass/fail logic depends on.
+"""
+
+import duckdb
+import pytest
+
+from lightlane_spark.queries_relational import _CANARY_SQL
+
+# Measured r11 on Spark 4.1.2 + bundled DuckDB (both half-away round,
+# repr-path Spark round at repr-halves, shared-libm-identical
+# transcendentals on these inputs).
+EXPECTED = {
+    "can_ln3": 1098612288668109,
+    "can_exp15": 448168907033806,
+    "can_log10_3": 477121254719662,
+    "can_sqrt2": 1414213562373095,
+    "can_pow": 1948717100000001,
+    # round(2.675, 2)→2.68 (repr-half, preceding digit even: a
+    # half-even build gives 267) + round(0.0610425, 6)→0.061043×1000
+    "can_round_repr": 268 + 61043 * 1000,
+    # 3·100 + 4·10 + |−3|: half-away at k=0 (half-even gives 240)
+    "can_round_half": 343,
+    # exact dyadic half 61/128 at 6dp: half-away 476563, half-even
+    # 476562 — covers the benign exact-half class the repr-grid
+    # audit waves through
+    "can_round_half6": 476563,
+    "can_dec53": 5702160493132716,
+}
+
+
+def test_canary_values_duckdb():
+    row = duckdb.connect().execute(f"SELECT {_CANARY_SQL}").fetchdf()
+    assert list(row.columns) == list(EXPECTED)
+    got = {c: int(row[c][0]) for c in row.columns}
+    assert got == EXPECTED
+
+
+def test_canary_values_spark(spark):
+    df = spark.sql(f"SELECT {_CANARY_SQL}")
+    assert df.columns == list(EXPECTED)
+    assert [t for _, t in df.dtypes] == ["bigint"] * len(EXPECTED)
+    got = df.collect()[0].asDict()
+    assert got == EXPECTED
+
+
+@pytest.mark.parametrize(
+    "x,k,expected",
+    [
+        # the measured divergence input: repr on the 6dp half, binary
+        # below it (Spark rounds up, DuckDB down)
+        (33374.0610425, 6, "inexact"),
+        (0.0610425, 6, "inexact"),
+        (2.675, 2, "inexact"),
+        # dyadic rationals: the double IS the half — both engines
+        # round it away identically
+        (0.4765625, 6, "exact"),
+        (0.1494140625, 9, "exact"),
+        (0.125, 2, "exact"),
+        (2.5, 0, "exact"),
+        # off the grid half entirely
+        (0.4765626, 6, None),
+        (1.0, 6, None),
+        (0.3333333333333333, 6, None),
+        # e-notation reprs must not crash or misclassify: 5e-07 is
+        # the 6dp half but 5*10^-7 is NOT dyadic, so the binary value
+        # sits off the half — the divergence class
+        (5e-07, 6, "inexact"),
+        (1.5e-07, 6, None),
+        (float("inf"), 6, None),
+    ],
+)
+def test_repr_half_class(x, k, expected):
+    from tools.audit_boundaries import _repr_half_class
+
+    assert _repr_half_class(x, k) == expected

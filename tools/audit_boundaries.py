@@ -38,10 +38,10 @@ import duckdb
 
 from tools.oracle_compare import register_views
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-
-con = duckdb.connect()
-register_views(con, SF_DIR)
+# Set inside main() — module import must stay side-effect-free so
+# tests can import the classifier/rewriter helpers.
+SF_DIR = None
+con = None
 
 # ---------------------------------------------------------------------------
 # Drift guard (r10 review finding): audit 1 hand-models each query's
@@ -85,8 +85,6 @@ def _check_oracle_shape():
         )
 
 
-_check_oracle_shape()
-
 
 def audit(name, rows):
     worst = None
@@ -104,40 +102,6 @@ def audit(name, rows):
         return
     print(f"{name}: n={len(rows)} worst margin = {worst[0]:.1f}x  (dist {worst[2]:.4f} grid units vs 1-ulp shift {worst[3]:.2e})")
 
-# mutual_information: x = (n_xy/n) * ln(n_xy*n/(n_x*n_y))
-rows = con.execute("""
-    WITH f AS (SELECT event_type, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events),
-    feats AS (
-        SELECT event_type, 'leaky' AS feature,
-               CASE WHEN event_type='purchase' THEN 4 + k % 2 ELSE k % 4 END AS fval FROM f
-        UNION ALL SELECT event_type, 'clean', k % 4 FROM f),
-    jt AS (SELECT feature, event_type, fval, count(*) AS n_xy FROM feats GROUP BY 1,2,3),
-    mx AS (SELECT feature, event_type, SUM(n_xy) AS n_x FROM jt GROUP BY 1,2),
-    my AS (SELECT feature, fval, SUM(n_xy) AS n_y FROM jt GROUP BY 1,2),
-    nn AS (SELECT feature, SUM(n_xy) AS n FROM jt GROUP BY 1)
-    SELECT (CAST(n_xy AS DOUBLE)/CAST(n AS DOUBLE))
-             * ln(CAST(n_xy AS DOUBLE)*CAST(n AS DOUBLE)/(CAST(n_x AS DOUBLE)*CAST(n_y AS DOUBLE))),
-           CAST(n_xy AS DOUBLE)*CAST(n AS DOUBLE)/(CAST(n_x AS DOUBLE)*CAST(n_y AS DOUBLE)),
-           CAST(n_xy AS DOUBLE)/CAST(n AS DOUBLE)
-    FROM jt JOIN mx USING (feature, event_type)
-            JOIN my ON my.feature=jt.feature AND my.fval=jt.fval
-            JOIN nn ON nn.feature=jt.feature
-""").fetchall()
-audit("mutual_info  (p)ln(ratio)", [(float(r[0]), float(r[1]), float(r[2])) for r in rows])
-
-# theil: x = (x/mu)*ln(x/mu) per customer
-rows = con.execute("""
-    WITH rev AS (SELECT c.c_mktsegment AS seg, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
-                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-                 GROUP BY c.c_mktsegment, o.o_custkey),
-    seg AS (SELECT seg, count(*) AS n_g, SUM(x) AS sx_g FROM rev GROUP BY 1)
-    SELECT (CAST(r.x AS DOUBLE)/(CAST(s.sx_g AS DOUBLE)/s.n_g))
-             * ln(CAST(r.x AS DOUBLE)/(CAST(s.sx_g AS DOUBLE)/s.n_g)),
-           CAST(r.x AS DOUBLE)/(CAST(s.sx_g AS DOUBLE)/s.n_g),
-           CAST(r.x AS DOUBLE)/(CAST(s.sx_g AS DOUBLE)/s.n_g)
-    FROM rev r JOIN seg s USING (seg)
-""").fetchall()
-audit("theil (r)ln(r)", [(float(r[0]), float(r[1]), float(r[2])) for r in rows])
 
 
 # ---------------------------------------------------------------------------
@@ -282,4 +246,50 @@ def repr_grid_audit():
         sys.exit(1)
 
 
-repr_grid_audit()
+def main() -> None:
+    global SF_DIR, con
+    SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    register_views(con, SF_DIR)
+    _check_oracle_shape()
+
+    # mutual_information: x = (n_xy/n) * ln(n_xy*n/(n_x*n_y))
+    rows = con.execute("""
+        WITH f AS (SELECT event_type, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events),
+        feats AS (
+            SELECT event_type, 'leaky' AS feature,
+                   CASE WHEN event_type='purchase' THEN 4 + k % 2 ELSE k % 4 END AS fval FROM f
+            UNION ALL SELECT event_type, 'clean', k % 4 FROM f),
+        jt AS (SELECT feature, event_type, fval, count(*) AS n_xy FROM feats GROUP BY 1,2,3),
+        mx AS (SELECT feature, event_type, SUM(n_xy) AS n_x FROM jt GROUP BY 1,2),
+        my AS (SELECT feature, fval, SUM(n_xy) AS n_y FROM jt GROUP BY 1,2),
+        nn AS (SELECT feature, SUM(n_xy) AS n FROM jt GROUP BY 1)
+        SELECT (CAST(n_xy AS DOUBLE)/CAST(n AS DOUBLE))
+                 * ln(CAST(n_xy AS DOUBLE)*CAST(n AS DOUBLE)/(CAST(n_x AS DOUBLE)*CAST(n_y AS DOUBLE))),
+               CAST(n_xy AS DOUBLE)*CAST(n AS DOUBLE)/(CAST(n_x AS DOUBLE)*CAST(n_y AS DOUBLE)),
+               CAST(n_xy AS DOUBLE)/CAST(n AS DOUBLE)
+        FROM jt JOIN mx USING (feature, event_type)
+                JOIN my ON my.feature=jt.feature AND my.fval=jt.fval
+                JOIN nn ON nn.feature=jt.feature
+    """).fetchall()
+    audit("mutual_info  (p)ln(ratio)", [(float(r[0]), float(r[1]), float(r[2])) for r in rows])
+
+    # theil: x = (x/mu)*ln(x/mu) per customer
+    rows = con.execute("""
+        WITH rev AS (SELECT c.c_mktsegment AS seg, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+                     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                     GROUP BY c.c_mktsegment, o.o_custkey),
+        seg AS (SELECT seg, count(*) AS n_g, SUM(x) AS sx_g FROM rev GROUP BY 1)
+        SELECT (CAST(r.x AS DOUBLE)/(CAST(s.sx_g AS DOUBLE)/s.n_g))
+                 * ln(CAST(r.x AS DOUBLE)/(CAST(s.sx_g AS DOUBLE)/s.n_g)),
+               CAST(r.x AS DOUBLE)/(CAST(s.sx_g AS DOUBLE)/s.n_g),
+               CAST(r.x AS DOUBLE)/(CAST(s.sx_g AS DOUBLE)/s.n_g)
+        FROM rev r JOIN seg s USING (seg)
+    """).fetchall()
+    audit("theil (r)ln(r)", [(float(r[0]), float(r[1]), float(r[2])) for r in rows])
+
+    repr_grid_audit()
+
+
+if __name__ == "__main__":
+    main()
