@@ -4390,7 +4390,13 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r7/r8), DECIMAL (r9), decimal→DOUBLE (r10) — while bit-exact
     green locally, so the entropy summand was replaced by the
     integer-exact Simpson numerator, which captures the same
-    skew-vs-distinct-l gap with zero transcendentals."""
+    skew-vs-distinct-l gap with zero transcendentals.
+
+    Envelope: Σcnt² ≤ class_size · max(cnt), so the BIGINT sum is
+    exact while every (QI, bucket) cell stays under ~3e9 rows
+    (cnt² < 2^63); beyond that, promote the summand to DECIMAL(38,0)
+    on BOTH sides before shipping — Spark's BIGINT sum would wrap or
+    ANSI-error exactly where DuckDB silently promotes to int128."""
     c = read_table(spark, sf_dir, "customer")
     per = c.groupBy(
         "c_nationkey",
