@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from lightlane_spark.cache import unpersist_all  # noqa: E402
 from lightlane_spark.session import get_spark  # noqa: E402
 
 
@@ -257,7 +258,11 @@ def main() -> None:
             # best-of-3 exists to capture; ACROSS queries, leftover
             # cache blocks pile up until late queries pay eviction +
             # GC for early queries' orphans (measured 2-3x noise on
-            # the iterative chains).
+            # the iterative chains). unpersist_all first: it also
+            # empties the driver-side tracked-persist registry, which
+            # clearCache alone leaves growing a strong DataFrame ref
+            # per persist site per query (review finding r11).
+            unpersist_all()
             spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v is not None), 4)

@@ -934,7 +934,7 @@ def q_scd2_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round() path at repr-grid halves (2.675 and 0.0610425 sit on a
 # shortest-repr half; a repr/half-up build emits 268/61043, a pure
 # binary-path build 267/61042), round-half mode at k=0 (343 =
-# half-up/away; half-even gives 240) AND at k=6 on a binary-EXACT
+# half-up/away; half-even gives 242) AND at k=6 on a binary-EXACT
 # dyadic half (0.4765625 = 61/128 → 476563 half-away, 476562
 # half-even — the class the repr-grid audit marks "benign,
 # canary-covered" for bow_similarity/embedding_centroids at sf0.1),

@@ -27,10 +27,13 @@ EXPECTED = {
     "can_log10_3": 477121254719662,
     "can_sqrt2": 1414213562373095,
     "can_pow": 1948717100000001,
-    # round(2.675, 2)→2.68 (repr-half, preceding digit even: a
-    # half-even build gives 267) + round(0.0610425, 6)→0.061043×1000
+    # round(2.675, 2)→2.68 on any repr-path half mode (kept digit 7
+    # is odd, so even ties-to-even picks 2.68); 267 fingerprints the
+    # BINARY path (2.675's double sits below the half)
+    # + round(0.0610425, 6)→0.061043×1000
     "can_round_repr": 268 + 61043 * 1000,
-    # 3·100 + 4·10 + |−3|: half-away at k=0 (half-even gives 240)
+    # 3·100 + 4·10 + |−3|: half-away at k=0 (half-even gives
+    # 2·100 + 4·10 + 2 = 242)
     "can_round_half": 343,
     # exact dyadic half 61/128 at 6dp: half-away 476563, half-even
     # 476562 — covers the benign exact-half class the repr-grid

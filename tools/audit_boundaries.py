@@ -113,12 +113,23 @@ _captured: list[tuple[float, int]] = []
 def _audit_round(x: float, k: int) -> float:
     # record the PRE-round double and its grid, return a round value
     # (downstream values are irrelevant to this audit — the capture
-    # happens regardless of what the rewritten query emits)
-    if x is not None:
-        _captured.append((float(x), int(k)))
+    # happens regardless of what the rewritten query emits). Guarded:
+    # non-finite x and values whose |x|·10^k needs more digits than
+    # the default Decimal context would raise InvalidOperation inside
+    # the DuckDB UDF and masquerade as a REWRITE-FAILED — a value
+    # outside the helper's envelope is NOT a broken rewrite (review
+    # finding r11); it still gets captured and classified.
     if x is None:
         return None
-    q = Decimal(repr(float(x))).quantize(Decimal(1).scaleb(-int(k)))
+    x, k = float(x), int(k)
+    _captured.append((x, k))
+    if not math.isfinite(x):
+        return x
+    import decimal as _d
+
+    with _d.localcontext() as ctx:
+        ctx.prec = 60
+        q = Decimal(repr(x)).quantize(Decimal(1).scaleb(-k))
     return float(q)
 
 
@@ -155,7 +166,12 @@ def _rewrite_rounds(sql: str) -> str:
     """Rename every round(...) call to audit_round(...), padding
     single-arg calls with ', 0' (round-to-integer grid) so one UDF
     signature covers both arities. Balanced-paren scan, no regex
-    arity guessing."""
+    arity guessing. RECURSES into each call's argument text so
+    nested rounds — e.g. round(list_max(list_transform(v, x ->
+    round(x / s) * s)), 9) in embedding_quantize_error — are
+    captured too; a non-recursive rewrite left the inner call native
+    and uncaptured while the audit claimed full coverage (review
+    finding r11)."""
     pat = re.compile(r"\bround\s*\(", re.IGNORECASE)
     out, pos = [], 0
     while True:
@@ -175,7 +191,7 @@ def _rewrite_rounds(sql: str) -> str:
             elif ch == "," and depth == 1:
                 commas += 1
             i += 1
-        inner = sql[m.end():i - 1]
+        inner = _rewrite_rounds(sql[m.end():i - 1])
         pad = "" if commas else ", 0"
         out.append(f"audit_round({inner}{pad})")
         pos = i

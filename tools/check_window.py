@@ -59,7 +59,12 @@ def main() -> None:
             print(f"{name}: FAIL {type(exc).__name__} {str(exc)[:150]}", flush=True)
         finally:
             # per-call tracked_persist sites otherwise accumulate
-            # orphan cache blocks across the window (ADVICE r10)
+            # orphan cache blocks across the window (ADVICE r10);
+            # unpersist_all also empties the driver-side registry
+            # that clearCache leaves growing (review finding r11)
+            from lightlane_spark.cache import unpersist_all
+
+            unpersist_all()
             spark.catalog.clearCache()
     print("WINDOW DONE bad =", bad, flush=True)
     sys.exit(1 if bad else 0)

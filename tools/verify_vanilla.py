@@ -43,7 +43,14 @@ for name in sorted(qs):
         # tracked_persist sites (bm25/tfidf postings, KM day table,
         # ...) pin a new cache entry per call; 251 queries in one
         # session otherwise accumulate orphan blocks until late
-        # queries pay eviction + GC (ADVICE r10)
+        # queries pay eviction + GC (ADVICE r10). unpersist_all is
+        # the library's own lifecycle API — it also empties the
+        # driver-side _TRACKED registry, which clearCache alone
+        # leaves growing (review finding r11); clearCache then
+        # catches anything cached outside tracked_persist.
+        from lightlane_spark.cache import unpersist_all
+
+        unpersist_all()
         spark.catalog.clearCache()
 print('DONE bad =', bad, flush=True)
 
