@@ -313,3 +313,18 @@ def test_burstiness_sub_second_bot_guard(spark, tmp_path):
     assert [(r["user_id"], r["n_gaps"], r["fano"], r["is_bot"]) for r in out] == [
         (99, 5, 0.0, 1)
     ]
+
+
+def test_decisive_experiment_queries_stay_pure_integer(spark, sf_dir):
+    """The r11 decisive experiment (VERDICT r10 ask #1) requires the
+    three 4-round driver-red queries to emit ONLY integral/string
+    columns — a float column reintroduced later would silently
+    un-run the experiment. Pin their full dtype closure."""
+    import __spark_entry__ as entry
+
+    allowed = {"tinyint", "smallint", "int", "bigint", "string"}
+    qs = entry.queries()
+    for name in ("l_diversity", "two_hop_features", "kaplan_meier"):
+        df = qs[name](spark, sf_dir)
+        bad = [(c, t) for c, t in df.dtypes if t not in allowed]
+        assert not bad, f"{name} emits non-integer columns: {bad}"
