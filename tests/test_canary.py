@@ -88,3 +88,53 @@ def test_repr_half_class(x, k, expected):
     from tools.audit_boundaries import _repr_half_class
 
     assert _repr_half_class(x, k) == expected
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the repr-grid audit primitives (review pass r11)
+# ---------------------------------------------------------------------------
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.integers(min_value=0, max_value=9),
+)
+def test_repr_half_class_constructive(m, k):
+    """Construct x as the double nearest to a true k-dp grid half
+    (2m+1)/(2·10^k). When x's shortest repr still reads as that half,
+    the classifier must call it: "exact" iff the half is binary-
+    representable (only when 5^k divides 2m+1), else "inexact"."""
+    from tools.audit_boundaries import _repr_half_class
+
+    half = Decimal(2 * m + 1) / (Decimal(2) * 10**k)
+    x = float(half)
+    cls = _repr_half_class(x, k)
+    if Decimal(repr(x)) == half:
+        assert cls == ("exact" if Decimal(x) == half else "inexact")
+    else:
+        # repr moved off the half — classification must then agree
+        # with a direct fraction check of the repr itself
+        sh = Decimal(repr(x)).scaleb(k)
+        frac = sh - sh.to_integral_value(rounding="ROUND_FLOOR")
+        assert (cls is not None) == (frac == Decimal("0.5"))
+
+
+def test_rewriter_covers_every_round_in_every_oracle():
+    """No bare round( may survive rewriting in ANY registry oracle —
+    the exact hole (nested rounds) the r11 review found. Paren
+    balance must be preserved so the rewritten SQL stays parseable."""
+    import re
+
+    import __spark_entry__ as entry
+    from tools.audit_boundaries import _rewrite_rounds
+
+    for name, sql in entry.oracle_sql().items():
+        out = _rewrite_rounds(sql)
+        leftover = re.search(r"(?<!audit_)\bround\s*\(", out, re.IGNORECASE)
+        assert not leftover, f"{name}: unrewritten round() survives"
+        assert out.count("(") == out.count(")") == sql.count("(")
