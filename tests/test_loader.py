@@ -139,3 +139,21 @@ def test_loader_orc_and_json_formats(spark, sf_dir, tmp_path):
         back = spark.read.format(fmt).load(path)
         assert back.count() == orders.count()
         assert back.filter("o_orderpriority = 'MERGED'").count() == staging.count()
+
+
+def test_orc_helpers_roundtrip(spark, sf_dir, tmp_path):
+    """write_orc/read_orc round-trip (the library's ORC format slot —
+    q_orc_roundtrip exercises the raw writer; these helpers are the
+    public API form and must stay equivalent)."""
+    from lightlane_spark.loaders.text_sinks import read_orc, write_orc
+    from lightlane_spark.sources.parquet import read_table
+
+    df = read_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    assert sorted(r["r_regionkey"] for r in back.collect()) == sorted(
+        r["r_regionkey"] for r in df.collect()
+    )

@@ -473,3 +473,34 @@ def test_span_dedup_null_text_absent(spark):
     )
     out = span_dedup(df, span=4).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_h32_seeded_all_matches_per_seed_h32(spark):
+    """h32_seeded_all(c, n) must equal [h32(c, seed=i) for i in 0..n)
+    element-wise — the convenience array form may never drift from
+    the per-seed primitive that every sketch oracle models."""
+    from lightlane_spark.functions.hashing import h32, h32_seeded_all
+
+    df = spark.createDataFrame(
+        [("alpha",), ("beta",), ("",)], "s string"
+    ).select(
+        h32_seeded_all("s", 4).alias("arr"),
+        *[h32("s", seed=i).alias(f"h{i}") for i in range(4)],
+    )
+    for row in df.collect():
+        assert list(row["arr"]) == [row[f"h{i}"] for i in range(4)]
+
+
+def test_bit_of_portable_bit_extraction(spark):
+    """bit_of(x, b) == (x >> b) & 1 for non-negative integers."""
+    from lightlane_spark.functions.hashing import bit_of
+
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, 2, 5, 1023, (1 << 31) - 1, 1 << 40]
+    df = spark.createDataFrame([(v,) for v in vals], "x long").select(
+        "x", *[bit_of(F.col("x"), b).alias(f"b{b}") for b in (0, 1, 5, 40)]
+    )
+    for row in df.collect():
+        for b in (0, 1, 5, 40):
+            assert row[f"b{b}"] == (row["x"] >> b) & 1, (row["x"], b)
