@@ -951,13 +951,19 @@ _CANARY_SQL = (
     "CAST(floor(log10(CAST(3 AS DOUBLE)) * 1e15) AS BIGINT) AS can_log10_3, "
     "CAST(floor(sqrt(CAST(2 AS DOUBLE)) * 1e15) AS BIGINT) AS can_sqrt2, "
     "CAST(floor(pow(CAST(1.1 AS DOUBLE), 7) * 1e15) AS BIGINT) AS can_pow, "
-    "CAST(round(CAST(2.675 AS DOUBLE), 2) * 100 AS BIGINT) "
-    "+ CAST(round(CAST(0.0610425 AS DOUBLE), 6) * 1e6 AS BIGINT) * 1000 "
-    "AS can_round_repr, "
+    # round(expr*scale, 0) before every CAST of a double PRODUCT:
+    # CAST(double AS BIGINT) truncates in Spark but rounds-to-nearest
+    # in DuckDB, so a product landing a hair off the integer would
+    # split on cast semantics alone — misattributing a canary red to
+    # the round() path it fingerprints (ADVICE r11 #1). floor()-
+    # wrapped columns cast exact integers and need no normalization.
+    "CAST(round(round(CAST(2.675 AS DOUBLE), 2) * 100, 0) AS BIGINT) "
+    "+ CAST(round(round(CAST(0.0610425 AS DOUBLE), 6) * 1e6, 0) AS BIGINT) "
+    "* 1000 AS can_round_repr, "
     "CAST(round(CAST(2.5 AS DOUBLE), 0) AS BIGINT) * 100 "
     "+ CAST(round(CAST(3.5 AS DOUBLE), 0) AS BIGINT) * 10 "
     "+ CAST(abs(round(CAST(-2.5 AS DOUBLE), 0)) AS BIGINT) AS can_round_half, "
-    "CAST(round(CAST(0.4765625 AS DOUBLE), 6) * 1e6 AS BIGINT) "
+    "CAST(round(round(CAST(0.4765625 AS DOUBLE), 6) * 1e6, 0) AS BIGINT) "
     "AS can_round_half6, "
     "CAST(floor(CAST(CAST('91234567890123456.75' AS DECIMAL(20,2)) "
     "AS DOUBLE) / 16) AS BIGINT) AS can_dec53"
@@ -4430,9 +4436,13 @@ ORACLE["l_diversity"] = """
     ),
     cls AS (
         SELECT c_nationkey, c_mktsegment,
-               SUM(cnt) AS class_size,
+               -- CAST: DuckDB promotes SUM(BIGINT) to HUGEINT, which crosses
+               -- Arrow as decimal128(38,0) -> Python Decimal while Spark
+               -- emits int64; a typed hasher then diverges on identical
+               -- values. BIGINT keeps both engines on int64.
+               CAST(SUM(cnt) AS BIGINT) AS class_size,
                count(*) AS l_distinct,
-               SUM(cnt * cnt) AS simpson_num
+               CAST(SUM(cnt * cnt) AS BIGINT) AS simpson_num
         FROM per GROUP BY 1, 2
     )
     SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
@@ -5041,7 +5051,9 @@ ORACLE["two_hop_features"] = """
     )
     SELECT h1.v AS node, n1,
            CAST(s1 * 100 AS BIGINT) AS sum_1hop_cents,
-           n2,
+           -- CAST: SUM(BIGINT) is HUGEINT in DuckDB (Arrow Decimal vs
+           -- Spark int64); pin to BIGINT for typed comparators.
+           CAST(n2 AS BIGINT) AS n2,
            CAST(s2 * 100 AS BIGINT) AS sum_2hop_cents
     FROM h1 JOIN h2 ON h1.v = h2.node2
     WHERE h1.v % 50 = 0

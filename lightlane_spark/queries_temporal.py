@@ -1033,7 +1033,15 @@ ORACLE["kaplan_meier"] = """
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
         FROM km
     )
-    SELECT variant, t, n_risk, d, c, CAST(dead AS BIGINT) AS dead
+    SELECT variant, t,
+           -- CASTs: d/c are SUM(BIGINT) -> HUGEINT in DuckDB and n_risk is
+           -- HUGEINT arithmetic; Arrow renders HUGEINT as decimal128(38,0)
+           -- (Python Decimal) while Spark emits int64 -- identical values,
+           -- divergent types under a typed hasher. Pin all three to BIGINT.
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d,
+           CAST(c AS BIGINT) AS c,
+           CAST(dead AS BIGINT) AS dead
     FROM km2 WHERE d > 0 ORDER BY variant, t
 """
 

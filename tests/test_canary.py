@@ -131,10 +131,52 @@ def test_rewriter_covers_every_round_in_every_oracle():
     import re
 
     import __spark_entry__ as entry
-    from tools.audit_boundaries import _rewrite_rounds
+    from tools.audit_boundaries import _mask_inert, _rewrite_rounds
 
     for name, sql in entry.oracle_sql().items():
         out = _rewrite_rounds(sql)
-        leftover = re.search(r"(?<!audit_)\bround\s*\(", out, re.IGNORECASE)
+        # leftover scan on SIGNIFICANT text only: a 'round(' inside a
+        # string literal or -- comment is correctly left unrewritten
+        # (e.g. burstiness_bots narrates one in a comment)
+        leftover = re.search(
+            r"(?<!audit_)\bround\s*\(", _mask_inert(out), re.IGNORECASE
+        )
         assert not leftover, f"{name}: unrewritten round() survives"
         assert out.count("(") == out.count(")") == sql.count("(")
+
+
+def test_rewriter_skips_string_literals_and_comments():
+    """ADVICE r11 #2: the balanced-paren scan must not treat quoted
+    literals (or -- comments) as SQL — a literal containing 'round(',
+    a paren, or a depth-1 comma previously miscounted or was falsely
+    rewritten, producing broken audit SQL."""
+    import pytest
+
+    from tools.audit_boundaries import _rewrite_rounds
+
+    # 'round(' inside a literal: must NOT be rewritten; real one must
+    sql = "SELECT round(x, 2), 'call round(y) here' FROM t"
+    out = _rewrite_rounds(sql)
+    assert out == "SELECT audit_round(x, 2), 'call round(y) here' FROM t"
+
+    # parens + depth-1 comma inside a literal ARGUMENT of round():
+    # the scan must not end the call early or see a fake 2nd arg
+    sql = "SELECT round(len(concat(s, '(a,b))')) / 7) FROM t"
+    out = _rewrite_rounds(sql)
+    assert out == "SELECT audit_round(len(concat(s, '(a,b))')) / 7, 0) FROM t"
+
+    # '' escape inside a literal keeps the literal open across it
+    sql = "SELECT round(x), 'it''s round(' FROM t"
+    assert _rewrite_rounds(sql) == (
+        "SELECT audit_round(x, 0), 'it''s round(' FROM t"
+    )
+
+    # -- comment text is inert (parens, commas, round( all ignored)
+    sql = "SELECT round(x,\n-- round( fake (a,b\n2) FROM t"
+    assert _rewrite_rounds(sql) == (
+        "SELECT audit_round(x,\n-- round( fake (a,b\n2) FROM t"
+    )
+
+    # unbalanced input raises ValueError, not IndexError
+    with pytest.raises(ValueError, match="unbalanced"):
+        _rewrite_rounds("SELECT round(x")

@@ -144,6 +144,57 @@ def test_compare_catches_timestamptz_vs_naive():
     assert schema_ok and values_ok
 
 
+def test_compare_catches_uncast_hugeint_sum():
+    """THE five-round hole (VERDICT r11 "What's wrong" #1-2): DuckDB
+    promotes SUM over integer columns to HUGEINT. fetchall() collapsed
+    that to Python int (local green) while Arrow export renders it as
+    decimal128(38,0) -> Decimal (driver red: int64 vs Decimal). The
+    comparator now fetches via Arrow, so an UNCAST integer SUM must
+    FAIL against a Spark int64 frame — and the CAST(... AS BIGINT)
+    form must pass. If this test starts passing with fetchall-based
+    fetching, the hole has been reopened."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x BIGINT)")
+    con.execute("INSERT INTO t VALUES (2), (3)")
+    sdf = FakeFrame(["s"], [(5,)])  # Spark SUM(BIGINT) collects as int
+    schema_ok, values_ok, *_ = compare(con, sdf, "SELECT SUM(x) AS s FROM t")
+    assert not schema_ok and not values_ok
+    schema_ok, values_ok, *_ = compare(
+        con, sdf, "SELECT CAST(SUM(x) AS BIGINT) AS s FROM t"
+    )
+    assert schema_ok and values_ok
+
+
+def test_fetch_oracle_typed_sees_arrow_types():
+    """The typed fetch is the driver-faithful path: HUGEINT must
+    surface as Decimal (not int), and a top-level MAP must come back
+    as a dict (Arrow's list-of-pairs wire shape papered over) so a
+    future map-emitting oracle compares by value."""
+    from tools.oracle_compare import fetch_oracle_typed
+
+    con = duckdb.connect()
+    cols, rows = fetch_oracle_typed(
+        con, "SELECT 5::HUGEINT AS h, MAP([1, 2], ['a', 'b']) AS m"
+    )
+    assert cols == ["h", "m"]
+    ((h, m),) = rows
+    assert isinstance(h, decimal.Decimal) and h == 5
+    assert m == {1: "a", 2: "b"}
+
+
+def test_compare_map_column_matches_spark_dict():
+    con = duckdb.connect()
+    sdf = FakeFrame(["m"], [({1: "a"},)])
+    schema_ok, values_ok, *_ = compare(
+        con, sdf, "SELECT MAP([1], ['a']) AS m"
+    )
+    assert schema_ok and values_ok
+    schema_ok, values_ok, *_ = compare(
+        con, sdf, "SELECT MAP([1], ['b']) AS m"
+    )
+    assert not values_ok
+
+
 def test_compare_catches_decimal_vs_double_column():
     con = duckdb.connect()
     sdf = FakeFrame(["v"], [(1.5,)])

@@ -17,10 +17,39 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
-from tools.oracle_compare import canon, register_views
+from tools.oracle_compare import canon, fetch_oracle_typed, register_views
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
+
+# DuckDB types whose Arrow export yields a DIFFERENT Python class than
+# the same logical value collected from Spark — invisible to fetchall()
+# but red under the driver's typed hasher. HUGEINT (DuckDB's silent
+# SUM(int) promotion) cost five rounds of driver reds on l_diversity /
+# two_hop_features / kaplan_meier (VERDICT r11); the gate keeps the
+# registry at zero occurrences forever. Oracles must CAST such
+# expressions (e.g. CAST(SUM(x) AS BIGINT)).
+_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def test_no_oracle_emits_driver_divergent_types(sf_dir):
+    """Registry-wide oracle dtype gate (VERDICT r11 ask #3) — the
+    mirror of the Spark-side no-DecimalType gate. DESCRIBE every
+    oracle (plans only, no execution) and fail on any output column
+    whose physical type crosses Arrow as a different Python class
+    than Spark's collect produces."""
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+    hits = []
+    for name in sorted(ORACLES):
+        desc = con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
+        for cname, ctype, *_ in desc:
+            if any(t in ctype.upper() for t in _FORBIDDEN_ORACLE_TYPES):
+                hits.append((name, cname, ctype))
+    assert not hits, (
+        "oracles emit driver-divergent physical types (Arrow renders "
+        f"them as Decimal, Spark emits int64) — add CASTs: {hits}"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -33,9 +62,10 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
     con = duckdb.connect()
     register_views(con, sf_dir)
-    res = con.execute(ORACLES[name])
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    # typed Arrow fetch — fetchall() erased DuckDB's physical type
+    # (HUGEINT -> int), the exact comparator hole behind the r7-r11
+    # driver reds; this path sees what the driver's hasher sees
+    ocols, orows = fetch_oracle_typed(con, ORACLES[name])
     s_vals, s_cols, s_tags = canon(scols, srows)
     o_vals, o_cols, o_tags = canon(ocols, orows)
     assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"

@@ -119,6 +119,16 @@ def _audit_round(x: float, k: int) -> float:
     # the DuckDB UDF and masquerade as a REWRITE-FAILED — a value
     # outside the helper's envelope is NOT a broken rewrite (review
     # finding r11); it still gets captured and classified.
+    # CONTRACT (ADVICE r11 #3): the UDF's first argument is DOUBLE, so
+    # a round() over a DECIMAL expression is captured AFTER DuckDB's
+    # implicit decimal->double conversion — an exact decimal grid-half
+    # (e.g. a scale-3 decimal ending in 5 rounded at 2dp) would then
+    # classify "inexact" even though decimal rounding is exact and
+    # engine-identical: a FALSE-POSITIVE audit failure, never a missed
+    # divergence (the audit stays conservative). Rounding oracles must
+    # therefore CAST(... AS DOUBLE) before round() so the captured
+    # value is the one the engines actually round; if a decimal-round
+    # oracle ever trips this audit, convert that oracle, not this UDF.
     if x is None:
         return None
     x, k = float(x), int(k)
@@ -162,6 +172,42 @@ def _repr_half_class(x: float, k: int) -> str | None:
     return "exact" if Decimal(x) == shortest else "inexact"
 
 
+def _mask_inert(sql: str) -> str:
+    """Same-length copy of ``sql`` with every character inside a
+    single-quoted literal (incl. the quotes; '' escapes handled) or a
+    ``--`` line comment replaced by '_', so the rewriter's pattern
+    search and balanced-paren scan can never match a ``round(``, a
+    paren, or a depth-1 comma that lives in literal/comment text
+    (ADVICE r11 #2: the unmasked scan would miscount or falsely
+    rewrite such spans, producing broken audit SQL). Indices stay
+    aligned — slices for output text come from the ORIGINAL sql."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            out[i] = "_"
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":  # '' escape
+                        out[i] = out[i + 1] = "_"
+                        i += 2
+                        continue
+                    out[i] = "_"
+                    i += 1
+                    break
+                out[i] = "_"
+                i += 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                out[i] = "_"
+                i += 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _rewrite_rounds(sql: str) -> str:
     """Rename every round(...) call to audit_round(...), padding
     single-arg calls with ', 0' (round-to-integer grid) so one UDF
@@ -171,11 +217,15 @@ def _rewrite_rounds(sql: str) -> str:
     round(x / s) * s)), 9) in embedding_quantize_error — are
     captured too; a non-recursive rewrite left the inner call native
     and uncaptured while the audit claimed full coverage (review
-    finding r11)."""
+    finding r11). Pattern search and paren scan run on a MASKED copy
+    (string literals and -- comments blanked, see ``_mask_inert``)
+    while output slices come from the original text, and unbalanced
+    input raises ValueError instead of IndexError."""
     pat = re.compile(r"\bround\s*\(", re.IGNORECASE)
+    masked = _mask_inert(sql)
     out, pos = [], 0
     while True:
-        m = pat.search(sql, pos)
+        m = pat.search(masked, pos)
         if not m:
             out.append(sql[pos:])
             return "".join(out)
@@ -183,7 +233,11 @@ def _rewrite_rounds(sql: str) -> str:
         depth, i = 1, m.end()
         commas = 0
         while depth:
-            ch = sql[i]
+            if i >= len(masked):
+                raise ValueError(
+                    f"unbalanced parens scanning round() at {m.start()}"
+                )
+            ch = masked[i]
             if ch == "(":
                 depth += 1
             elif ch == ")":
