@@ -466,8 +466,8 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness run truncates at 50 queries. Round-11
-# rotation (VERDICT r10 asks #1/#3), GENERATED by
+# The driver's correctness run truncates at 50 queries. Round-12
+# rotation (VERDICT r11 ask #4), GENERATED by
 # tools/rotate_window.py from CORRECTNESS_r*.json history. This
 # round's invocation (reproducible):
 #
@@ -481,30 +481,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #           json_extract,explode,flatten_json_array,map_rows_tokens,\
 #           drop_falsy --python
 #
-# Window composition (50 slots): slots 1-3 are the 3 persistent
-# driver reds (l_diversity / two_hop_features / kaplan_meier) — red
-# in r7-r10 in every float formulation (rounded double, DECIMAL,
-# decimal-accumulate→DOUBLE) while bit-exact green locally, so r11
-# runs the DECISIVE experiment (VERDICT r10 ask #1): their hashed
-# outputs are now PURE INTEGER — kaplan_meier dropped log_s (the KM
-# table (variant,t,n_risk,d,c,dead) is the estimator's sufficient
-# statistic), two_hop_features emits exact-shift cents BIGINT
-# (sum×100 inside decimal arithmetic), l_diversity replaced the
-# Shannon plogp summand with the Simpson numerator Σcnt² (BIGINT).
-# If any stays red with integer-only output, the driver's Spark and
-# DuckDB disagree on exact integers — a proven driver-harness
-# artifact, to be documented in SCALE.md and closed. Slot 4 is
-# table_profile, changed this round to carry the engine-behavior
-# CANARY (9 integer columns fingerprinting round()/libm/decimal→
-# double build behavior — VERDICT r10 ask #5; if a local-green
-# window query goes driver-red, table_profile's own red/green
-# localizes whether the driver's engine builds diverge on those
-# float classes). Then the 21 pinned SURVEY-2 relational/loader
-# core names (all green r10) and the stalest greens. Queries in
-# this window are semantically FROZEN for the rest of the round;
-# the freeze gate (tools/check_window.py) compares DRIVER-STRICT
-# (type-tagged values, tz-aware vs naive, Decimal scale, float
-# reprs — tools/oracle_compare.py).
+# Window composition (50 slots): slots 1-3 are the r7-r11 driver
+# reds (l_diversity / two_hop_features / kaplan_meier), ROOT-CAUSED
+# by the r11 judge: exactly these three oracles emitted DuckDB
+# HUGEINT columns (the silent SUM(int) promotion), which cross Arrow
+# as decimal128(38,0) → Python Decimal while Spark emits int64 —
+# values identical, type path divergent, so a typed driver hasher
+# red with rows/schema green. r12 fix: CAST(... AS BIGINT) on the
+# six oracle columns (class_size/simpson_num, n2, n_risk/d/c) plus
+# a comparator that now fetches the oracle via Arrow
+# (tools/oracle_compare.fetch_oracle_typed) and a registry-wide
+# no-HUGEINT DESCRIBE gate (tests/test_oracle_parity.py), so the
+# class fails locally and can never silently recur. Slot 4 is
+# table_profile with the engine-behavior CANARY (its round-product
+# casts normalized this round per ADVICE r11 #1: round(expr*scale,0)
+# before CAST, neutralizing Spark-truncate vs DuckDB-nearest cast
+# semantics; all 9 canary values unchanged). Then the 21 pinned
+# SURVEY-2 relational/loader core names (all green r11) and the
+# stalest greens (r2-r3 era). Queries in this window are
+# semantically FROZEN for the rest of the round; the freeze gate
+# (tools/check_window.py) compares DRIVER-STRICT (type-tagged
+# values, tz-aware vs naive, Decimal scale, float reprs, and — new
+# this round — oracle values fetched through Arrow exactly as the
+# driver's hasher sees them).
 _RECHECK = [
     # generated by tools/rotate_window.py — do not hand-edit;
     # re-run with --changed <names> after semantic changes.
@@ -514,7 +513,7 @@ _RECHECK = [
     "kaplan_meier",
     # --- changed ---
     "table_profile",
-    # --- pinned (green r10) ---
+    # --- pinned (green r11) ---
     "pricing_summary",
     "column_exclusion",
     "minmax_probe",
@@ -536,33 +535,7 @@ _RECHECK = [
     "flatten_json_array",
     "map_rows_tokens",
     "drop_falsy",
-    # --- green r1 ---
-    "corpus_prep",
-    "pii_redact",
-    "dedup_exact",
-    "minhash_signatures",
-    "simhash_near_pairs",
     # --- green r2 ---
-    "simhash_signatures",
-    "ngram_jaccard",
-    "ann_topk_bruteforce",
-    "variant_extract",
-    "salted_join",
-    "moving_avg",
-    "join_right_outer",
-    "cross_join_grid",
-    "window_first_last",
-    "ordered_agg",
-    "shipping_priority",
-    "returned_items",
-    "small_order_revenue",
-    "customer_order_counts",
-    "having_filter",
-    "dq_violations",
-    "pivot",
-    "unpivot",
-    "quantile_summary",
-    "snapshot_diff",  # end of 50-slot driver window
     "orc_roundtrip",
     "xml_roundtrip",
     "revenue_by_part_type",
@@ -588,7 +561,7 @@ _RECHECK = [
     # --- green r3 ---
     "json_roundtrip",
     "sessionize",
-    "session_window",
+    "session_window",  # end of 50-slot driver window
     "quota_sample",
     "weighted_sample",
     "pack_sequences",
@@ -770,6 +743,32 @@ _RECHECK = [
     "time_rollup",
     "resample_fill",
     "time_weighted_avg",
+    # --- green r11 ---
+    "corpus_prep",
+    "pii_redact",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "ngram_jaccard",
+    "ann_topk_bruteforce",
+    "variant_extract",
+    "salted_join",
+    "moving_avg",
+    "join_right_outer",
+    "cross_join_grid",
+    "window_first_last",
+    "ordered_agg",
+    "shipping_priority",
+    "returned_items",
+    "small_order_revenue",
+    "customer_order_counts",
+    "having_filter",
+    "dq_violations",
+    "pivot",
+    "unpivot",
+    "quantile_summary",
+    "snapshot_diff",
 ]
 
 
