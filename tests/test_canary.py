@@ -180,3 +180,70 @@ def test_rewriter_skips_string_literals_and_comments():
     # unbalanced input raises ValueError, not IndexError
     with pytest.raises(ValueError, match="unbalanced"):
         _rewrite_rounds("SELECT round(x")
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the masked rewriter (ADVICE r11 #2 hardening).
+# ---------------------------------------------------------------------------
+
+_sql_atoms = st.lists(
+    st.one_of(
+        st.sampled_from(
+            [
+                "SELECT ",
+                "round(x, 2)",
+                "round(x)",
+                "sum(y)",
+                " FROM t ",
+                ", ",
+                "(a + b)",
+                "'lit(eral, round( t''ick'",
+                "-- note round( (a,b\n",
+                "x",
+            ]
+        ),
+        st.text(
+            alphabet="abc(),'-\n 0123456789", min_size=0, max_size=12
+        ),
+    ),
+    max_size=8,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(parts=_sql_atoms)
+def test_mask_inert_properties(parts):
+    """_mask_inert is length-preserving, never raises, and only ever
+    substitutes characters (never reorders): every output position is
+    either the input character or '_'."""
+    from tools.audit_boundaries import _mask_inert
+
+    sql = "".join(parts)
+    masked = _mask_inert(sql)
+    assert len(masked) == len(sql)
+    assert all(a == b or b == "_" for a, b in zip(sql, masked))
+
+
+@settings(max_examples=300, deadline=None)
+@given(parts=_sql_atoms)
+def test_rewriter_total_on_arbitrary_sql(parts):
+    """On arbitrary text the rewriter either returns a rewrite that
+    (a) preserves every character outside the rewritten call heads
+    and pads, and (b) keeps the original-vs-output length delta
+    explainable by its two edit kinds — or raises ValueError
+    (unbalanced input), never IndexError/other."""
+    from tools.audit_boundaries import _rewrite_rounds
+
+    sql = "".join(parts)
+    try:
+        out = _rewrite_rounds(sql)
+    except ValueError:
+        return
+    # each rewrite adds 'audit_' (6 chars) and possibly ', 0' (3);
+    # nothing else changes length
+    delta = len(out) - len(sql)
+    heads = out.count("audit_round(")
+    pads = delta - 6 * heads
+    assert pads % 3 == 0 and 0 <= pads // 3 <= heads
+    if heads == 0:
+        assert out == sql
