@@ -24,42 +24,15 @@ from tools.oracle_compare import canon, fetch_oracle_typed, register_views
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
-# ALLOWLIST of DuckDB output types whose Arrow-export Python class is
-# verified identical to the class Spark's collect() produces for the
-# matching Spark type. Everything else fails the gate until audited
-# in — HUGEINT (DuckDB's silent SUM(int) promotion, Arrow
-# decimal128(38,0) → Decimal vs Spark int64) cost five rounds of
-# driver reds on l_diversity / two_hop_features / kaplan_meier
-# (VERDICT r11), and an allowlist also pre-blocks the other known
-# divergent classes (TIMESTAMP WITH TIME ZONE vs naive — the r7/r8
-# red; DECIMAL outputs, barred Spark-side by the no-DecimalType
-# gate; INTERVAL / TIME / UUID / ENUM, which Spark can't collect as
-# the same class at all). To admit a new type: verify its
-# fetch_arrow_table().to_pylist() class matches Spark collect for
-# the intended Spark type, then add the token here with a note.
-_ALLOWED_ORACLE_TYPE_TOKENS = {
-    "BIGINT",     # Arrow int64 → int; Spark LongType → int
-    "INTEGER",    # Arrow int32 → int; Spark IntegerType → int
-    "SMALLINT",   # Arrow int16 → int
-    "TINYINT",    # Arrow int8 → int
-    "DOUBLE",     # Arrow float64 → float; Spark DoubleType → float
-    "VARCHAR",    # Arrow string → str
-    "BOOLEAN",    # Arrow bool → bool
-    "DATE",       # Arrow date32 → datetime.date
-    "TIMESTAMP",  # Arrow timestamp[us] (naive) → naive datetime;
-                  # the WITH TIME ZONE form fails via its extra tokens
-}
-
-
-def _dtype_allowed(ctype: str) -> bool:
-    """True iff every alphabetic token of the DESCRIBE type is on the
-    allowlist AND the type carries no list marker — ``BIGINT[]``
-    tokenizes to just {BIGINT}, so the bracket must be checked
-    separately or LIST types would slip through as their element."""
-    if "[" in ctype:
-        return False
-    toks = set(re.findall(r"[A-Z_]+", ctype.upper()))
-    return toks <= _ALLOWED_ORACLE_TYPE_TOKENS
+# The dtype allowlist and checker live in tools/oracle_compare.py —
+# ONE definition shared with the sweep (tools/verify_vanilla.py) and
+# the freeze gate (tools/check_window.py), so the pytest gate and the
+# driver-mimic tools can never disagree on what types are admissible.
+from tools.oracle_compare import (  # noqa: E402
+    ALLOWED_ORACLE_TYPE_TOKENS,
+    assert_oracle_dtypes,
+    dtype_allowed,
+)
 
 
 def test_no_oracle_emits_driver_divergent_types(sf_dir):
@@ -67,20 +40,12 @@ def test_no_oracle_emits_driver_divergent_types(sf_dir):
     mirror of the Spark-side no-DecimalType gate. DESCRIBE every
     oracle (plans only, no execution) and fail on any output column
     whose physical type is not on the audited allowlist of types
-    whose Arrow export matches Spark collect class-for-class."""
+    whose Arrow export matches Spark collect class-for-class (e.g.
+    HUGEINT, whose Arrow Decimal vs Spark int64 split caused five
+    rounds of driver reds)."""
     con = duckdb.connect()
     register_views(con, sf_dir)
-    hits = []
-    for name in sorted(ORACLES):
-        desc = con.execute(f"DESCRIBE {ORACLES[name]}").fetchall()
-        for cname, ctype, *_ in desc:
-            if not _dtype_allowed(ctype):
-                hits.append((name, cname, ctype))
-    assert not hits, (
-        "oracle output types off the audited allowlist (their Arrow "
-        "Python class may differ from Spark collect — the HUGEINT "
-        f"class that caused five rounds of driver reds): {hits}"
-    )
+    assert_oracle_dtypes(con, ORACLES)
 
 
 def test_dtype_allowlist_flags_known_divergent_types():
@@ -100,9 +65,17 @@ def test_dtype_allowlist_flags_known_divergent_types():
         "STRUCT(a BIGINT)",
     ]
     for ctype in bad:
-        assert not _dtype_allowed(ctype), ctype
-    for ctype in sorted(_ALLOWED_ORACLE_TYPE_TOKENS):
-        assert _dtype_allowed(ctype)
+        assert not dtype_allowed(ctype), ctype
+    for ctype in sorted(ALLOWED_ORACLE_TYPE_TOKENS):
+        assert dtype_allowed(ctype)
+    # and the raising form carries the offender in its message
+    con = duckdb.connect()
+    try:
+        assert_oracle_dtypes(con, {"h": "SELECT 1::HUGEINT AS v"})
+    except AssertionError as exc:
+        assert "HUGEINT" in str(exc)
+    else:  # pragma: no cover
+        raise AssertionError("uncaught HUGEINT oracle")
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

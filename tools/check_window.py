@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-from tools.oracle_compare import compare, register_views
+from tools.oracle_compare import assert_oracle_dtypes, compare, register_views
 
 
 def main() -> None:
@@ -39,6 +39,9 @@ def main() -> None:
     register_views(con, sf)
 
     qs, osql = m.queries(), m.oracle_sql()
+    # fail FAST on driver-divergent oracle types (HUGEINT class,
+    # r7-r11 reds) before running the window
+    assert_oracle_dtypes(con, osql)
     bad = []
     for name in list(qs)[:n]:
         try:

@@ -127,6 +127,70 @@ def register_views(con, sf_dir: str) -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 
+# ALLOWLIST of DuckDB output types whose Arrow-export Python class is
+# verified identical to the class Spark's collect() produces for the
+# matching Spark type. Everything else fails assert_oracle_dtypes
+# until audited in — HUGEINT (DuckDB's silent SUM(int) promotion,
+# Arrow decimal128(38,0) → Decimal vs Spark int64) cost five rounds
+# of driver reds (VERDICT r11); the allowlist also pre-blocks
+# TIMESTAMP WITH TIME ZONE (the r7/r8 red), DECIMAL (barred
+# Spark-side by the no-DecimalType gate), and INTERVAL/TIME/UUID/
+# ENUM/LIST/STRUCT, unaudited until a query needs them. To admit a
+# new type: verify its fetch_arrow_table().to_pylist() class matches
+# Spark collect for the intended Spark type, then add the token here
+# with a note. ONE definition, shared by the pytest gate
+# (tests/test_oracle_parity.py) and the sweep/freeze tools, for the
+# same reason canonicalization lives here.
+ALLOWED_ORACLE_TYPE_TOKENS = frozenset(
+    {
+        "BIGINT",     # Arrow int64 → int; Spark LongType → int
+        "INTEGER",    # Arrow int32 → int; Spark IntegerType → int
+        "SMALLINT",   # Arrow int16 → int
+        "TINYINT",    # Arrow int8 → int
+        "DOUBLE",     # Arrow float64 → float; Spark DoubleType → float
+        "VARCHAR",    # Arrow string → str
+        "BOOLEAN",    # Arrow bool → bool
+        "DATE",       # Arrow date32 → datetime.date
+        "TIMESTAMP",  # Arrow timestamp[us] (naive) → naive datetime;
+                      # the WITH TIME ZONE form fails via extra tokens
+    }
+)
+
+
+def dtype_allowed(ctype: str) -> bool:
+    """True iff every alphabetic token of the DESCRIBE type is on the
+    allowlist AND the type carries no list marker — ``BIGINT[]``
+    tokenizes to just {BIGINT}, so the bracket must be checked
+    separately or LIST types would slip through as their element."""
+    import re
+
+    if "[" in ctype:
+        return False
+    toks = set(re.findall(r"[A-Z_]+", ctype.upper()))
+    return toks <= ALLOWED_ORACLE_TYPE_TOKENS
+
+
+def assert_oracle_dtypes(con, oracles: dict) -> None:
+    """DESCRIBE every oracle (plans only, no execution; ~2 s for 251)
+    and raise on any output column whose physical type is off the
+    audited allowlist. Called by the sweep and freeze-gate tools
+    before running queries, so a driver-divergent oracle type fails
+    FAST and LOUD even when pytest isn't in the loop."""
+    hits = []
+    for name in sorted(oracles):
+        for cname, ctype, *_ in con.execute(
+            f"DESCRIBE {oracles[name]}"
+        ).fetchall():
+            if not dtype_allowed(ctype):
+                hits.append((name, cname, ctype))
+    if hits:
+        raise AssertionError(
+            "oracle output types off the audited allowlist (their "
+            "Arrow Python class may differ from Spark collect — the "
+            f"HUGEINT class behind five rounds of driver reds): {hits}"
+        )
+
+
 def fetch_oracle_typed(con, oracle_sql: str):
     """Run the oracle and return (columns, rows) with DRIVER-FAITHFUL
     Python types: the result crosses Arrow (``fetch_arrow_table`` →

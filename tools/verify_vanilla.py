@@ -18,13 +18,16 @@ import duckdb
 
 # canonicalization + view setup shared with tools/check_window.py —
 # ONE definition so the freeze gate and this sweep can never disagree
-from tools.oracle_compare import compare, register_views
+from tools.oracle_compare import assert_oracle_dtypes, compare, register_views
 
 sf = os.environ.get('SPARK_GRAFT_SWEEP_SF_DIR', '/root/testdata/sf0.01')
 con = duckdb.connect()
 register_views(con, sf)
 
 qs, osql = m.queries(), m.oracle_sql()
+# fail FAST on driver-divergent oracle types (HUGEINT class, r7-r11
+# reds) before spending ~25 min running queries
+assert_oracle_dtypes(con, osql)
 bad = []
 for name in sorted(qs):
     try:
