@@ -199,11 +199,14 @@ _sql_atoms = st.lists(
                 "(a + b)",
                 "'lit(eral, round( t''ick'",
                 "-- note round( (a,b\n",
+                '/* block round( (a,b */',
+                '"quoted id round( (a,b"',
+                '"dq "" esc"',
                 "x",
             ]
         ),
         st.text(
-            alphabet="abc(),'-\n 0123456789", min_size=0, max_size=12
+            alphabet='abc(),\'-\n 0123456789/*"', min_size=0, max_size=12
         ),
     ),
     max_size=8,
@@ -222,6 +225,37 @@ def test_mask_inert_properties(parts):
     masked = _mask_inert(sql)
     assert len(masked) == len(sql)
     assert all(a == b or b == "_" for a, b in zip(sql, masked))
+
+
+def test_mask_inert_block_comments_and_quoted_identifiers():
+    """ADVICE r12 #1: a round(, paren, or depth-1 comma inside a
+    /* */ block comment or a double-quoted identifier must be masked
+    so the rewriter can neither miscount depth nor falsely rewrite."""
+    import re
+
+    from tools.audit_boundaries import _mask_inert, _rewrite_rounds
+
+    sql = (
+        'SELECT round(x, 2) AS "weird round( , name", '
+        "/* round(dead, code) (unbalanced */ round(y) FROM t"
+    )
+    masked = _mask_inert(sql)
+    assert len(masked) == len(sql)
+    # the only live round( heads are the two real calls
+    assert len(re.findall(r"round\s*\(", masked)) == 2
+    # block-comment and quoted-identifier interiors are fully inert
+    assert 'weird' not in masked and 'dead' not in masked
+    out = _rewrite_rounds(sql)
+    # both live calls rewritten; the quoted identifier and the
+    # comment body survive byte-for-byte
+    assert out.count("audit_round(") == 2
+    assert '"weird round( , name"' in out
+    assert "/* round(dead, code) (unbalanced */" in out
+    # "" escape inside a quoted identifier does not end the mask
+    sql2 = 'SELECT round(a) AS "x "" round(y" FROM t'
+    assert _rewrite_rounds(sql2).count("audit_round(") == 1
+    # unclosed block comment masks to end-of-string (engine-faithful)
+    assert "round" not in _mask_inert("SELECT 1 /* round(")
 
 
 @settings(max_examples=300, deadline=None)

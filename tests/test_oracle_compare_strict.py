@@ -182,6 +182,24 @@ def test_fetch_oracle_typed_sees_arrow_types():
     assert m == {1: "a", 2: "b"}
 
 
+def test_fetch_oracle_typed_converts_nested_maps():
+    """ADVICE r12 #2: maps nested inside STRUCT/LIST must also come
+    back as dicts (maps_as_pydicts='strict' applies at every level),
+    not Arrow's list-of-pairs wire shape."""
+    from tools.oracle_compare import fetch_oracle_typed
+
+    con = duckdb.connect()
+    cols, rows = fetch_oracle_typed(
+        con,
+        "SELECT {'inner': MAP([1], ['a'])} AS s, "
+        "[MAP([2], ['b'])] AS l",
+    )
+    assert cols == ["s", "l"]
+    ((s, l),) = rows
+    assert s == {"inner": {1: "a"}}
+    assert l == [{2: "b"}]
+
+
 def test_compare_map_column_matches_spark_dict():
     con = duckdb.connect()
     sdf = FakeFrame(["m"], [({1: "a"},)])

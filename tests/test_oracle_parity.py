@@ -68,6 +68,11 @@ def test_dtype_allowlist_flags_known_divergent_types():
         assert not dtype_allowed(ctype), ctype
     for ctype in sorted(ALLOWED_ORACLE_TYPE_TOKENS):
         assert dtype_allowed(ctype)
+    # ADVICE r12 #3: empty/whitespace type strings must FAIL, not
+    # pass vacuously (empty token set is a subset of any allowlist)
+    assert not dtype_allowed("")
+    assert not dtype_allowed("   ")
+    assert not dtype_allowed("()")
     # and the raising form carries the offender in its message
     con = duckdb.connect()
     try:

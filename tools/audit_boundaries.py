@@ -174,23 +174,30 @@ def _repr_half_class(x: float, k: int) -> str | None:
 
 def _mask_inert(sql: str) -> str:
     """Same-length copy of ``sql`` with every character inside a
-    single-quoted literal (incl. the quotes; '' escapes handled) or a
-    ``--`` line comment replaced by '_', so the rewriter's pattern
-    search and balanced-paren scan can never match a ``round(``, a
-    paren, or a depth-1 comma that lives in literal/comment text
-    (ADVICE r11 #2: the unmasked scan would miscount or falsely
-    rewrite such spans, producing broken audit SQL). Indices stay
-    aligned — slices for output text come from the ORIGINAL sql."""
+    single-quoted literal (incl. the quotes; '' escapes handled), a
+    double-quoted identifier ("" escapes handled), a ``--`` line
+    comment, or a ``/* */`` block comment replaced by '_', so the
+    rewriter's pattern search and balanced-paren scan can never match
+    a ``round(``, a paren, or a depth-1 comma that lives in
+    literal/identifier/comment text (ADVICE r11 #2 for literals and
+    line comments; ADVICE r12 #1 extended the mask to block comments
+    and quoted identifiers — no registry oracle uses those today, but
+    nothing prevents a future one). Block comments do NOT nest in
+    DuckDB/ANSI, so the scan ends at the first ``*/``; an unclosed
+    block comment masks to end-of-string, matching how the engine
+    would treat it. Indices stay aligned — slices for output text
+    come from the ORIGINAL sql."""
     out = list(sql)
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
-        if ch == "'":
+        if ch in ("'", '"'):
+            q = ch
             out[i] = "_"
             i += 1
             while i < n:
-                if sql[i] == "'":
-                    if i + 1 < n and sql[i + 1] == "'":  # '' escape
+                if sql[i] == q:
+                    if i + 1 < n and sql[i + 1] == q:  # '' / "" escape
                         out[i] = out[i + 1] = "_"
                         i += 2
                         continue
@@ -201,6 +208,16 @@ def _mask_inert(sql: str) -> str:
                 i += 1
         elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
             while i < n and sql[i] != "\n":
+                out[i] = "_"
+                i += 1
+        elif ch == "/" and i + 1 < n and sql[i + 1] == "*":
+            out[i] = out[i + 1] = "_"
+            i += 2
+            while i < n:
+                if sql[i] == "*" and i + 1 < n and sql[i + 1] == "/":
+                    out[i] = out[i + 1] = "_"
+                    i += 2
+                    break
                 out[i] = "_"
                 i += 1
         else:

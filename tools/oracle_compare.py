@@ -167,7 +167,9 @@ def dtype_allowed(ctype: str) -> bool:
     if "[" in ctype:
         return False
     toks = set(re.findall(r"[A-Z_]+", ctype.upper()))
-    return toks <= ALLOWED_ORACLE_TYPE_TOKENS
+    # empty/whitespace type strings must FAIL, not pass vacuously
+    # (ADVICE r12 #3: the empty set is a subset of any allowlist)
+    return bool(toks) and toks <= ALLOWED_ORACLE_TYPE_TOKENS
 
 
 def assert_oracle_dtypes(con, oracles: dict) -> None:
@@ -209,23 +211,59 @@ def fetch_oracle_typed(con, oracle_sql: str):
     One Arrow-vs-fetchall rendering difference is papered over:
     Arrow renders a MAP cell as a list of (key, value) tuples while
     Spark collects maps as dicts. No registry oracle outputs a MAP
-    today (DESCRIBE sweep, r12), but top-level map columns are
-    converted back to dicts so a future one compares by value, not
-    by Arrow's wire shape.
+    today (DESCRIBE sweep, r12), but the type-driven walk below
+    converts maps back to dicts at EVERY nesting level — top-level,
+    inside STRUCTs, inside LISTs — and raises on duplicate keys
+    instead of silently collapsing them (ADVICE r12 #2: the previous
+    conversion was top-level-only and used ``dict()``, which keeps
+    the last duplicate). pyarrow 16's ``Table.to_pylist`` has no
+    ``maps_as_pydicts`` kwarg, so the walk is hand-rolled; it recurses
+    only into types that can CONTAIN a map, so map-free schemas (every
+    registry oracle) skip it entirely.
     """
-    tbl = con.execute(oracle_sql).fetch_arrow_table()
     import pyarrow.types as pat
 
+    def _contains_map(t) -> bool:
+        if pat.is_map(t):
+            return True
+        if pat.is_struct(t):
+            return any(_contains_map(f.type) for f in t)
+        if pat.is_list(t) or pat.is_large_list(t) or pat.is_fixed_size_list(t):
+            return _contains_map(t.value_type)
+        return False
+
+    def _mapify(v, t):
+        if v is None:
+            return v
+        if pat.is_map(t):
+            # Arrow wire shape: list of (key, value) tuples
+            out = {}
+            for k, x in v:
+                kk = _mapify(k, t.key_type)
+                if kk in out:
+                    raise ValueError(
+                        f"duplicate map key {kk!r} in oracle output"
+                    )
+                out[kk] = _mapify(x, t.item_type)
+            return out
+        if pat.is_struct(t):
+            return {f.name: _mapify(v[f.name], f.type) for f in t}
+        if pat.is_list(t) or pat.is_large_list(t) or pat.is_fixed_size_list(t):
+            return [_mapify(x, t.value_type) for x in v]
+        return v
+
+    tbl = con.execute(oracle_sql).fetch_arrow_table()
     cols = tbl.schema.names
-    is_map = [pat.is_map(f.type) for f in tbl.schema]
+    types = [f.type for f in tbl.schema]
+    needs = [_contains_map(t) for t in types]
     dicts = tbl.to_pylist()
-    rows = []
-    for d in dicts:
-        row = tuple(
-            dict(v) if m and v is not None else v
-            for v, m in zip((d[c] for c in cols), is_map)
+    rows = [
+        tuple(
+            _mapify(d[c], t) if m else d[c]
+            for c, t, m in zip(cols, types, needs)
         )
-        rows.append(row)
+        for d in dicts
+    ]
     return list(cols), rows
 
 
