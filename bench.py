@@ -22,6 +22,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from lightlane_spark.cache import unpersist_all  # noqa: E402
 from lightlane_spark.session import get_spark  # noqa: E402
 
+# A run counts as "idle" when the 1-min loadavg at START is at or
+# under this (VERDICT r12 ask #3): the bench itself drives loadavg_end
+# to ~32 on local[32], so only the start value says anything about
+# foreign load. Every artifact is tagged "idle"; BENCH_IDLE.json can
+# only ever be (over)written by an idle-tagged run, which removes the
+# manual triplet-adjudication ritual from round close — a loaded-box
+# number structurally cannot land in the idle artifact.
+IDLE_LOADAVG_MAX = 1.0
+
+
+def refresh_bench_idle(detail: dict, idle_path: str) -> bool:
+    """Write ``detail`` to ``idle_path`` iff it is tagged idle.
+    Returns True on write, False on refusal. Shared by main() and
+    tools/refresh_bench_idle.py so the guard has one definition."""
+    if not detail.get("idle"):
+        print(
+            f"bench: NOT idle (loadavg_start={detail.get('loadavg_start')}"
+            f", threshold {IDLE_LOADAVG_MAX}) — {idle_path} left untouched",
+            file=sys.stderr,
+        )
+        return False
+    with open(idle_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(f"bench: idle run — refreshed {idle_path}", file=sys.stderr)
+    return True
+
 
 # Headline set: one per operator family — scan+agg, range scan, window
 # dedup, anti-join merge, text explode, json extract. Extended as
@@ -310,6 +336,7 @@ def main() -> None:
     # unparseable (parsed: null). stdout's FINAL line is now a compact
     # payload that always fits the capture window.
     load_end = os.getloadavg()
+    idle = load_start[0] <= IDLE_LOADAVG_MAX
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -320,6 +347,7 @@ def main() -> None:
         "reps": reps,
         "rep_spread_median": rep_spread_median,
         "sf": sf_val,
+        "idle": idle,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
     }
@@ -333,6 +361,24 @@ def main() -> None:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError as exc:  # read-only checkout must not kill the bench
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+    # Idle refresh: only a full-SF (sf0.1, the BENCH_IDLE series' SF),
+    # failure-free, idle-tagged run may replace the committed idle
+    # artifact. Opt-out via SPARK_GRAFT_NO_IDLE_REFRESH=1 for scratch
+    # runs that shouldn't touch committed files.
+    if (
+        not failed
+        and sf_val == 0.1
+        and not os.environ.get("SPARK_GRAFT_NO_IDLE_REFRESH")
+    ):
+        idle_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_IDLE.json"
+        )
+        try:
+            refresh_bench_idle(detail, idle_path)
+        except OSError as exc:
+            print(
+                f"bench: could not write {idle_path}: {exc}", file=sys.stderr
+            )
     print(json.dumps(detail), file=sys.stderr)
     compact = {
         "metric": "headline_queries_total",
@@ -351,6 +397,7 @@ def main() -> None:
         },
         "detail_file": "BENCH_DETAIL.json",
         "rep_spread_median": rep_spread_median,
+        "idle": idle,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
     }
