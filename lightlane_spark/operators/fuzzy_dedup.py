@@ -805,15 +805,16 @@ def prefix_filter_jaccard_join(
     Σ_g cnt_prefix(g)² over RARE grams only, not Σ_g cnt(g)² over the
     full universe.
 
-    Plan shape (4 exchanges): gram df via one window on the shingle
-    relation → per-doc sort + prefix inside a row (array_sort on
-    (df, gram) structs — no extra shuffle) → prefix explode +
-    self-join on gram with the τ·|A| ≤ |B| ≤ |A|/τ length filter →
-    distinct candidate pairs carry both full gram arrays, so the
-    verify (array_intersect) is in-row with NO join back to the
-    corpus. Prefix length uses exact rational arithmetic
-    (⌈num·n/den⌉ as integer ops) — float ceil at a representability
-    boundary would silently shorten a prefix and break completeness.
+    Plan shape: gram df via one window on the shingle relation →
+    per-doc sort + prefix inside a row (array_sort on (df, gram)
+    structs — no extra shuffle) → SKINNY prefix explode (id, n, g
+    only) + self-join on gram with the τ·|A| ≤ |B| ≤ |A|/τ length
+    filter → distinct bare candidate pairs → two joins back to the
+    persisted docs relation fetch the gram arrays exactly once per
+    surviving pair for the in-row array_intersect verify. Prefix
+    length uses exact rational arithmetic (⌈num·n/den⌉ as integer
+    ops) — float ceil at a representability boundary would silently
+    shorten a prefix and break completeness.
 
     At 100 TB: every stage is linear in the shingle relation except
     the prefix self-join, whose per-gram expansion is capped by the
@@ -821,6 +822,19 @@ def prefix_filter_jaccard_join(
     (stop-gram n²) cannot occur because a stop-gram's df places it
     past every prefix boundary. Candidate verification is in-row on
     pre-sorted arrays.
+
+    Like ``containment_join``, the gram ARRAYS are NOT carried
+    through the prefix explode + candidate join: an inlined array is
+    duplicated ×plen per doc — O(plen·n) wire bytes per DOCUMENT
+    (quadratic in doc length), which the r13 scale-ratio audit
+    measured as the one near-super-linear chain (10× corpus → 14.5×
+    runtime with 42/103/19 s rep thrash from the spilling
+    array-laden exchange; SCALE_RATIO.json). Candidates travel as
+    bare (id_a, id_b, n_a, n_b) rows, dedup cheaply, and join BACK
+    to the persisted docs relation for both arrays before the
+    in-row array_intersect verify — re-measured 10×/1× ratio drops
+    to ~linear and sf0.1 steady improves ~2× (same identical-pairs
+    result the oracle pins).
     """
     from fractions import Fraction
 
@@ -830,32 +844,38 @@ def prefix_filter_jaccard_join(
     docs = _rare_first_docs(df, text_col, id_col, k, num, den)
     idx_a = docs.select(
         F.col(id_col).alias("id_a"),
-        F.col("grams").alias("grams_a"),
         F.col("n").alias("n_a"),
         F.explode(F.expr("slice(grams, 1, plen)")).alias("g"),
     )
     idx_b = docs.select(
         F.col(id_col).alias("id_b"),
-        F.col("grams").alias("grams_b"),
         F.col("n").alias("n_b"),
         F.explode(F.expr("slice(grams, 1, plen)")).alias("g"),
     )
-    cand = idx_a.join(idx_b, "g").where(
-        (F.col("id_a") < F.col("id_b"))
-        # length filter: J ≤ min/max, so sizes within a τ factor
-        & (F.col("n_b") * num <= F.col("n_a") * den)
-        & (F.col("n_a") * num <= F.col("n_b") * den)
+    cand = (
+        idx_a.join(idx_b, "g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J ≤ min/max, so sizes within a τ factor
+            & (F.col("n_b") * num <= F.col("n_a") * den)
+            & (F.col("n_a") * num <= F.col("n_b") * den)
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_a = cand.join(
+        docs.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")),
+        "id_a",
+    )
+    with_ab = with_a.join(
+        docs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     jacc = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
-    # Verify BEFORE deduping: array_intersect is in-row (no shuffle),
-    # so re-verifying a pair found via several prefix grams is cheap —
-    # and the dropDuplicates exchange then carries three scalars, not
-    # two full gram arrays per row.
     return (
-        cand.withColumn("jaccard", jacc)
+        with_ab.withColumn("jaccard", jacc)
         # exact rational threshold: inter·den ≥ num·(n_a+n_b−inter)
         .where(inter * (num + den) >= (F.col("n_a") + F.col("n_b")) * num)
         .select("id_a", "id_b", "jaccard")
-        .dropDuplicates(["id_a", "id_b"])
     )

@@ -4367,14 +4367,19 @@ def q_neardup_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     RefinedWeb/FineWeb keep-best dedup). On the fixture this
     provably diverges from min-id: verbatim re-upload families keep
     the +1e6 twin. Composition of existing operators: shared verified-pair
-    graph → connected components → per-component argmax window over
-    the JVM quality_score expression. The window runs over the
-    labeled corpus keyed by component — one exchange beyond the
-    clustering; quality is map-only. The oracle replays components
-    (recursive CTE) AND the quality formula, so both the clustering
-    and the keep policy are value-pinned."""
-    from pyspark.sql import Window
-
+    graph → connected components → per-component argmax via
+    ``max_by(doc_id, struct(q, doc_id))`` over the JVM quality_score
+    expression. The argmax is a hash AGGREGATE keyed by component —
+    map-side partial combine absorbs the per-component rows before
+    the exchange, so the shuffle carries one struct per component
+    per task instead of the full labeled corpus the former
+    row_number window sorted (r13: same oracle-pinned rows, one
+    full-width sort exchange removed; struct comparison is
+    lexicographic by field order, so max(struct(q, doc_id)) IS
+    "highest quality, ties → latest id" — doc_id is unique, the
+    order is total, the argmax deterministic). The oracle replays
+    components (recursive CTE) AND the quality formula, so both the
+    clustering and the keep policy are value-pinned."""
     from lightlane_spark.operators.clustering import assign_components
     from lightlane_spark.operators.text import quality_score
 
@@ -4382,12 +4387,12 @@ def q_neardup_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = assign_components(
         corpus, _neardup_pairs(spark, sf_dir), assume_canonical=True
     )
-    w = Window.partitionBy("component").orderBy(
-        quality_score("text").desc(), F.col("doc_id").desc()
-    )
     return (
-        labeled.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
+        labeled.withColumn("__q", quality_score("text"))
+        .groupBy("component")
+        .agg(
+            F.expr("max_by(doc_id, struct(__q, doc_id))").alias("doc_id")
+        )
         .select("doc_id")
     )
 
