@@ -466,14 +466,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness run truncates at 50 queries. Round-12
-# rotation (VERDICT r11 ask #4), GENERATED by
+# The driver's correctness run truncates at 50 queries. Round-13
+# rotation (VERDICT r12 ask #2), GENERATED by
 # tools/rotate_window.py from CORRECTNESS_r*.json history. This
 # round's invocation (reproducible):
 #
 #   python tools/rotate_window.py \
-#     --changed l_diversity,two_hop_features,kaplan_meier,\
-#               table_profile \
+#     --changed set_similarity_join,neardup_dedup_quality \
 #     --pin pricing_summary,column_exclusion,minmax_probe,top1,\
 #           range_split,dedup_window,csv_roundtrip,hive_text_roundtrip,\
 #           merge_load,append_load,partitioned_load,anti_join_merge,\
@@ -481,39 +480,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #           json_extract,explode,flatten_json_array,map_rows_tokens,\
 #           drop_falsy --python
 #
-# Window composition (50 slots): slots 1-3 are the r7-r11 driver
-# reds (l_diversity / two_hop_features / kaplan_meier), ROOT-CAUSED
-# by the r11 judge: exactly these three oracles emitted DuckDB
-# HUGEINT columns (the silent SUM(int) promotion), which cross Arrow
-# as decimal128(38,0) → Python Decimal while Spark emits int64 —
-# values identical, type path divergent, so a typed driver hasher
-# red with rows/schema green. r12 fix: CAST(... AS BIGINT) on the
-# six oracle columns (class_size/simpson_num, n2, n_risk/d/c) plus
-# a comparator that now fetches the oracle via Arrow
-# (tools/oracle_compare.fetch_oracle_typed) and a registry-wide
-# no-HUGEINT DESCRIBE gate (tests/test_oracle_parity.py), so the
-# class fails locally and can never silently recur. Slot 4 is
-# table_profile with the engine-behavior CANARY (its round-product
-# casts normalized this round per ADVICE r11 #1: round(expr*scale,0)
-# before CAST, neutralizing Spark-truncate vs DuckDB-nearest cast
-# semantics; all 9 canary values unchanged). Then the 21 pinned
-# SURVEY-2 relational/loader core names (all green r11) and the
-# stalest greens (r2-r3 era). Queries in this window are
-# semantically FROZEN for the rest of the round; the freeze gate
-# (tools/check_window.py) compares DRIVER-STRICT (type-tagged
-# values, tz-aware vs naive, Decimal scale, float reprs, and — new
-# this round — oracle values fetched through Arrow exactly as the
-# driver's hasher sees them).
+# Window composition (50 slots): r12 was the first 50/50 window with
+# zero reds, so slots 1-2 are this round's two SEMANTIC changes, both
+# driven by the r13 scale-ratio audit (SCALE_RATIO.json):
+# set_similarity_join (prefix_filter_jaccard_join now joins bare
+# candidate pairs back to the docs relation instead of carrying both
+# gram arrays through the prefix explode — the 10x-corpus audit
+# measured the array-laden exchange at 14.5x) and
+# neardup_dedup_quality (per-component argmax via max_by struct agg
+# instead of a row_number window — map-side partial combine replaces
+# the full-width sort exchange; same keep policy, oracle bit-exact).
+# Then the 21 pinned SURVEY-2 relational/loader core names (all
+# green r12) and the stalest greens (r3/r4-era cohort, per the r12
+# ask). Queries in this window are semantically FROZEN for the rest
+# of the round; the freeze gate (tools/check_window.py) compares
+# DRIVER-STRICT (type-tagged values, tz-aware vs naive, Decimal
+# scale, float reprs, oracle values fetched through Arrow exactly as
+# the driver's hasher sees them).
 _RECHECK = [
     # generated by tools/rotate_window.py — do not hand-edit;
     # re-run with --changed <names> after semantic changes.
-    # --- red ---
-    "l_diversity",
-    "two_hop_features",
-    "kaplan_meier",
     # --- changed ---
-    "table_profile",
-    # --- pinned (green r11) ---
+    "set_similarity_join",
+    "neardup_dedup_quality",
+    # --- pinned (green r12) ---
     "pricing_summary",
     "column_exclusion",
     "minmax_probe",
@@ -535,33 +525,7 @@ _RECHECK = [
     "flatten_json_array",
     "map_rows_tokens",
     "drop_falsy",
-    # --- green r2 ---
-    "orc_roundtrip",
-    "xml_roundtrip",
-    "revenue_by_part_type",
-    "supplier_rank",
-    "grouped_topk_pandas",
-    "intersect_except",
-    "scalar_subquery",
-    "window_ntile",
-    "hash_sample",
-    "join_3way",
-    "join_left_semi",
-    "join_full_outer",
-    "groupby_rollup",
-    "groupby_cube",
-    "window_rank_lag",
-    "window_running_sum",
-    "topk_per_group",
-    "distinct_agg",
-    "case_expr_bucketing",
-    "exists_subquery",
-    "json_sink_roundtrip",
-    "range_join",
     # --- green r3 ---
-    "json_roundtrip",
-    "sessionize",
-    "session_window",  # end of 50-slot driver window
     "quota_sample",
     "weighted_sample",
     "pack_sequences",
@@ -581,7 +545,6 @@ _RECHECK = [
     "vocab_tokenize",
     "padding_efficiency",
     "bpe_pair_counts",
-    "set_similarity_join",
     "event_transitions",
     "deterministic_shuffle",
     "bpe_train",
@@ -590,7 +553,7 @@ _RECHECK = [
     "blockhash_near_dup",
     "binary_file_scan",
     "streaming_interval_join",
-    "dpp_scan",
+    "dpp_scan",  # end of 50-slot driver window
     "schema_evolution_read",
     "python_datasource_scan",
     "window_percent_rank",
@@ -713,7 +676,6 @@ _RECHECK = [
     "bloom_prefilter",
     "ngram_lm_score",
     "kmv_set_ops",
-    "neardup_dedup_quality",
     "approx_distinct",
     "label_propagation",
     "concurrency_curve",
@@ -769,6 +731,36 @@ _RECHECK = [
     "unpivot",
     "quantile_summary",
     "snapshot_diff",
+    # --- green r12 ---
+    "json_roundtrip",
+    "sessionize",
+    "session_window",
+    "table_profile",
+    "orc_roundtrip",
+    "xml_roundtrip",
+    "revenue_by_part_type",
+    "supplier_rank",
+    "grouped_topk_pandas",
+    "intersect_except",
+    "scalar_subquery",
+    "window_ntile",
+    "hash_sample",
+    "join_3way",
+    "join_left_semi",
+    "join_full_outer",
+    "groupby_rollup",
+    "groupby_cube",
+    "window_rank_lag",
+    "window_running_sum",
+    "topk_per_group",
+    "distinct_agg",
+    "case_expr_bucketing",
+    "exists_subquery",
+    "json_sink_roundtrip",
+    "l_diversity",
+    "two_hop_features",
+    "range_join",
+    "kaplan_meier",
 ]
 
 

@@ -761,12 +761,20 @@ def containment_join(
         .select("id_a", "id_b", "n_a")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # shuffle_hash for the same reason as prefix_filter_jaccard_join:
+    # the docs aggregate's size estimate undersells its array payload
+    # and a statistics-led broadcast of it is the r13-measured
+    # first-rep pathology at 10x.
     with_a = cand.join(
-        docs.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")),
+        docs.select(
+            F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")
+        ).hint("shuffle_hash"),
         "id_a",
     )
     with_ab = with_a.join(
-        docs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")),
+        docs.select(
+            F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")
+        ).hint("shuffle_hash"),
         "id_b",
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
@@ -835,6 +843,19 @@ def prefix_filter_jaccard_join(
     in-row array_intersect verify — re-measured 10×/1× ratio drops
     to ~linear and sf0.1 steady improves ~2× (same identical-pairs
     result the oracle pins).
+
+    The two join-backs are HINTED ``shuffle_hash``: Catalyst's size
+    estimate for the docs relation (output of an aggregate) is far
+    below its true array-laden size, so on first execution — before
+    the persisted relation's real stats exist — AQE broadcasts
+    hundreds of MB of gram arrays to every task; the r13 isolation
+    measured 104/177 s first-rep pathologies at 10× that settle to
+    12 s once the cache teaches AQE better. The hint makes the
+    strategy independent of statistics: build side per partition is
+    |docs|/shuffle-partitions, which the cluster-sizing contract
+    (~200 MB post-shuffle partitions) already bounds, and the big
+    candidate side is never sorted. Measured: first-rep 104 → 27 s,
+    steady 12 s flat at 10×.
     """
     from fractions import Fraction
 
@@ -864,11 +885,15 @@ def prefix_filter_jaccard_join(
         .dropDuplicates(["id_a", "id_b"])
     )
     with_a = cand.join(
-        docs.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")),
+        docs.select(
+            F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")
+        ).hint("shuffle_hash"),
         "id_a",
     )
     with_ab = with_a.join(
-        docs.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")),
+        docs.select(
+            F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")
+        ).hint("shuffle_hash"),
         "id_b",
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))

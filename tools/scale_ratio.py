@@ -56,6 +56,18 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
+# Memory must scale with data or the exponent measurement is
+# contaminated: at 10x, the 8g default heap evicts the persisted
+# intermediates mid-rep (measured: set_similarity_join reps got
+# SLOWER after rep 1 — 19/29/26 s — while its candidate cardinalities
+# scaled exactly 10x; SCALE.md r13), so the ratio reports cache
+# thrash, not the operator's dataflow. A real cluster holds
+# memory-per-byte-of-data roughly constant; 32g for a 10x corpus
+# mirrors that. Env override wins if the caller set one. Must happen
+# BEFORE any lightlane_spark.session import — the conf dict reads the
+# env at module import time.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+
 # The audit set: every bench query over ~1.4 s steady at sf0.1
 # (BENCH_IDLE r12) plus the judge-named bpe_train / bucketed_join —
 # the chains where a super-linear candidate or shuffle blowup would
@@ -190,27 +202,24 @@ def derive(src_dir: str, out_dir: str, factor: int) -> dict[str, int]:
     return counts
 
 
-def _time_queries(spark, qs, names, sf_dir, reps):
-    """bench.py's per-query loop: reps samples, unpersist+clearCache
-    after each query so iterative chains don't pay for predecessors'
-    orphaned cache blocks."""
+def _time_one(spark, fn, sf_dir, reps):
+    """bench.py's per-query discipline: reps samples, then
+    unpersist+clearCache so iterative chains don't pay for
+    predecessors' orphaned cache blocks."""
     from lightlane_spark.cache import unpersist_all
 
-    out: dict[str, list[float]] = {}
-    for name in names:
-        try:
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
-                out.setdefault(name, []).append(
-                    round(time.perf_counter() - t0, 4)
-                )
-        except Exception as exc:  # noqa: BLE001 — isolate per query
-            print(f"scale_ratio: {name} FAILED: {exc}", file=sys.stderr)
-            out[name] = []
-        finally:
-            unpersist_all()
-            spark.catalog.clearCache()
+    out: list[float] = []
+    try:
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            out.append(round(time.perf_counter() - t0, 4))
+    except Exception as exc:  # noqa: BLE001 — isolate per query
+        print(f"scale_ratio: {sf_dir} FAILED: {exc}", file=sys.stderr)
+        out = []
+    finally:
+        unpersist_all()
+        spark.catalog.clearCache()
     return out
 
 
@@ -261,26 +270,37 @@ def main() -> int:
     # one warm query to pay JVM + parquet-footer first-touch costs
     qs[names[0]](spark, d1).count()
 
-    print(f"scale_ratio: timing {len(names)} queries at x1")
-    r1 = _time_queries(spark, qs, names, d1, args.reps)
-    print(f"scale_ratio: timing {len(names)} queries at x{args.factor}")
-    rn = _time_queries(spark, qs, names, dn, args.reps)
-
+    # INTERLEAVED per query: x1 reps then xN reps back-to-back, so a
+    # drifting foreign load on this shared box inflates numerator and
+    # denominator of the SAME ratio together instead of hitting one
+    # whole phase (run 3 measured pq_topk x1 at 38 s under a load
+    # spike that had passed by its x10 phase → ratio 0.06; the
+    # phase-sequential design amplified exactly the box noise the
+    # bench fought for five rounds). Per-query loadavg is recorded
+    # for honesty.
     bar = round(BAR_AT_10X * args.factor / 10.0, 2)
     queries = {}
     over = []
-    for n in names:
-        t1, tn = _steady(r1.get(n, [])), _steady(rn.get(n, []))
+    for i, n in enumerate(names, 1):
+        la = os.getloadavg()[0]
+        r1 = _time_one(spark, qs[n], d1, args.reps)
+        rn = _time_one(spark, qs[n], dn, args.reps)
+        t1, tn = _steady(r1), _steady(rn)
         ratio = round(tn / t1, 2) if t1 and tn else None
         queries[n] = {
             "t1": t1,
             f"t{args.factor}": tn,
             "ratio": ratio,
-            "reps1": r1.get(n, []),
-            f"reps{args.factor}": rn.get(n, []),
+            "reps1": r1,
+            f"reps{args.factor}": rn,
+            "loadavg": round(la, 2),
         }
         if ratio is None or ratio > bar:
             over.append(n)
+        print(
+            f"scale_ratio: [{i}/{len(names)}] {n} t1={t1} "
+            f"t{args.factor}={tn} ratio={ratio} (load {la:.2f})"
+        )
     ratios = sorted(
         v["ratio"] for v in queries.values() if v["ratio"] is not None
     )
@@ -294,6 +314,7 @@ def main() -> int:
         "derive_sec": derive_sec,
         "rows_x1": counts1,
         f"rows_x{args.factor}": countsn,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM"),
         "idle": load_start[0] <= 1.0,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
