@@ -23,16 +23,18 @@ def _window():
 
 def test_changed_queries_front_loaded():
     w = _window()
-    # r11 semantic changes: 3 pure-integer conversions + the canary
-    assert w[:4] == [
-        "l_diversity",
-        "two_hop_features",
-        "kaplan_meier",
-        "table_profile",
+    # r13 semantic changes: the two scale-audit-driven rewrites
+    # (prefix-filter join-back shape + quality-dedup argmax agg)
+    assert w[:2] == [
+        "set_similarity_join",
+        "neardup_dedup_quality",
     ]
 
 
 def test_survey_core_pinned_in_window():
+    # the 21 SURVEY §2 relational/loader pins that ride every
+    # rotation (table_profile was r12's canary carrier, not a pin —
+    # it rotated out once driver-green)
     w = set(_window())
     core = {
         "pricing_summary", "column_exclusion", "minmax_probe", "top1",
@@ -40,7 +42,7 @@ def test_survey_core_pinned_in_window():
         "hive_text_roundtrip", "merge_load", "append_load",
         "partitioned_load", "anti_join_merge", "multi_sink_fanout",
         "quarantine_good", "quarantine_bad", "union_all",
-        "table_profile", "json_extract", "explode",
+        "json_extract", "explode",
         "flatten_json_array", "map_rows_tokens", "drop_falsy",
     }
     assert core <= w, sorted(core - w)
