@@ -243,6 +243,33 @@ def test_prefix_filter_join_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in ps.text
 
 
+def test_set_similarity_joinbacks_shuffle_hash(spark, sf_dir):
+    """The two gram-array join-backs must plan as ShuffledHashJoin
+    regardless of statistics (the r13 scale-ratio audit measured
+    statistics-led broadcast of the array-laden docs relation at
+    100s-of-MB per task before the persisted relation's true stats
+    exist). Removing the shuffle_hash hints reverts the strategy to
+    whatever Catalyst's undersized estimate picks — this pin is the
+    regression guard for that fix."""
+    from lightlane_spark.operators.fuzzy_dedup import (
+        containment_join,
+        prefix_filter_jaccard_join,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for fn, kw in (
+        (prefix_filter_jaccard_join, {"threshold": 0.7}),
+        (containment_join, {"threshold": 0.9}),
+    ):
+        ps = plan_summary(fn(docs, **kw))
+        assert ps.text.count("ShuffledHashJoin") >= 2, (
+            fn.__name__,
+            ps.text[:1200],
+        )
+        assert "CartesianProduct" not in ps.text, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in ps.text, fn.__name__
+
+
 def test_global_running_sum_no_global_window(spark, sf_dir):
     """The two-phase running sum must not contain a single-partition
     window over the DATA relation: every unpartitioned Window in the
