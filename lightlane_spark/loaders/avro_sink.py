@@ -361,8 +361,10 @@ def read_avro(spark: SparkSession, path: str, ddl_schema: str) -> DataFrame:
     )
     if not files:
         return spark.createDataFrame([], schema)
-    paths_df = spark.createDataFrame(
-        [(f,) for f in files], "file_path string"
+    from lightlane_spark.sources.localrel import local_df
+
+    paths_df = local_df(
+        spark, [(f,) for f in files], "file_path string"
     ).repartition(len(files), F.col("file_path"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

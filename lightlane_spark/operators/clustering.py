@@ -193,8 +193,13 @@ def connected_components(
         if n_edges <= driver_edge_cap:
             pairs = _driver_union_find(canon.collect())
             canon.unpersist()
-            return edges.sparkSession.createDataFrame(
-                pairs, "id bigint, component bigint"
+            from lightlane_spark.sources.localrel import local_df
+
+            # single-Arrow-batch local relation: the pickled-RDD
+            # createDataFrame path pays one Python-worker task per
+            # core on every downstream action (sources/localrel.py)
+            return local_df(
+                edges.sparkSession, pairs, "id bigint, component bigint"
             )
     # eager=False: the fingerprint action right below materializes the
     # checkpoint anyway, so the eager materialization job per round is

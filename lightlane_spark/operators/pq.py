@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lightlane_spark.operators.similarity import _vec_double, dot, norm
+from lightlane_spark.sources.localrel import local_df
 
 
 def _kmeans_pp_lloyd(X, k: int, iters: int, rng):
@@ -254,7 +255,8 @@ def pq_topk(
     # shortlisted real vectors by id (broadcast the id set — it is
     # Q×shortlist rows), score JVM-side with the deterministic folds
     c = corpus.select(F.col(id_col), _vec_double(vec_col).alias("__cv"))
-    qdf = corpus.sparkSession.createDataFrame(
+    qdf = local_df(
+        corpus.sparkSession,
         [(int(q), list(map(float, v))) for q, v in zip(qids, qm)],
         f"{query_id_col} long, __qv array<double>",
     )

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lightlane_spark.cache import tracked_persist
+from lightlane_spark.sources.localrel import local_df
 
 
 def _vec_double(col: Column | str) -> Column:
@@ -550,9 +551,10 @@ def ivf_topk(
     )
 
     centers = [list(map(float, ctr)) for ctr in C]
-    centers_df = queries.sparkSession.createDataFrame(
+    centers_df = local_df(
+        queries.sparkSession,
         [(i, centers[i]) for i in range(len(centers))],
-        f"__cluster int, __center array<double>",
+        "__cluster int, __center array<double>",
     )
     q = queries.select(
         F.col(id_col).alias(query_id_col), _vec_double(vec_col).alias("__qv")

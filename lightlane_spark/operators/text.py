@@ -1236,7 +1236,9 @@ def bpe_train(
             "toks",
             F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
         )
-        .localCheckpoint()  # cut lineage: each round folds in place
+        # lazy: round 1's pair-count action materializes it; an eager
+        # checkpoint would pay one extra job for the same blocks
+        .localCheckpoint(eager=False)
     )
     spark = df.sparkSession
     merges = []
@@ -1287,11 +1289,26 @@ def bpe_train(
         fin = lambda acc: F.when(  # noqa: E731
             acc["prev"].isNull(), acc["out"]
         ).otherwise(F.array_append(acc["out"], acc["prev"]))
+        # Lazy checkpoint (r13, guide §1.2/§5): the NEXT round's
+        # pair-count action materializes the fold as part of its own
+        # scan stage — fused, one job per round instead of two — and
+        # the FINAL round's fold (whose output no consumer reads: the
+        # merge table is complete once its top-1 is collected) never
+        # materializes or codegen-compiles at all. Lineage is still
+        # truncated per round (localCheckpoint wraps the plan
+        # immediately; eager only controls when blocks are stored).
         words = words.withColumn(
             "toks", F.aggregate("toks", zero, step, fin)
-        ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "round: int, a: string, b: string, cnt: bigint"
+        ).localCheckpoint(eager=False)
+    # single-Arrow-batch local relation (sources/localrel.py): the
+    # classic createDataFrame(list) parallelizes even this 3-row
+    # merge table over one slice per core — measured 0.4 s of the
+    # query's 1.9 s steady wall at local[32] went to scheduling those
+    # near-empty tasks on every downstream action
+    from lightlane_spark.sources.localrel import local_df
+
+    return local_df(
+        spark, merges, "round: int, a: string, b: string, cnt: bigint"
     )
 
 
@@ -1440,7 +1457,9 @@ def bm25_multi(
     sweep tools clear the cache per query."""
     vocab = sorted({str(t) for ts in queries.values() for t in ts})
     qrows = [(qid, str(t)) for qid, ts in queries.items() for t in ts]
-    qdf = df.sparkSession.createDataFrame(qrows, "qid string, tok string")
+    from lightlane_spark.sources.localrel import local_df
+
+    qdf = local_df(df.sparkSession, qrows, "qid string, tok string")
     base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__t"))
     toks = base.select(
         F.col(id_col),

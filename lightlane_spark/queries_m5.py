@@ -50,6 +50,7 @@ from lightlane_spark.operators.text import (
     subword_count,
     token_count,
 )
+from lightlane_spark.sources.localrel import local_df
 from lightlane_spark.sources.parquet import read_table
 
 
@@ -1705,7 +1706,7 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sums are order-independent, oracle parity unconditional.
     bow = hashed_bow(docs, dims=64)
     qbow = hashed_bow(
-        spark.createDataFrame([(0, " ".join(terms))], "doc_id: bigint, text: string")
+        local_df(spark, [(0, " ".join(terms))], "doc_id: bigint, text: string")
     ).select(F.col("dim").alias("qdim"), F.col("weight").alias("qw"))
     qnorm = qbow.agg(F.sum(F.col("qw") * F.col("qw")).alias("nq"))
     docstats = (

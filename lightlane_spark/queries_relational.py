@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from lightlane_spark.sources.localrel import local_df
 from lightlane_spark.sources.parquet import read_table
 
 from lightlane_spark.cache import tracked_persist
@@ -1759,6 +1760,11 @@ def q_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mistake); with it each year's rows land in one task → one file
     orders.repartition("o_year").write.partitionBy("o_year").parquet(path)
     fact = spark.read.parquet(path)
+    # NOT local_df (r13): with the dim as an Arrow-backed
+    # LocalRelation the optimizer stops injecting the dynamicpruning
+    # subquery on the fact scan (test_plan_quality pins it) — the DPP
+    # partition skip is worth far more at scale than the local
+    # construction saving
     dim = spark.createDataFrame(
         [(y, f"y{y}") for y in range(1995, 2002)], "o_year: int, tag: string"
     ).filter(F.col("tag").isin("y1996", "y1998"))
