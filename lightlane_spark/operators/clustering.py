@@ -189,9 +189,17 @@ def connected_components(
         canon = _canonical_edges(edges, id_a, id_b)
     if driver_edge_cap:
         canon = canon.transform(tracked_persist)
-        n_edges = canon.count()
-        if n_edges <= driver_edge_cap:
-            pairs = _driver_union_find(canon.collect())
+        # ONE bounded action decides the regime AND fetches the edges
+        # (r13, guide §1.2): the former count()-then-collect() pair
+        # cost two full Catalyst passes over the same near-identical
+        # tree per query. limit(cap+1) keeps the driver-safety
+        # contract — at most cap+1 rows ever cross to the driver —
+        # and when the graph fits, the rows ARE the whole edge set
+        # (union-find is order-independent: union-by-min-root yields
+        # min-id labels under any edge order).
+        rows = canon.limit(driver_edge_cap + 1).collect()
+        if len(rows) <= driver_edge_cap:
+            pairs = _driver_union_find(rows)
             canon.unpersist()
             from lightlane_spark.sources.localrel import local_df
 

@@ -102,12 +102,31 @@ def pq_fit(
     import numpy as np
 
     v = df.select(_vec_double(vec_col).alias("__v"))
-    n_total = v.count()
-    if n_total > max_fit_rows:
+    # Bounded probe replaces the count()-then-collect() action pair
+    # (r13, guide §1.2/§6): limit(max+1) fetches at most max_fit_rows+1
+    # rows as Arrow batches — when the corpus fits, those rows ARE the
+    # fit input (same partition-major order as the old collect(), so X
+    # and the codebooks are bit-identical) and the separate full-corpus
+    # count() pass disappears; when it does not fit, the probe
+    # short-circuits after max+1 rows and the exact seeded-sample path
+    # below runs unchanged.
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.pyspark.enabled", "true"
+    )
+    probe = v.limit(max_fit_rows + 1).toPandas()
+    if len(probe) <= max_fit_rows:
+        X = np.array(probe["__v"].tolist(), dtype=np.float64)
+    else:
+        n_total = v.count()
         # oversample then cap for an exact bound (sample() is binomial)
         frac = min(1.0, 1.2 * max_fit_rows / n_total)
-        v = v.sample(fraction=frac, seed=seed).limit(max_fit_rows)
-    X = np.array([r["__v"] for r in v.collect()], dtype=np.float64)
+        X = np.array(
+            v.sample(fraction=frac, seed=seed)
+            .limit(max_fit_rows)
+            .toPandas()["__v"]
+            .tolist(),
+            dtype=np.float64,
+        )
     if X.size == 0:
         raise ValueError("pq_fit: corpus sample is empty")
     dim = X.shape[1]

@@ -22,11 +22,15 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lightlane_spark.cache import tracked_persist
 from lightlane_spark.sources.localrel import local_df
+
+# session-scoped memo of parsed hyperplane-bucket expressions
+# (see hyperplane_bits): {(applicationId, sql): Column}
+_HP_EXPR_MEMO: dict = {}
 
 
 def _vec_double(col: Column | str) -> Column:
@@ -138,20 +142,23 @@ def topk_bruteforce_arrow(
     import numpy as np
     import pandas as pd
 
-    rows = (
-        queries.select(
-            F.col(id_col).cast("long").alias("qid"),
-            _vec_double(vec_col).alias("qv"),
-        )
-        .collect()
+    # Arrow transfer for the probe set (guide §6): same rows, same
+    # order, same float64 bits as the pickled-Row collect — only the
+    # driver-boundary serialization changes.
+    corpus.sparkSession.conf.set(
+        "spark.sql.execution.arrow.pyspark.enabled", "true"
     )
-    if not rows:
+    qpdf = queries.select(
+        F.col(id_col).cast("long").alias("qid"),
+        _vec_double(vec_col).alias("qv"),
+    ).toPandas()
+    if qpdf.empty:
         empty = corpus.sparkSession.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, rank int, sim double"
         )
         return empty
-    qids = np.array([r.qid for r in rows], dtype=np.int64)
-    qm = np.array([r.qv for r in rows], dtype=np.float64)  # Q×D
+    qids = qpdf["qid"].to_numpy(dtype=np.int64)
+    qm = np.array(qpdf["qv"].tolist(), dtype=np.float64)  # Q×D
     qn = np.sqrt((qm * qm).sum(axis=1))
 
     c = corpus.select(
@@ -291,7 +298,19 @@ def hyperplane_bits(
             "hyperplane_bits takes a column name / SQL string, not a Column "
             "(the expression is rendered as SQL text — pass e.g. '__cv')"
         )
-    return F.expr(_hyperplane_bits_sql(vec, dims, num_bits, salt))
+    sql = _hyperplane_bits_sql(vec, dims, num_bits, salt)
+    # Parse once per session (r13): Catalyst parses this ~6 KB
+    # expression in ~50 ms, and a multi-table LSH query builds 8 of
+    # them PER RUN — ~0.4 s of pure driver-side parsing. The parsed
+    # Column is an immutable expression tree, reusable across plans;
+    # the applicationId key drops memo entries from a stopped context.
+    sess = SparkSession.getActiveSession()
+    key = (sess.sparkContext.applicationId if sess else None, sql)
+    col = _HP_EXPR_MEMO.get(key)
+    if col is None:
+        col = F.expr(sql)
+        _HP_EXPR_MEMO[key] = col
+    return col
 
 
 def _table_salt(t: int) -> str:
@@ -355,11 +374,20 @@ def ann_topk_lsh(
     # probe array: embedding the num_bits-aggregate bucket expression
     # inside every probe struct would put ~(probes × num_bits) aggregate
     # trees in one projection — a codegen blowup that dominates wall
-    # time (measured 3× on the whole query).
-    for t in range(num_tables):
-        q = q.withColumn(
-            f"__b{t}", hyperplane_bits("__qv", dims, num_bits, salt=_table_salt(t))
-        )
+    # time (measured 3× on the whole query). ONE select for all
+    # tables (r13): a per-table withColumn chain re-analyzes the plan
+    # — with t giant bucket expressions already in it — at every
+    # step, quadratic analyzer work that showed up as ~0.9 s of
+    # driver-side build per bench rep.
+    q = q.select(
+        "*",
+        *[
+            hyperplane_bits("__qv", dims, num_bits, salt=_table_salt(t)).alias(
+                f"__b{t}"
+            )
+            for t in range(num_tables)
+        ],
+    )
     probe_structs = []
     for t in range(num_tables):
         b = F.col(f"__b{t}")
@@ -424,8 +452,15 @@ def kmeans_assign(
     fit_src = c.select("__cv")
     if fit_fraction < 1.0:
         fit_src = fit_src.sample(fraction=fit_fraction, seed=seed)
+    # Arrow transfer (guide §6): the sample crosses to the driver as
+    # Arrow batches instead of pickled Row objects — same rows in the
+    # same partition-major order, same float64 bits, so the fitted
+    # centroids are identical; at the 100k-row bound the pickle path
+    # moves ~6M boxed Python floats.
+    spark = corpus.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     X = np.array(
-        [r["__cv"] for r in fit_src.limit(100_000).collect()], dtype=np.float64
+        fit_src.limit(100_000).toPandas()["__cv"].tolist(), dtype=np.float64
     )
     if X.size == 0:
         raise ValueError("kmeans_assign: corpus sample is empty")

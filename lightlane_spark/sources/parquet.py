@@ -28,6 +28,17 @@ TABLES = (
     "embeddings",
 )
 
+# Inferred-schema memo: (app_id, path, mtime_ns, size) -> StructType.
+# ``spark.read.parquet`` re-infers the schema on EVERY call — a
+# driver-side footer read + py4j roundtrip measured at ~100 ms per
+# call at local[32] (vs ~15 ms with an explicit schema); at cluster
+# scale schema inference samples footers over the object store, the
+# driver-side cost §6 of the optimization guide warns about. The memo
+# key carries mtime+size so a rewritten file re-infers; the VALUE is
+# only the schema (never data or results), so every action still
+# computes from the parquet input.
+_SCHEMA_MEMO: dict = {}
+
 
 def table_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
@@ -65,7 +76,30 @@ def read_table(
     # zone. Idempotent, runtime-mutable conf; same value session.py
     # already sets for bench/tests.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(table_path(sf_dir, table))
+    path = table_path(sf_dir, table)
+    try:
+        st = os.stat(path)
+        # single-file tables only: a directory's stat does not change
+        # when a contained file is overwritten in place, so dir
+        # layouts always re-infer
+        key = (
+            (
+                spark.sparkContext.applicationId,
+                os.path.abspath(path),
+                st.st_mtime_ns,
+                st.st_size,
+            )
+            if os.path.isfile(path)
+            else None
+        )
+    except OSError:
+        key = None
+    if key is not None and key in _SCHEMA_MEMO:
+        df = spark.read.schema(_SCHEMA_MEMO[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV — double division would lose precision on ~1e18 ns.
         # timestamp_micros yields TZ-ADJUSTED TimestampType; cast to
