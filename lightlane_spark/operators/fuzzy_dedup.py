@@ -37,6 +37,13 @@ from lightlane_spark.operators.text import fingerprint_md5, tokenize
 
 from lightlane_spark.cache import tracked_persist
 
+# session-scoped memo of the signature-build expression columns
+# (see minhash_signature_arrays): {(applicationId, num_hashes):
+# (proj_cols, min_cols, array_col)} — parsed Columns are immutable
+# expression trees, reusable across plans; the applicationId key
+# drops entries from a stopped context (hyperplane_bits precedent).
+_SIG_EXPR_MEMO: dict = {}
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -120,29 +127,54 @@ def minhash_signature_arrays(
     """(id, sig: array<long>): MinHash signatures in array form.
 
     The scale-shaped plan: ONE md5 per shingle expanded to
-    ``num_hashes`` values by double hashing (functions/hashing.py
-    ``hash_family``), no ×num_hashes row explosion, and the signature
-    is ``num_hashes`` parallel MIN aggregates in a single groupBy(id)
-    — exactly one shuffle of the shingle rows, aggregate state is
-    num_hashes longs per doc.
-    """
-    from lightlane_spark.functions.hashing import hash_family
+    ``num_hashes`` values by double hashing (the Carter-Wegman family
+    of functions/hashing.py, h_i = (m1 + i·m2) mod 2^32), no
+    ×num_hashes row explosion, and the signature is ``num_hashes``
+    parallel MIN aggregates in a single groupBy(id) — exactly one
+    shuffle of the shingle rows, aggregate state is num_hashes longs
+    per doc.
 
-    hashed = shingles.select(
-        F.col(id_col), hash_family(F.col("sh"), num_hashes).alias("__h")
-    )
-    mins = [
-        F.min(F.element_at(F.col("__h"), i + 1)).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        hashed.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig"),
+    Driver shape (r13): m1/m2 are projected ONCE as named columns and
+    the per-seed min aggregates reference those two small refs — the
+    previous ``hash_family`` array form re-embedded the md5/conv
+    subtree in all ``num_hashes`` elements. The per-seed Column
+    objects are built from SQL text and MEMOIZED per session: the
+    Column-algebra form cost ~7 py4j roundtrips × num_hashes ≈ 0.5 s
+    of pure driver time per build at num_hashes=32 (measured — the
+    dominant driver cost of every LSH-family query build), while a
+    parsed Column is an immutable expression tree reusable across
+    plans (the hyperplane_bits precedent). Same arithmetic, identical
+    signature values; only the build cost drops.
+    """
+    from lightlane_spark.functions.hashing import H32_SPACE
+
+    sess = shingles.sparkSession
+    key = (sess.sparkContext.applicationId, num_hashes)
+    cols = _SIG_EXPR_MEMO.get(key)
+    if cols is None:
+        d = "md5(sh)"
+        proj = [
+            F.expr(
+                f"cast(conv(substring({d}, 1, 8), 16, 10) as bigint) as __m1"
+            ),
+            F.expr(
+                f"cast(conv(substring({d}, 9, 8), 16, 10) as bigint) as __m2"
+            ),
+        ]
+        mins = [
+            F.expr(
+                f"min((__m1 + {i} * __m2) % {H32_SPACE}) as m{i}"
+            )
+            for i in range(num_hashes)
+        ]
+        arr = F.expr(
+            "array(" + ", ".join(f"m{i}" for i in range(num_hashes)) + ") as sig"
         )
-    )
+        cols = (proj, mins, arr)
+        _SIG_EXPR_MEMO[key] = cols
+    proj, mins, arr = cols
+    hm = shingles.select(F.col(id_col), *proj)
+    return hm.groupBy(id_col).agg(*mins).select(F.col(id_col), arr)
 
 
 def minhash_signatures(

@@ -417,12 +417,22 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collocation / topic-coherence primitive (phrase mining,
     embedding sanity checks, template detection when PMI ≈ max).
     Candidate blow-up is controlled by the vocabulary restriction:
-    per-doc pair fan-out is ≤ C(40,2), so the within-doc self-join is
-    a co-partitioned join on doc_id with BOUNDED output per row —
-    never all-pairs over the corpus. The vocabulary itself comes from
-    a distributed top-k (TakeOrderedAndProject over the doc-frequency
-    aggregate, deterministic df-desc/token-asc ties) and is broadcast
-    back; doc frequencies re-attach to the pair counts by broadcast.
+    per-doc pair fan-out is ≤ C(40,2) — never all-pairs over the
+    corpus. Pairs come from ONE groupBy(doc_id) basket aggregation
+    plus the shared Arrow bincount combiner
+    (transform.basket_pair_counts) over dict-coded tokens — the r13
+    reshape of what was a within-doc self-join (two keyed exchanges
+    of the token relation + millions of raw pair rows into the pair
+    aggregate; now one exchange and kilobyte partials). Codes are
+    assigned in token string order, so code_a < code_b IS
+    tok_a < tok_b and the combiner's upper-triangle pairs reproduce
+    the old a.tok < b.tok join predicate exactly. The vocabulary
+    itself comes from a distributed top-k (TakeOrderedAndProject over
+    the doc-frequency aggregate, deterministic df-desc/token-asc
+    ties), is persisted once (three consumers — the basket join and
+    both decode sides — otherwise each re-run the corpus-wide
+    doc-frequency aggregate), and is broadcast back; doc frequencies
+    re-attach to the pair counts by the same broadcast.
     PMI = ln(P(a,b)/(P(a)P(b))) = ln(pmi_num/pmi_den); the emitted
     columns are the EXACT integer numerator/denominator (n_both·N and
     df_a·df_b) — the consumer applies the ln. A round(ln(…), 6) in
@@ -441,38 +451,46 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct()
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    vocab = dfreq.orderBy(F.col("df").desc(), F.col("tok")).limit(40)
-    e = toks.join(F.broadcast(vocab.select("tok")), "tok").select(
-        "doc_id", "tok"
+    from pyspark.sql import Window as W
+
+    from lightlane_spark.operators.transform import basket_pair_counts
+
+    # 40-row dict: code order == token string order (window over 40
+    # rows is trivially bounded); persisted so the three consumers
+    # below read one materialization instead of re-running the
+    # corpus-wide dfreq aggregate each.
+    vocab = tracked_persist(
+        dfreq.orderBy(F.col("df").desc(), F.col("tok"))
+        .limit(40)
+        .withColumn("tc", F.row_number().over(W.orderBy("tok")) - 1)
     )
-    pairs = (
-        e.alias("a")
-        .join(e.alias("b"), "doc_id")
-        .where(F.col("a.tok") < F.col("b.tok"))
-        .groupBy(
-            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_both"))
-        .where(F.col("n_both") >= 5)
+    e = toks.join(F.broadcast(vocab.select("tok", "tc")), "tok").select(
+        "doc_id", "tc"
     )
+    baskets = e.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tc")).alias("bs")
+    )
+    pairs = basket_pair_counts(baskets, "bs").where(F.col("support") >= 5)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
     return (
         pairs.join(
-            F.broadcast(vocab.select(F.col("tok").alias("tok_a"),
+            F.broadcast(vocab.select(F.col("tc").alias("a"),
+                                     F.col("tok").alias("tok_a"),
                                      F.col("df").alias("df_a"))),
-            "tok_a",
+            "a",
         )
         .join(
-            F.broadcast(vocab.select(F.col("tok").alias("tok_b"),
+            F.broadcast(vocab.select(F.col("tc").alias("b"),
+                                     F.col("tok").alias("tok_b"),
                                      F.col("df").alias("df_b"))),
-            "tok_b",
+            "b",
         )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "tok_a",
             "tok_b",
-            "n_both",
-            (F.col("n_both") * F.col("n_corpus")).alias("pmi_num"),
+            F.col("support").alias("n_both"),
+            (F.col("support") * F.col("n_corpus")).alias("pmi_num"),
             (F.col("df_a") * F.col("df_b")).alias("pmi_den"),
         )
         .orderBy("tok_a", "tok_b")
@@ -1488,6 +1506,12 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_build(o, "k", depth=depth, width=width),
         cms_build(li, "k", depth=depth, width=width),
     )
+    # Exact side stays the RAW join + count: the r13 A/B of the
+    # count-product identity (Σ_k c_A(k)·c_B(k) over per-key
+    # pre-aggregates) measured SLOWER here (best 1.67 vs 1.47 s
+    # interleaved) — both inputs are join keys with ~unique keys on
+    # the orders side, so the two wide pre-aggregations cost more
+    # than the join output they avoid materializing.
     exact = (
         o.join(li, "k").agg(F.count(F.lit(1)).alias("exact_size"))
     )

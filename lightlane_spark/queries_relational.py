@@ -1563,84 +1563,18 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("bc")).alias("bs"))
     )
-    # Pair counting is an Arrow map-side COMBINER over the sorted
-    # basket arrays: per batch, baskets are grouped by length and each
-    # length group's upper-triangle pairs expand as ONE numpy indexing
-    # op into a 32×32 bincount — the batch emits ≤|pair-domain| (≈300
-    # real) partial rows, so the pair "shuffle" is a few kilobytes no
-    # matter the basket count. Replaces an in-row Catalyst
-    # flatten/transform expansion whose interpreted per-element cost
-    # (~1.2 µs × Σ|basket|² pairs) dominated the query (profiled
-    # 1.4 s of 2.3 s at sf0.1; this form does the same pairs in
-    # ~0.2 s). collect_set dedupes, array_sort orders, and code order
-    # mirrors brand order, so pair (x, y) with x before y IS
-    # brand_a < brand_b. Counts are exact integer bincounts — oracle
-    # parity is unconditional, no float anywhere.
-    import pandas as pd  # noqa: F401 — Arrow path
-    from pyspark.sql.types import LongType, StructField, StructType
+    # Pair counting: the shared Arrow map-side combiner
+    # (transform.basket_pair_counts) — per-batch numpy bincount over
+    # the ≤25-code dict, kilobyte partials, exact integer counts.
+    # collect_set dedupes, array_sort orders, and code order mirrors
+    # brand order, so pair (x, y) with x before y IS
+    # brand_a < brand_b.
+    from lightlane_spark.operators.transform import basket_pair_counts
 
-    pair_schema = StructType(
-        [
-            StructField("a", LongType()),
-            StructField("b", LongType()),
-            StructField("support", LongType()),
-        ]
-    )
-
-    def count_pairs(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            # width is BATCH-LOCAL (max code seen + 1) and decoded
-            # back to (a, b) before emitting, so the combiner is not
-            # coupled to the dictionary's cardinality — the cross-
-            # batch key is the plain pair. The dense width² bincount
-            # assumes a SMALL code domain (here the ~25-brand dict);
-            # past _DENSE_CAP the combiner switches to np.unique over
-            # the encoded pairs, which costs O(pairs log pairs) but
-            # never allocates a width²-sized array — so a sparse or
-            # hashed code domain degrades gracefully instead of OOMing
-            # (r6 ADVICE).
-            _DENSE_CAP = 4096
-            by_len: dict[int, list] = {}
-            width = 2
-            for arr in pdf["bs"]:
-                if len(arr) >= 2:
-                    by_len.setdefault(len(arr), []).append(arr)
-                    width = max(width, int(arr[-1]) + 1)  # sorted asc
-            encs: list[np.ndarray] = []
-            dense = width <= _DENSE_CAP
-            counts = np.zeros(width * width, dtype=np.int64) if dense else None
-            for length, group in by_len.items():
-                m = np.asarray(group, dtype=np.int64)
-                iu, ju = np.triu_indices(length, 1)
-                enc = (m[:, iu] * width + m[:, ju]).ravel()
-                if dense:
-                    counts += np.bincount(enc, minlength=width * width)
-                else:
-                    encs.append(enc)
-            if dense:
-                nz = np.nonzero(counts)[0]
-                support = counts[nz]
-            elif encs:
-                nz, support = np.unique(np.concatenate(encs), return_counts=True)
-            else:
-                nz = np.zeros(0, dtype=np.int64)
-                support = nz
-            yield pd.DataFrame(
-                {"a": nz // width, "b": nz % width, "support": support}
-            )
-
-    partial = baskets.select("bs").mapInPandas(count_pairs, schema=pair_schema)
-    agg = (
-        partial.groupBy("a", "b")
-        .agg(F.sum("support").alias("support"))
-        .select(
-            F.col("a").cast("int").alias("a"),
-            F.col("b").cast("int").alias("b"),
-            "support",
-        )
+    agg = basket_pair_counts(baskets, "bs").select(
+        F.col("a").cast("int").alias("a"),
+        F.col("b").cast("int").alias("b"),
+        "support",
     )
     ca = codes.select(F.col("bc").alias("a"), F.col("p_brand").alias("brand_a"))
     cb = codes.select(F.col("bc").alias("b"), F.col("p_brand").alias("brand_b"))
