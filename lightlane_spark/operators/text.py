@@ -493,11 +493,18 @@ def dsir_log_weights(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .transform(tracked_persist)
     )
-    dist = feats.groupBy("bucket").agg(
-        F.sum("cnt").alias("cq"),
-        F.coalesce(
-            F.sum(F.when(F.col("__is_t"), F.col("cnt"))), F.lit(0)
-        ).alias("tp"),
+    # dist is read twice inside the broadcast build (the tot scalar
+    # aggregate and the crossJoin's left side); without its own pin
+    # each read re-ran the bucket aggregation over the full feats
+    # cache — profiled as one extra 211k-row pass per run at sf0.1.
+    # ≤ dims rows, so the pin is a kilobyte.
+    dist = tracked_persist(
+        feats.groupBy("bucket").agg(
+            F.sum("cnt").alias("cq"),
+            F.coalesce(
+                F.sum(F.when(F.col("__is_t"), F.col("cnt"))), F.lit(0)
+            ).alias("tp"),
+        )
     )
     tot = dist.agg(
         F.sum("cq").alias("cq_tot"), F.sum("tp").alias("tp_tot")

@@ -200,83 +200,44 @@ def basket_pair_counts(df: DataFrame, basket_col: str = "bs") -> DataFrame:
     basket arrays — the co-occurrence primitive behind market-basket
     and PMI queries.
 
-    The heavy lifting is an Arrow map-side COMBINER over the basket
-    arrays: per batch, baskets are grouped by length and each length
-    group's upper-triangle pairs expand as ONE numpy indexing op into
-    a width² bincount — the batch emits ≤|pair-domain| partial rows,
-    so the pair "shuffle" is a few kilobytes no matter the basket
-    count. Replaces an in-row Catalyst flatten/transform expansion
-    whose interpreted per-element cost (~1.2 µs × Σ|basket|² pairs)
-    dominates (profiled 1.4 s vs ~0.2 s at sf0.1 on frequent_pairs),
-    and equally replaces a within-basket self-JOIN, whose two keyed
-    exchanges + raw pair rows this shape never materializes.
+    The pair expansion is two NESTED codegen Generates entirely
+    inside the JVM: ``posexplode`` yields each basket element ``a``
+    with its position, and a ``slice``-fed ``explode`` yields every
+    later element ``b`` — no lambda higher-order functions (those run
+    interpreted, the r12 profile's 1.2 µs/element trap), no pair
+    ARRAY ever materialized, and no Python boundary. The hash
+    aggregate's map-side partial combine bounds what reaches the
+    exchange at ≤ |pair-domain| rows per task (a few kilobytes for
+    dictionary-coded baskets) regardless of basket count — the same
+    shuffle contract the previous Arrow ``mapInPandas`` bincount
+    combiner gave, without its per-task Python worker round-trip
+    (guide §4: the boundary itself was the cost — measured 0.6-0.7 s
+    per warm task wave; the r13 interleaved A/B at sf0.1 and at the
+    10× derived corpus both favor this form, 1.12 vs 1.39 s and
+    3.8 vs 4.4 s).
 
     Contract: ``basket_col`` must hold ASC-SORTED arrays of small
     non-negative integer codes (collect_set + array_sort upstream);
     code order must mirror the caller's desired pair order, so pair
     (a, b) with a < b in code space IS the caller's (x, y), x < y.
-    Counts are exact integer bincounts — oracle parity is
+    Counts are exact integer COUNT(*)s — oracle parity is
     unconditional, no float anywhere. Returns the globally aggregated
     (a, b, support) with a/b as longs.
+
+    Baskets shorter than 2 contribute nothing: ``posexplode`` emits
+    their lone element but the inner non-outer ``explode`` of an
+    empty slice drops the row.
     """
-    import pandas as pd  # noqa: F401 — Arrow path
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    pair_schema = StructType(
-        [
-            StructField("a", LongType()),
-            StructField("b", LongType()),
-            StructField("support", LongType()),
-        ]
+    e1 = df.select(F.posexplode(basket_col).alias("__i", "a"), F.col(basket_col))
+    e2 = e1.select(
+        "a",
+        F.explode(
+            F.expr(f"slice({basket_col}, __i + 2, size({basket_col}) - __i - 1)")
+        ).alias("b"),
     )
-
-    def count_pairs(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            # width is BATCH-LOCAL (max code seen + 1) and decoded
-            # back to (a, b) before emitting, so the combiner is not
-            # coupled to the dictionary's cardinality — the cross-
-            # batch key is the plain pair. The dense width² bincount
-            # assumes a SMALL code domain (e.g. a ~25-brand or
-            # 40-token dict); past _DENSE_CAP the combiner switches
-            # to np.unique over the encoded pairs, which costs
-            # O(pairs log pairs) but never allocates a width²-sized
-            # array — so a sparse or hashed code domain degrades
-            # gracefully instead of OOMing (r6 ADVICE).
-            _DENSE_CAP = 4096
-            by_len: dict[int, list] = {}
-            width = 2
-            for arr in pdf[basket_col]:
-                if len(arr) >= 2:
-                    by_len.setdefault(len(arr), []).append(arr)
-                    width = max(width, int(arr[-1]) + 1)  # sorted asc
-            encs: list = []
-            dense = width <= _DENSE_CAP
-            counts = np.zeros(width * width, dtype=np.int64) if dense else None
-            for length, group in by_len.items():
-                m = np.asarray(group, dtype=np.int64)
-                iu, ju = np.triu_indices(length, 1)
-                enc = (m[:, iu] * width + m[:, ju]).ravel()
-                if dense:
-                    counts += np.bincount(enc, minlength=width * width)
-                else:
-                    encs.append(enc)
-            if dense:
-                nz = np.nonzero(counts)[0]
-                support = counts[nz]
-            elif encs:
-                nz, support = np.unique(np.concatenate(encs), return_counts=True)
-            else:
-                nz = np.zeros(0, dtype=np.int64)
-                support = nz
-            yield pd.DataFrame(
-                {"a": nz // width, "b": nz % width, "support": support}
-            )
-
-    partial = df.select(basket_col).mapInPandas(count_pairs, schema=pair_schema)
-    return partial.groupBy("a", "b").agg(F.sum("support").alias("support"))
+    return e2.groupBy(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).alias("support"))
 
 
 def stratified_sample(

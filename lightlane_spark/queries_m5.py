@@ -419,13 +419,13 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate blow-up is controlled by the vocabulary restriction:
     per-doc pair fan-out is ≤ C(40,2) — never all-pairs over the
     corpus. Pairs come from ONE groupBy(doc_id) basket aggregation
-    plus the shared Arrow bincount combiner
+    plus the shared JVM codegen pair expansion
     (transform.basket_pair_counts) over dict-coded tokens — the r13
     reshape of what was a within-doc self-join (two keyed exchanges
     of the token relation + millions of raw pair rows into the pair
-    aggregate; now one exchange and kilobyte partials). Codes are
-    assigned in token string order, so code_a < code_b IS
-    tok_a < tok_b and the combiner's upper-triangle pairs reproduce
+    aggregate; now one exchange and kilobyte map-side partials).
+    Codes are assigned in token string order, so code_a < code_b IS
+    tok_a < tok_b and the upper-triangle pairs reproduce
     the old a.tok < b.tok join predicate exactly. The vocabulary
     itself comes from a distributed top-k (TakeOrderedAndProject over
     the doc-frequency aggregate, deterministic df-desc/token-asc
@@ -467,7 +467,14 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = toks.join(F.broadcast(vocab.select("tok", "tc")), "tok").select(
         "doc_id", "tc"
     )
-    baskets = e.groupBy("doc_id").agg(
+    # Pin the basket exchange at the session's shuffle parallelism
+    # (guide §2.5, same rationale as frequent_pairs): the Arrow pair
+    # combiner downstream is compute-dense per byte, and AQE's
+    # byte-based coalescing starved it to one task at sf0.1. The
+    # explicit hash repartition replaces the ENSURE_REQUIREMENTS
+    # exchange one-for-one; exchange count unchanged.
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    baskets = e.repartition(nshuf, "doc_id").groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tc")).alias("bs")
     )
     pairs = basket_pair_counts(baskets, "bs").where(F.col("support") >= 5)
@@ -1512,8 +1519,22 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interleaved) — both inputs are join keys with ~unique keys on
     # the orders side, so the two wide pre-aggregations cost more
     # than the join output they avoid materializing.
+    # The exact join runs on the NUMERIC orderkeys (guide §2.3
+    # "narrower types"): the string cast exists only for the md5 the
+    # CMS hashes — casting BIGINT→STRING is injective, so string
+    # equality IS numeric equality and the count is unchanged, while
+    # the broadcast build and the probe hash 8-byte longs instead of
+    # variable-length strings.
     exact = (
-        o.join(li, "k").agg(F.count(F.lit(1)).alias("exact_size"))
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .join(
+            read_table(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey")
+            ),
+            "o_orderkey",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_size"))
     )
     return (
         est.crossJoin(exact)

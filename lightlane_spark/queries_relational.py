@@ -1558,17 +1558,31 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(tracked_persist)
     )
     pc = p.join(F.broadcast(codes), "p_brand").select("p_partkey", "bc")
+    # Pin the basket exchange at the session's shuffle parallelism
+    # (guide §2.5: partition by COST, not bytes). The combiner stage
+    # downstream does Σ|basket|² numpy work per byte, so AQE's
+    # byte-based coalescing undersells it by orders of magnitude —
+    # profiled at sf0.1: the 3.7 MB basket shuffle coalesced to ONE
+    # task that ran 0.73 s serial on a 32-core box. A user-specified
+    # hash repartition (same key, explicit count) replaces the
+    # ENSURE_REQUIREMENTS exchange one-for-one — the groupBy reuses
+    # its partitioning, so exchange count is unchanged — and AQE
+    # honors the explicit count instead of coalescing. At cluster
+    # scale the count equals spark.sql.shuffle.partitions, exactly
+    # what the exchange would start from anyway.
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     baskets = (
         li.join(F.broadcast(pc), li["l_partkey"] == pc["p_partkey"])
+        .repartition(nshuf, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("bc")).alias("bs"))
     )
-    # Pair counting: the shared Arrow map-side combiner
-    # (transform.basket_pair_counts) — per-batch numpy bincount over
-    # the ≤25-code dict, kilobyte partials, exact integer counts.
-    # collect_set dedupes, array_sort orders, and code order mirrors
-    # brand order, so pair (x, y) with x before y IS
-    # brand_a < brand_b.
+    # Pair counting: the shared JVM codegen pair expansion
+    # (transform.basket_pair_counts) — nested Generates over the
+    # ≤25-code baskets, map-side partial combine, kilobyte partials,
+    # exact integer counts. collect_set dedupes, array_sort orders,
+    # and code order mirrors brand order, so pair (x, y) with x
+    # before y IS brand_a < brand_b.
     from lightlane_spark.operators.transform import basket_pair_counts
 
     agg = basket_pair_counts(baskets, "bs").select(

@@ -135,3 +135,42 @@ def test_permissive_corrupt_json_quarantine(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert sorted(r.id for r in good.collect()) == [1, 3]
     assert bad.count() == 1 and "not valid" in bad.first()["_corrupt_record"]
+
+
+def test_basket_pair_counts_matches_bruteforce(spark):
+    """The nested-Generate pair expansion (r13: replaced the Arrow
+    mapInPandas bincount combiner) must produce exactly the
+    upper-triangle pair supports of a python brute force, drop
+    sub-2-element baskets, stay long-typed, and keep a python-free
+    plan (no BatchEvalPython/ArrowEvalPython/MapInPandas node)."""
+    from itertools import combinations
+
+    from lightlane_spark.operators.transform import basket_pair_counts
+
+    rows = [
+        ([0, 2, 5],),
+        ([2, 5],),
+        ([1],),
+        ([],),
+        ([0, 2, 5, 9],),
+    ]
+    df = spark.createDataFrame(rows, "bs: array<int>")
+    got = {
+        (r.a, r.b): r.support
+        for r in basket_pair_counts(df, "bs").collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for (bs,) in rows:
+        for a, b in combinations(bs, 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+    sch = dict(basket_pair_counts(df, "bs").dtypes)
+    assert sch == {"a": "bigint", "b": "bigint", "support": "bigint"}
+    plan = (
+        basket_pair_counts(df, "bs")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
