@@ -3605,7 +3605,11 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join twice inside the checkpoint build (r8 lineage audit)
     from lightlane_spark.operators.clustering import symmetrize
 
-    edges = symmetrize(pairs).localCheckpoint()
+    # lazy checkpoint (r13): the eager form ran one extra full
+    # materialization job at build time; lazy still truncates lineage
+    # and materializes inside round 1's first action — one job saved,
+    # identical blocks (the clustering.py convention).
+    edges = symmetrize(pairs).localCheckpoint(eager=False)
     labels = c.select(
         F.col("c_custkey").alias("node"), F.col("c_custkey").alias("label")
     )
@@ -3614,11 +3618,16 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("node"), "label"
         )
         cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
-        pick = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", F.col("label").alias("new_label"))
+        # per-node argmax as min_by over (count desc, label asc) — a
+        # hash aggregate with map-side partial combine instead of the
+        # row_number window's full sort of the (node, label) relation
+        # (r13, the neardup_dedup_quality max_by precedent). struct
+        # comparison is lexicographic and (−c, label) is unique within
+        # a node (label is the group key), so the pick — most frequent
+        # neighbor label, ties → smallest label — is unchanged and
+        # deterministic.
+        pick = cnt.groupBy("node").agg(
+            F.expr("min_by(label, struct(-c, label))").alias("new_label")
         )
         # per-round checkpoint (clustering.py's contract): the label
         # frame feeds BOTH next-round consumers (nb and the update

@@ -47,6 +47,23 @@ _DEFAULT_CONF = {
     "spark.sql.parquet.enableVectorizedReader": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Scan-split sizing (guide §6): split size is
+    # min(maxPartitionBytes, max(openCostInBytes, input/parallelism)),
+    # so the 4 MB openCost DEFAULT is a hard floor that serializes any
+    # table smaller than 4 MB×cores onto a handful of tasks — on this
+    # deployment's local NVMe (open ≈ tens of µs) that floor is pure
+    # fiction, and it decouples scan parallelism from the core count
+    # (a 594 KB corpus file scanned by ONE task at 32 cores AND at 8).
+    # 64 KB restores the input/cores derivation — scan parallelism
+    # tracks data volume and cluster size, the scale-adaptive behavior
+    # §2 asks for — while leaving the many-large-file regime (splits
+    # ≥ 128 MB) untouched. Interleaved A/B at sf0.1: text corpus
+    # passes 0.58-0.78×, small relational scans pay a few extra
+    # ~2-5 ms tasks. Object-store deployments (real per-open latency)
+    # should set SPARK_GRAFT_OPEN_COST_BYTES back to 4-16 MB.
+    "spark.sql.files.openCostInBytes": os.environ.get(
+        "SPARK_GRAFT_OPEN_COST_BYTES", "65536"
+    ),
 }
 
 
