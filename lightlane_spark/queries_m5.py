@@ -467,14 +467,7 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = toks.join(F.broadcast(vocab.select("tok", "tc")), "tok").select(
         "doc_id", "tc"
     )
-    # Pin the basket exchange at the session's shuffle parallelism
-    # (guide §2.5, same rationale as frequent_pairs): the Arrow pair
-    # combiner downstream is compute-dense per byte, and AQE's
-    # byte-based coalescing starved it to one task at sf0.1. The
-    # explicit hash repartition replaces the ENSURE_REQUIREMENTS
-    # exchange one-for-one; exchange count unchanged.
-    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    baskets = e.repartition(nshuf, "doc_id").groupBy("doc_id").agg(
+    baskets = e.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tc")).alias("bs")
     )
     pairs = basket_pair_counts(baskets, "bs").where(F.col("support") >= 5)

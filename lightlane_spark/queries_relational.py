@@ -1558,22 +1558,14 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(tracked_persist)
     )
     pc = p.join(F.broadcast(codes), "p_brand").select("p_partkey", "bc")
-    # Pin the basket exchange at the session's shuffle parallelism
-    # (guide §2.5: partition by COST, not bytes). The combiner stage
-    # downstream does Σ|basket|² numpy work per byte, so AQE's
-    # byte-based coalescing undersells it by orders of magnitude —
-    # profiled at sf0.1: the 3.7 MB basket shuffle coalesced to ONE
-    # task that ran 0.73 s serial on a 32-core box. A user-specified
-    # hash repartition (same key, explicit count) replaces the
-    # ENSURE_REQUIREMENTS exchange one-for-one — the groupBy reuses
-    # its partitioning, so exchange count is unchanged — and AQE
-    # honors the explicit count instead of coalescing. At cluster
-    # scale the count equals spark.sql.shuffle.partitions, exactly
-    # what the exchange would start from anyway.
-    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # (r13: a shuffle-parallelism pin on this exchange was A/B'd for
+    # the old Python combiner's task starvation and reverted once the
+    # JVM pair expansion landed — with map-side partial aggregation
+    # the post-exchange work is light, AQE's byte-based coalescing is
+    # the right scale-adaptive default, and the pin measured neutral-
+    # to-worse interleaved.)
     baskets = (
         li.join(F.broadcast(pc), li["l_partkey"] == pc["p_partkey"])
-        .repartition(nshuf, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("bc")).alias("bs"))
     )
