@@ -43,6 +43,8 @@ from lightlane_spark.cache import tracked_persist
 # expression trees, reusable across plans; the applicationId key
 # drops entries from a stopped context (hyperplane_bits precedent).
 _SIG_EXPR_MEMO: dict = {}
+_BAND_EXPR_MEMO: dict = {}
+_PAIR_EXPR_MEMO: dict = {}
 
 
 # ---------------------------------------------------------------------------
@@ -203,23 +205,36 @@ def lsh_band_keys(
     """
     df = signatures_or_arrays
     if "sig" in df.columns:
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast(
-                                "string"
-                            )
-                            for r in range(rows_per_band)
-                        ],
-                    ).alias("band_sig"),
-                )
-                for b in range(bands)
-            ]
+        # The band-struct Column is ~bands·rows_per_band element_at/
+        # concat_ws nodes — ~0.2 s of py4j construction per build at
+        # (4, 4), paid by every LSH-family query. Parsed Columns are
+        # immutable expression trees, so memoize per session (the
+        # _SIG_EXPR_MEMO / hyperplane_bits precedent).
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            bands,
+            rows_per_band,
         )
+        band_structs = _BAND_EXPR_MEMO.get(key)
+        if band_structs is None:
+            band_structs = F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(
+                                    F.col("sig"), b * rows_per_band + r + 1
+                                ).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+            _BAND_EXPR_MEMO[key] = band_structs
         return df.select(
             F.col(id_col), F.explode(band_structs).alias("__b")
         ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_sig").alias("band_sig"))
@@ -249,15 +264,21 @@ def _pairs_from_buckets(buckets: DataFrame, max_bucket_size: int | None) -> Data
     buckets = buckets.filter(F.size("ids") >= 2)
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    # memoized per session: two nested lambda conversions cost ~0.1 s
+    # of py4j per build (same rationale as _BAND_EXPR_MEMO)
+    key = buckets.sparkSession.sparkContext.applicationId
+    pairs = _PAIR_EXPR_MEMO.get(key)
+    if pairs is None:
+        pairs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
         )
-    )
+        _PAIR_EXPR_MEMO[key] = pairs
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
