@@ -231,6 +231,14 @@ def main() -> None:
     qs.update(_bench_only_overrides())
     spark = get_spark(app_name="lightlane-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Scaling evidence (VERDICT r13 ask #1): record the RESOLVED master
+    # and defaultParallelism so a reader of the artifact can verify the
+    # $SPARK_GRAFT_CPUS contract was honored — at sf0.1 the ~0.17 s/job
+    # scheduling floor makes core-count ratios ≈1, which is otherwise
+    # indistinguishable from an ignored env var. Additive keys only;
+    # the one-line JSON contract and all existing keys are unchanged.
+    master = spark.sparkContext.master
+    default_parallelism = spark.sparkContext.defaultParallelism
 
     # Load context (VERDICT r5/r6 ask): the box this runs on is shared
     # with sweep/pytest sessions, and ambient load has repeatedly
@@ -347,6 +355,8 @@ def main() -> None:
         "reps": reps,
         "rep_spread_median": rep_spread_median,
         "sf": sf_val,
+        "master": master,
+        "default_parallelism": default_parallelism,
         "idle": idle,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
@@ -397,6 +407,8 @@ def main() -> None:
         },
         "detail_file": "BENCH_DETAIL.json",
         "rep_spread_median": rep_spread_median,
+        "master": master,
+        "default_parallelism": default_parallelism,
         "idle": idle,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],

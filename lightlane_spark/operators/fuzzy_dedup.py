@@ -40,8 +40,11 @@ from lightlane_spark.cache import tracked_persist
 # session-scoped memo of the signature-build expression columns
 # (see minhash_signature_arrays): {(applicationId, num_hashes):
 # (proj_cols, min_cols, array_col)} — parsed Columns are immutable
-# expression trees, reusable across plans; the applicationId key
-# drops entries from a stopped context (hyperplane_bits precedent).
+# expression trees, reusable across plans. The applicationId key
+# scopes entries to the live context; stale-session entries are
+# EVICTED on every memo miss via memo.evict_stale (ADVICE r13 — a
+# miss under a new appId is when a session cycled, and one process
+# has one active context, so other appIds' entries are dead).
 _SIG_EXPR_MEMO: dict = {}
 _BAND_EXPR_MEMO: dict = {}
 _PAIR_EXPR_MEMO: dict = {}
@@ -154,6 +157,9 @@ def minhash_signature_arrays(
     key = (sess.sparkContext.applicationId, num_hashes)
     cols = _SIG_EXPR_MEMO.get(key)
     if cols is None:
+        from lightlane_spark.memo import evict_stale
+
+        evict_stale(_SIG_EXPR_MEMO, key[0])
         d = "md5(sh)"
         proj = [
             F.expr(
@@ -217,6 +223,9 @@ def lsh_band_keys(
         )
         band_structs = _BAND_EXPR_MEMO.get(key)
         if band_structs is None:
+            from lightlane_spark.memo import evict_stale
+
+            evict_stale(_BAND_EXPR_MEMO, key[0])
             band_structs = F.array(
                 *[
                     F.struct(
@@ -269,6 +278,9 @@ def _pairs_from_buckets(buckets: DataFrame, max_bucket_size: int | None) -> Data
     key = buckets.sparkSession.sparkContext.applicationId
     pairs = _PAIR_EXPR_MEMO.get(key)
     if pairs is None:
+        from lightlane_spark.memo import evict_stale
+
+        evict_stale(_PAIR_EXPR_MEMO, key)
         pairs = F.flatten(
             F.transform(
                 F.col("ids"),

@@ -308,6 +308,9 @@ def hyperplane_bits(
     key = (sess.sparkContext.applicationId if sess else None, sql)
     col = _HP_EXPR_MEMO.get(key)
     if col is None:
+        from lightlane_spark.memo import evict_stale
+
+        evict_stale(_HP_EXPR_MEMO, key[0])
         col = F.expr(sql)
         _HP_EXPR_MEMO[key] = col
     return col

@@ -227,16 +227,31 @@ def basket_pair_counts(df: DataFrame, basket_col: str = "bs") -> DataFrame:
     Baskets shorter than 2 contribute nothing: ``posexplode`` emits
     their lone element but the inner non-outer ``explode`` of an
     empty slice drops the row.
+
+    Name-robust (ADVICE r13): the basket column is re-aliased to a
+    reserved internal name first and the slice is built from
+    Column-typed args (``F.slice`` accepts Column start/length), so a
+    caller's ``basket_col`` named ``a``/``__i`` or needing backticks
+    can never collide with the internal aliases or break SQL-string
+    parsing. Same two-Generate codegen plan as the F.expr form.
     """
-    e1 = df.select(F.posexplode(basket_col).alias("__i", "a"), F.col(basket_col))
+    d = df.select(F.col(basket_col).alias("__ll_bs"))
+    e1 = d.select(
+        F.posexplode("__ll_bs").alias("__ll_i", "__ll_a"), F.col("__ll_bs")
+    )
     e2 = e1.select(
-        "a",
+        "__ll_a",
         F.explode(
-            F.expr(f"slice({basket_col}, __i + 2, size({basket_col}) - __i - 1)")
-        ).alias("b"),
+            F.slice(
+                F.col("__ll_bs"),
+                F.col("__ll_i") + F.lit(2),
+                F.size("__ll_bs") - F.col("__ll_i") - F.lit(1),
+            )
+        ).alias("__ll_b"),
     )
     return e2.groupBy(
-        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+        F.col("__ll_a").cast("long").alias("a"),
+        F.col("__ll_b").cast("long").alias("b"),
     ).agg(F.count(F.lit(1)).alias("support"))
 
 

@@ -1493,41 +1493,43 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the correctness gate — ALSO compute the exact size and the
     never-underestimates bound. All three values are deterministic
     (md5 positions), so the oracle reproduces them exactly."""
+    from lightlane_spark.cache import tracked_persist
     from lightlane_spark.operators.sketches import cms_build, cms_join_size
 
     depth, width = 4, 4096
-    o = read_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").cast("string").alias("k")
+    # ONE key relation per table feeds BOTH the exact join and the CMS
+    # build (VERDICT r13 ask #2, guide §5/§6): the former shape read
+    # orders and lineitem twice each — once numeric for the exact side,
+    # once string-cast for the sketches. The persisted single-column
+    # key relations are scanned from parquet once; the string cast the
+    # CMS md5 needs is applied on top of the pin. BIGINT→STRING is
+    # injective, so the CMS values and the exact count are unchanged.
+    o_keys = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .transform(tracked_persist)
     )
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").cast("string").alias("k")
+    li_keys = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .transform(tracked_persist)
     )
+    as_k = F.col("o_orderkey").cast("string").alias("k")
     est = cms_join_size(
-        cms_build(o, "k", depth=depth, width=width),
-        cms_build(li, "k", depth=depth, width=width),
+        cms_build(o_keys.select(as_k), "k", depth=depth, width=width),
+        cms_build(li_keys.select(as_k), "k", depth=depth, width=width),
     )
     # Exact side stays the RAW join + count: the r13 A/B of the
     # count-product identity (Σ_k c_A(k)·c_B(k) over per-key
     # pre-aggregates) measured SLOWER here (best 1.67 vs 1.47 s
     # interleaved) — both inputs are join keys with ~unique keys on
     # the orders side, so the two wide pre-aggregations cost more
-    # than the join output they avoid materializing.
-    # The exact join runs on the NUMERIC orderkeys (guide §2.3
-    # "narrower types"): the string cast exists only for the md5 the
-    # CMS hashes — casting BIGINT→STRING is injective, so string
-    # equality IS numeric equality and the count is unchanged, while
-    # the broadcast build and the probe hash 8-byte longs instead of
-    # variable-length strings.
-    exact = (
-        read_table(spark, sf_dir, "orders")
-        .select("o_orderkey")
-        .join(
-            read_table(spark, sf_dir, "lineitem").select(
-                F.col("l_orderkey").alias("o_orderkey")
-            ),
-            "o_orderkey",
-        )
-        .agg(F.count(F.lit(1)).alias("exact_size"))
+    # than the join output they avoid materializing. It joins the
+    # NUMERIC orderkeys (guide §2.3 "narrower types"): the broadcast
+    # build and probe hash 8-byte longs, and the string cast exists
+    # only inside the CMS branch above.
+    exact = o_keys.join(li_keys, "o_orderkey").agg(
+        F.count(F.lit(1)).alias("exact_size")
     )
     return (
         est.crossJoin(exact)

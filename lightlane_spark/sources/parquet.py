@@ -99,6 +99,9 @@ def read_table(
     else:
         df = spark.read.parquet(path)
         if key is not None:
+            from lightlane_spark.memo import evict_stale
+
+            evict_stale(_SCHEMA_MEMO, key[0])
             _SCHEMA_MEMO[key] = df.schema
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV — double division would lose precision on ~1e18 ns.
