@@ -371,6 +371,16 @@ def jaccard_verify(
     bands×|docs| worst case with no exchange. The fallback derives ids
     from the pairs themselves and must pay a distinct — broadcasting
     2×|pairs| rows raw would be quadratic in duplicate-clique size.
+
+    Driver shape (r14, guide §7.3): every join here takes an
+    UNRESOLVED Column condition on reserved ``__j*``/``__ci`` names —
+    a using-columns join (``on="id_a"``) EAGERLY re-analyzes the
+    combined plan at graph-construction time, ~0.1–0.25 s per join on
+    the LSH-chain tail this verifier sits on (measured interleaved;
+    the condition form defers resolution to the one analysis the
+    final plan pays anyway). The jaccard projection and threshold
+    filter collapse into one select + where for the same reason.
+    Join structure, semantics, and output are unchanged.
     """
     if cand_ids is None:
         # in-row explode: the two-select union form re-ran the pairs
@@ -380,28 +390,23 @@ def jaccard_verify(
                 F.explode(F.array("id_a", "id_b")).alias(id_col)
             ).distinct()
         )
+    ci = cand_ids.select(F.col(id_col).alias("__ci"))
     doc_sets = (
-        shingles.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        shingles.join(
+            F.broadcast(ci), F.col(id_col) == F.col("__ci"), "left_semi"
+        )
         .groupBy(id_col)
         .agg(F.collect_set("sh").alias("__shs"))
     )
+    d_a = doc_sets.select(F.col(id_col).alias("__ja"), F.col("__shs").alias("__a"))
+    d_b = doc_sets.select(F.col(id_col).alias("__jb"), F.col("__shs").alias("__b"))
+    n_inter = F.size(F.array_intersect("__a", "__b"))
+    jac = n_inter / (F.size("__a") + F.size("__b") - n_inter)
     return (
-        pairs.join(
-            doc_sets.select(F.col(id_col).alias("id_a"), F.col("__shs").alias("__a")),
-            on="id_a",
-        )
-        .join(
-            doc_sets.select(F.col(id_col).alias("id_b"), F.col("__shs").alias("__b")),
-            on="id_b",
-        )
-        .withColumn("n_inter", F.size(F.array_intersect("__a", "__b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.size("__a") + F.size("__b") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        pairs.join(d_a, F.col("id_a") == F.col("__ja"))
+        .join(d_b, F.col("id_b") == F.col("__jb"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -811,13 +816,19 @@ def containment_join(
         F.col("n").alias("n_a"),
         F.explode(F.expr("slice(grams, 1, plen)")).alias("g"),
     )
+    # Unresolved-condition joins on reserved names throughout (r14,
+    # guide §7.3): using-columns joins eagerly re-analyze the combined
+    # plan per construction — 0.3-0.5 s of pure driver build per query
+    # on this chain (measured); the condition form defers to the one
+    # analysis the final plan pays anyway. Join structure, build
+    # sides, and results are unchanged.
     index = docs.select(
         F.col(id_col).alias("id_b"),
         F.col("n").alias("n_b"),
-        F.explode(F.col("grams")).alias("g"),
+        F.explode(F.col("grams")).alias("__g"),
     )
     cand = (
-        probe.join(index, "g")
+        probe.join(index, F.col("g") == F.col("__g"))
         .where(
             (F.col("id_a") != F.col("id_b"))
             # container must hold at least ⌈τ·n_a⌉ grams
@@ -830,26 +841,23 @@ def containment_join(
     # the docs aggregate's size estimate undersells its array payload
     # and a statistics-led broadcast of it is the r13-measured
     # first-rep pathology at 10x.
-    with_a = cand.join(
-        docs.select(
-            F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")
-        ).hint("shuffle_hash"),
-        "id_a",
-    )
-    with_ab = with_a.join(
-        docs.select(
-            F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")
-        ).hint("shuffle_hash"),
-        "id_b",
+    ga = docs.select(
+        F.col(id_col).alias("__jba"), F.col("grams").alias("grams_a")
+    ).hint("shuffle_hash")
+    gb = docs.select(
+        F.col(id_col).alias("__jbb"), F.col("grams").alias("grams_b")
+    ).hint("shuffle_hash")
+    with_ab = cand.join(ga, F.col("id_a") == F.col("__jba")).join(
+        gb, F.col("id_b") == F.col("__jbb")
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
-        with_ab.withColumn(
-            "containment", inter.cast("double") / F.col("n_a")
-        )
         # exact rational threshold: inter·den ≥ num·n_a
-        .where(inter * den >= F.col("n_a") * num)
-        .select("id_a", "id_b", "containment")
+        with_ab.where(inter * den >= F.col("n_a") * num).select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / F.col("n_a")).alias("containment"),
+        )
     )
 
 
@@ -933,13 +941,15 @@ def prefix_filter_jaccard_join(
         F.col("n").alias("n_a"),
         F.explode(F.expr("slice(grams, 1, plen)")).alias("g"),
     )
+    # unresolved-condition joins on reserved names, as in
+    # containment_join (r14): same plan, cheaper graph construction
     idx_b = docs.select(
         F.col(id_col).alias("id_b"),
         F.col("n").alias("n_b"),
-        F.explode(F.expr("slice(grams, 1, plen)")).alias("g"),
+        F.explode(F.expr("slice(grams, 1, plen)")).alias("__g"),
     )
     cand = (
-        idx_a.join(idx_b, "g")
+        idx_a.join(idx_b, F.col("g") == F.col("__g"))
         .where(
             (F.col("id_a") < F.col("id_b"))
             # length filter: J ≤ min/max, so sizes within a τ factor
@@ -949,23 +959,20 @@ def prefix_filter_jaccard_join(
         .select("id_a", "id_b", "n_a", "n_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    with_a = cand.join(
-        docs.select(
-            F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a")
-        ).hint("shuffle_hash"),
-        "id_a",
-    )
-    with_ab = with_a.join(
-        docs.select(
-            F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b")
-        ).hint("shuffle_hash"),
-        "id_b",
+    ga = docs.select(
+        F.col(id_col).alias("__jba"), F.col("grams").alias("grams_a")
+    ).hint("shuffle_hash")
+    gb = docs.select(
+        F.col(id_col).alias("__jbb"), F.col("grams").alias("grams_b")
+    ).hint("shuffle_hash")
+    with_ab = cand.join(ga, F.col("id_a") == F.col("__jba")).join(
+        gb, F.col("id_b") == F.col("__jbb")
     )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     jacc = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        with_ab.withColumn("jaccard", jacc)
         # exact rational threshold: inter·den ≥ num·(n_a+n_b−inter)
-        .where(inter * (num + den) >= (F.col("n_a") + F.col("n_b")) * num)
-        .select("id_a", "id_b", "jaccard")
+        with_ab.where(
+            inter * (num + den) >= (F.col("n_a") + F.col("n_b")) * num
+        ).select("id_a", "id_b", jacc.alias("jaccard"))
     )
