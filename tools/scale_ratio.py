@@ -95,6 +95,14 @@ AUDIT_QUERIES = [
     "semantic_dedup",
     "bpe_train",
     "bucketed_join",
+    # r14 breadth (VERDICT r13 ask #7): the new top-10 entrants of the
+    # r13 driver bench, plus ngram_jaccard whose verify path was
+    # reshaped this round — the 10x evidence tracks the CURRENT cost
+    # ranking, not r12's.
+    "compression_ratio",
+    "product_type_profit",
+    "retrieval_metrics",
+    "ngram_jaccard",
 ]
 
 # Ratio bar for factor 10: linear (10) plus AQE/startup/scheduling
