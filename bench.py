@@ -31,6 +31,30 @@ from lightlane_spark.session import get_spark  # noqa: E402
 # number structurally cannot land in the idle artifact.
 IDLE_LOADAVG_MAX = 1.0
 
+# Hypervisor steal cap for the idle tag (r14 measurement fix, stated
+# per the harness contract): this box is a guest on a shared host, and
+# loadavg is blind to STEAL time — two r14 runs with loadavg_start
+# ≤ 1.1 showed random untouched queries spiking 2-4x (rep_spread
+# median 1.65+ vs ~1.2 on a quiet host) purely from host contention.
+# /proc/stat's steal counter measures it directly; a run that lost
+# more than this % of its CPU to the host is not an idle measurement,
+# whatever loadavg said at start. Timing methodology is unchanged —
+# this only ADDS a "steal_pct" key and tightens when the separate
+# BENCH_IDLE artifact may be refreshed.
+IDLE_STEAL_PCT_MAX = 2.0
+
+
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
 
 def refresh_bench_idle(detail: dict, idle_path: str) -> bool:
     """Write ``detail`` to ``idle_path`` iff it is tagged idle.
@@ -247,6 +271,7 @@ def main() -> None:
     # artifact can tell a loaded run from an idle one without
     # re-benching.
     load_start = os.getloadavg()
+    jiffies_start = _cpu_jiffies()
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch overheads.
@@ -344,7 +369,18 @@ def main() -> None:
     # unparseable (parsed: null). stdout's FINAL line is now a compact
     # payload that always fits the capture window.
     load_end = os.getloadavg()
-    idle = load_start[0] <= IDLE_LOADAVG_MAX
+    jiffies_end = _cpu_jiffies()
+    steal_pct = None
+    if jiffies_start and jiffies_end and jiffies_end[1] > jiffies_start[1]:
+        steal_pct = round(
+            100.0
+            * (jiffies_end[0] - jiffies_start[0])
+            / (jiffies_end[1] - jiffies_start[1]),
+            2,
+        )
+    idle = load_start[0] <= IDLE_LOADAVG_MAX and (
+        steal_pct is None or steal_pct <= IDLE_STEAL_PCT_MAX
+    )
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -358,6 +394,7 @@ def main() -> None:
         "master": master,
         "default_parallelism": default_parallelism,
         "idle": idle,
+        "steal_pct": steal_pct,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
     }
@@ -410,6 +447,7 @@ def main() -> None:
         "master": master,
         "default_parallelism": default_parallelism,
         "idle": idle,
+        "steal_pct": steal_pct,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
     }

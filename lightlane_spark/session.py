@@ -22,11 +22,24 @@ _DEFAULT_CONF = {
     # static stats are stale or missing.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Actually coalesce small shuffles (default parallelismFirst=true
-    # keeps 1 task per core even for KB-sized partitions — pure
-    # scheduling overhead on short stages; at cluster scale the
-    # min-size floor below keeps partitions right-sized instead).
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Post-shuffle coalescing targets PARALLELISM first, with a 1 MB
+    # partition-size floor (r14, guide §2.2). parallelismFirst=false
+    # (set r13 against tiny-partition scheduling overhead) made AQE
+    # target the 64 MB advisory size instead — which coalesced every
+    # post-shuffle stage under 64 MB to ONE task: at the 10x derived
+    # corpus the bow_similarity Python scorer ran 7.8 s serial on a
+    # 7 MB corpus partition and frequent_pairs' final aggregate 3.9 s
+    # serial on a 55 MB shuffle (profile_stages r14), the exact
+    # anti-scaling shape the low-core probe flags. parallelismFirst=
+    # true sizes partitions at max(bytes/parallelism, 1 MB): KB-sized
+    # shuffles still merge to one task (the r13 overhead concern),
+    # while anything over ~1 MB/core fans back out with the data.
+    # Interleaved A/B, best-of-3: 10x — bow_similarity 11.7→7.2 s,
+    # frequent_pairs 7.6→3.9, set_similarity_join 26.5→17.1; sf0.1 —
+    # kcore_peel 5.0→3.6, neardup_clusters 3.4→2.9, sub-second
+    # queries within ±0.03 s. Scale-adaptive by construction; no env
+    # knob needed.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1MB",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow batches for every pandas_udf / mapInPandas boundary.
