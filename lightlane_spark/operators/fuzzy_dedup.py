@@ -814,7 +814,7 @@ def containment_join(
     probe = docs.select(
         F.col(id_col).alias("id_a"),
         F.col("n").alias("n_a"),
-        F.explode(F.expr("slice(grams, 1, plen)")).alias("g"),
+        F.posexplode(F.expr("slice(grams, 1, plen)")).alias("__pa", "g"),
     )
     # Unresolved-condition joins on reserved names throughout (r14,
     # guide §7.3): using-columns joins eagerly re-analyze the combined
@@ -825,8 +825,18 @@ def containment_join(
     index = docs.select(
         F.col(id_col).alias("id_b"),
         F.col("n").alias("n_b"),
-        F.explode(F.col("grams")).alias("__g"),
+        F.posexplode(F.col("grams")).alias("__pb", "__g"),
     )
+    # PPJoin positional machinery (r14) — same exact identity as
+    # prefix_filter_jaccard_join: with g* the largest gram colliding
+    # in probe-prefix(a) × index(b) at positions (i_max, j_max), every
+    # common gram ≤ g* lies inside a's probe prefix (pos ≤ i_max <
+    # plen_a) and anywhere in b (the index side explodes ALL grams),
+    # so the per-pair collision count c equals |common grams ≤ g*|
+    # and total overlap o = c + |suffix_a ∩ suffix_b| exactly. Pairs
+    # are pruned on the bound c + min(n_a−i_max−1, n_b−j_max−1) < α
+    # before the join-backs, and the join-back rows carry only the
+    # suffix slices.
     cand = (
         probe.join(index, F.col("g") == F.col("__g"))
         .where(
@@ -834,23 +844,46 @@ def containment_join(
             # container must hold at least ⌈τ·n_a⌉ grams
             & (F.col("n_b") * den >= F.col("n_a") * num)
         )
-        .select("id_a", "id_b", "n_a")
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max("__pa").alias("__ia"),
+            F.max("__pb").alias("__ib"),
+        )
+        .where(
+            # accumulated positional filter, exact integer form of
+            # bound ≥ ⌈τ·n_a⌉
+            (
+                F.col("__c")
+                + F.least(
+                    F.col("n_a") - F.col("__ia") - 1,
+                    F.col("n_b") - F.col("__ib") - 1,
+                )
+            )
+            * den
+            >= F.col("n_a") * num
+        )
     )
     # shuffle_hash for the same reason as prefix_filter_jaccard_join:
     # the docs aggregate's size estimate undersells its array payload
     # and a statistics-led broadcast of it is the r13-measured
     # first-rep pathology at 10x.
     ga = docs.select(
-        F.col(id_col).alias("__jba"), F.col("grams").alias("grams_a")
+        F.col(id_col).alias("__jba"), F.col("grams").alias("__ga")
     ).hint("shuffle_hash")
     gb = docs.select(
-        F.col(id_col).alias("__jbb"), F.col("grams").alias("grams_b")
+        F.col(id_col).alias("__jbb"), F.col("grams").alias("__gb")
     ).hint("shuffle_hash")
-    with_ab = cand.join(ga, F.col("id_a") == F.col("__jba")).join(
-        gb, F.col("id_b") == F.col("__jbb")
+    suf_a = F.expr("slice(__ga, __ia + 2, n_a - __ia - 1)")
+    suf_b = F.expr("slice(__gb, __ib + 2, n_b - __ib - 1)")
+    with_ab = (
+        cand.join(ga, F.col("id_a") == F.col("__jba"))
+        .select(
+            "id_a", "id_b", "n_a", "n_b", "__c", "__ib", suf_a.alias("__sa")
+        )
+        .join(gb, F.col("id_b") == F.col("__jbb"))
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    inter = F.col("__c") + F.size(F.array_intersect(F.col("__sa"), suf_b))
     return (
         # exact rational threshold: inter·den ≥ num·n_a
         with_ab.where(inter * den >= F.col("n_a") * num).select(
@@ -911,11 +944,21 @@ def prefix_filter_jaccard_join(
     measured as the one near-super-linear chain (10× corpus → 14.5×
     runtime with 42/103/19 s rep thrash from the spilling
     array-laden exchange; SCALE_RATIO.json). Candidates travel as
-    bare (id_a, id_b, n_a, n_b) rows, dedup cheaply, and join BACK
-    to the persisted docs relation for both arrays before the
-    in-row array_intersect verify — re-measured 10×/1× ratio drops
-    to ~linear and sf0.1 steady improves ~2× (same identical-pairs
+    bare (id_a, id_b, n_a, n_b) rows, aggregate cheaply, and join
+    BACK to the persisted docs relation before the in-row
+    array_intersect verify — re-measured 10×/1× ratio drops to
+    ~linear and sf0.1 steady improves ~2× (same identical-pairs
     result the oracle pins).
+
+    r14 adds the PPJoin positional layer on top (guide §2.3): the
+    candidate aggregate keeps the collision count c and max matched
+    positions (i_max, j_max), prunes pairs on the exact bound
+    o ≤ c + min(n_a−i_max−1, n_b−j_max−1) before the join-backs, and
+    verifies on SUFFIX slices only (o = c + |suffix∩suffix| — the
+    matched-prefix grams are already counted by c; see the in-code
+    proof). At the 10× corpus this cut the pairs×grams_a exchange
+    1.83 GB → 0.57 GB and the join-back stages 402 → 35
+    executor-seconds; steady query time 15.6 → 3.4 s.
 
     The two join-backs are HINTED ``shuffle_hash``: Catalyst's size
     estimate for the docs relation (output of an aggregate) is far
@@ -939,15 +982,35 @@ def prefix_filter_jaccard_join(
     idx_a = docs.select(
         F.col(id_col).alias("id_a"),
         F.col("n").alias("n_a"),
-        F.explode(F.expr("slice(grams, 1, plen)")).alias("g"),
+        F.posexplode(F.expr("slice(grams, 1, plen)")).alias("__pa", "g"),
     )
     # unresolved-condition joins on reserved names, as in
     # containment_join (r14): same plan, cheaper graph construction
     idx_b = docs.select(
         F.col(id_col).alias("id_b"),
         F.col("n").alias("n_b"),
-        F.explode(F.expr("slice(grams, 1, plen)")).alias("__g"),
+        F.posexplode(F.expr("slice(grams, 1, plen)")).alias("__pb", "__g"),
     )
+    # PPJoin positional machinery (r14, guide §2.3 — shuffle fewer
+    # bytes). Both gram arrays share ONE global total order, so for a
+    # candidate pair let g* be the LARGEST gram colliding in the two
+    # prefixes, at 0-based positions (i_max, j_max). Then:
+    #   - every common gram h ≤ g* sits at pos_a(h) ≤ i_max < plen_a
+    #     and pos_b(h) ≤ j_max < plen_b — inside BOTH prefixes — so it
+    #     produced a join row: the per-pair collision COUNT c equals
+    #     |common grams ≤ g*| exactly;
+    #   - every common gram > g* sits strictly after i_max in a and
+    #     after j_max in b, so total overlap
+    #       o = c + |suffix_a ∩ suffix_b|         (suffix = grams
+    #     after the max matched position) — computed below on the
+    #     SLICED arrays, and bounded by
+    #       o ≤ c + min(n_a−i_max−1, n_b−j_max−1).
+    # J(A,B) ≥ num/den ⟺ o·(num+den) ≥ num·(n_a+n_b); pairs whose
+    # bound fails are dropped BEFORE the join-backs (lossless — for a
+    # qualifying pair the bound ≥ o passes by monotonicity), and the
+    # survivors' join-back rows carry only the SUFFIX slices, cutting
+    # the one array-laden exchange (pairs × grams_a, the dominant
+    # bytes of this operator at 10×) by the matched-prefix portion.
     cand = (
         idx_a.join(idx_b, F.col("g") == F.col("__g"))
         .where(
@@ -956,19 +1019,45 @@ def prefix_filter_jaccard_join(
             & (F.col("n_b") * num <= F.col("n_a") * den)
             & (F.col("n_a") * num <= F.col("n_b") * den)
         )
-        .select("id_a", "id_b", "n_a", "n_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max("__pa").alias("__ia"),
+            F.max("__pb").alias("__ib"),
+        )
+        .where(
+            # accumulated positional filter: c + min remaining suffix
+            # length bounds o from above; exact integer form of ≥ α
+            (
+                F.col("__c")
+                + F.least(
+                    F.col("n_a") - F.col("__ia") - 1,
+                    F.col("n_b") - F.col("__ib") - 1,
+                )
+            )
+            * (num + den)
+            >= (F.col("n_a") + F.col("n_b")) * num
+        )
     )
     ga = docs.select(
-        F.col(id_col).alias("__jba"), F.col("grams").alias("grams_a")
+        F.col(id_col).alias("__jba"), F.col("grams").alias("__ga")
     ).hint("shuffle_hash")
     gb = docs.select(
-        F.col(id_col).alias("__jbb"), F.col("grams").alias("grams_b")
+        F.col(id_col).alias("__jbb"), F.col("grams").alias("__gb")
     ).hint("shuffle_hash")
-    with_ab = cand.join(ga, F.col("id_a") == F.col("__jba")).join(
-        gb, F.col("id_b") == F.col("__jbb")
+    # suffix slices only: positions ≤ i_max/j_max contribute exactly
+    # __c common grams (proof above), so the arrays shed their matched
+    # prefixes before the pairs-per-array exchange between join-backs
+    suf_a = F.expr("slice(__ga, __ia + 2, n_a - __ia - 1)")
+    suf_b = F.expr("slice(__gb, __ib + 2, n_b - __ib - 1)")
+    with_ab = (
+        cand.join(ga, F.col("id_a") == F.col("__jba"))
+        .select(
+            "id_a", "id_b", "n_a", "n_b", "__c", "__ib", suf_a.alias("__sa")
+        )
+        .join(gb, F.col("id_b") == F.col("__jbb"))
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    inter = F.col("__c") + F.size(F.array_intersect(F.col("__sa"), suf_b))
     jacc = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
         # exact rational threshold: inter·den ≥ num·(n_a+n_b−inter)

@@ -434,3 +434,57 @@ def test_containment_join_matches_allpairs(spark):
             if len(sa & sb) * 10 >= len(sa) * 8:
                 want[(a, b)] = round(c, 9)
     assert got == want
+
+
+def test_prefix_join_suffix_slice_edges(spark):
+    """r14 positional/suffix-slice rewrite edge cases: exact
+    duplicates (whole prefix matches -> deep i_max, short suffix
+    slices), single-gram docs (containment's probe prefix = the whole
+    array -> possibly EMPTY suffix slice), and length-skewed
+    contained docs. Both joins must still equal brute force exactly —
+    o = c + |suffix∩suffix| is an identity, not an approximation."""
+    from lightlane_spark.operators.fuzzy_dedup import (
+        containment_join,
+        prefix_filter_jaccard_join,
+        shingle,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # base
+            (2, "a b c d e f g h"),          # exact dup of 1
+            (3, "b c d e f g h"),            # 1 minus first word
+            (4, "a b c"),                     # single-gram doc
+            (5, "a b c x"),                   # two grams, shares one
+            (6, "q r s t u v w x y z"),      # disjoint
+        ],
+        "doc_id: bigint, text: string",
+    )
+    got_j = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in prefix_filter_jaccard_join(docs, threshold=0.5).collect()
+    }
+    got_c = {
+        (r.id_a, r.id_b): round(r.containment, 9)
+        for r in containment_join(docs, threshold=0.9).collect()
+    }
+
+    sh = shingle(docs, "text", "doc_id", 3, distinct="inrow")
+    sets = {
+        r.doc_id: set(r.grams)
+        for r in sh.groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("grams"))
+        .collect()
+    }
+    want_j, want_c = {}, {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if a < b and inter and inter / len(sa | sb) >= 0.5:
+                want_j[(a, b)] = round(inter / len(sa | sb), 9)
+            if sa and inter * 10 >= len(sa) * 9:
+                want_c[(a, b)] = round(inter / len(sa), 9)
+    assert got_j == want_j and len(want_j) >= 2
+    assert got_c == want_c and len(want_c) >= 3
