@@ -140,7 +140,6 @@ def topk_bruteforce_arrow(
     ``topk_bruteforce``.
     """
     import numpy as np
-    import pandas as pd
 
     # Arrow transfer for the probe set (guide §6): same rows, same
     # order, same float64 bits as the pickled-Row collect — only the
@@ -170,11 +169,36 @@ def topk_bruteforce_arrow(
     guard = 10.0 ** (-round_digits) if round_digits is not None else 0.0
 
     def score(batches):
-        for pdf in batches:
-            if pdf.empty:
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            cm = np.array(pdf["cv"].tolist(), dtype=np.float64)  # B×D
-            cids = pdf["cid"].to_numpy(dtype=np.int64)
+            col = rb.column(1)
+            # Arrow list<double> is ONE contiguous values buffer plus
+            # offsets (guide §4.2): when every row is a full D-length
+            # non-null vector — the operator's contract, and what the
+            # previous pandas path already required (np.array over
+            # ragged object lists cannot build a (B, D) float64
+            # matrix) — the (B, D) matrix is a zero-copy reshape of
+            # the values buffer. The pandas route materialized B
+            # Python lists of boxed floats per batch, which profiled
+            # at ~90% of the scorer's executor time at the 10×
+            # corpus (16.7 → 3.0 executor-seconds). Same float64
+            # bits, same rows out.
+            offs = np.asarray(col.offsets)
+            widths = np.diff(offs)
+            if (
+                widths.size
+                and (widths == widths[0]).all()
+                and col.null_count == 0
+                and col.values.null_count == 0
+            ):
+                vals = np.asarray(col.values, dtype=np.float64)
+                cm = vals[offs[0] : offs[-1]].reshape(len(widths), widths[0])
+            else:  # ragged/null rows: defensive per-row fallback
+                cm = np.array(col.to_pylist(), dtype=np.float64)
+            cids = np.asarray(rb.column(0), dtype=np.int64)
             cn = np.sqrt((cm * cm).sum(axis=1))
             dots = qm @ cm.T  # Q×B
             valid = np.isfinite(dots)
@@ -194,17 +218,18 @@ def topk_bruteforce_arrow(
             qi, ci = np.nonzero(keep)
             if qi.size == 0:
                 continue
-            yield pd.DataFrame(
-                {
-                    "qid": qids[qi],
-                    "cid": cids[ci],
-                    "dot": dots[qi, ci],
-                    "qn": qn[qi],
-                    "cn": cn[ci],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[qi], type=pa.int64()),
+                    pa.array(cids[ci], type=pa.int64()),
+                    pa.array(dots[qi, ci], type=pa.float64()),
+                    pa.array(qn[qi], type=pa.float64()),
+                    pa.array(cn[ci], type=pa.float64()),
+                ],
+                names=["qid", "cid", "dot", "qn", "cn"],
             )
 
-    cand = c.mapInPandas(score, "qid long, cid long, dot double, qn double, cn double")
+    cand = c.mapInArrow(score, "qid long, cid long, dot double, qn double, cn double")
     sim = F.col("dot") / (F.col("qn") * F.col("cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
