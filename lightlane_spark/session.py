@@ -77,6 +77,24 @@ _DEFAULT_CONF = {
     "spark.sql.files.openCostInBytes": os.environ.get(
         "SPARK_GRAFT_OPEN_COST_BYTES", "65536"
     ),
+    # One BLAS thread per Python worker (r14, guide §5): Spark already
+    # runs one worker per task slot, and numpy's OpenBLAS default
+    # spawns a thread per HARDWARE core inside each worker — N slots ×
+    # N BLAS threads oversubscribes the box N-fold exactly when the
+    # Arrow-batched numpy operators (brute-force scorer, k-means, PQ)
+    # are busiest, and it silently breaks the core-count contract:
+    # a local[8] run's matmuls still grabbed all 32 hardware threads,
+    # which the 30× core-scaling battery measured as bow_similarity
+    # running FASTER at 8 Spark cores than at 32. Task-level
+    # parallelism is the engine's scaling mechanism; intra-task BLAS
+    # threading is pinned to 1, the standard cluster hygiene every
+    # PySpark deployment guide prescribes. Numerics are unchanged or
+    # strictly more deterministic (single-threaded = canonical
+    # summation order; the oracle-pinned paths are order-exact integer
+    # sums anyway).
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 

@@ -133,9 +133,16 @@ def main() -> int:
         for n in names:
             la = os.getloadavg()[0]
             try:
-                qs[n](spark, dn).count()  # warm rep (codegen)
-                unpersist_all()
-                spark.catalog.clearCache()
+                # warm rep (codegen + persist materialization); the
+                # timed rep keeps the warm rep's persisted
+                # intermediates, matching bench.py's documented
+                # within-query semantics (clear AFTER all reps of a
+                # query, never between them) — clearing here made the
+                # timed rep a cold-recompute measurement dominated by
+                # first-materialization costs that mask core-count
+                # sensitivity (r14: kcore_peel timed 12 s at BOTH 8
+                # and 32 cores cold vs 2.1 s steady).
+                qs[n](spark, dn).count()
                 t0 = time.perf_counter()
                 qs[n](spark, dn).count()
                 dt = round(time.perf_counter() - t0, 3)

@@ -204,7 +204,18 @@ def derive(src_dir: str, out_dir: str, factor: int) -> dict[str, int]:
                         exprs.append(c)
                 parts.append(f"SELECT {', '.join(exprs)} FROM '{src}'")
             sel = " UNION ALL ".join(parts)
-        con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT PARQUET)")
+        # ROW_GROUP_SIZE 8192 (r14): DuckDB's default packs ~123k rows
+        # per row group, so a derived documents/embeddings table lands
+        # in 1-2 giant row groups and Spark scans — which split on ROW
+        # GROUP boundaries, not byte ranges — run the whole
+        # tokenize/decode chain on 1-2 tasks at ANY core count. That
+        # caps the scaling audit at the fixture, not the engine; real
+        # 100 TB inputs have thousands of row groups per file. 8192
+        # rows ≈ 1-4 MB groups here — the many-splittable-units layout
+        # the audit is supposed to simulate. Values unchanged.
+        con.execute(
+            f"COPY ({sel}) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 8192)"
+        )
         counts[t] = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
     con.close()
     return counts
