@@ -317,28 +317,29 @@ def q_bow_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus — and the probe-side filter pushes down to the scan,
         # so collecting 1% of probes never tokenizes the other 99%.
         bow = hashed_bow(d, dims=64)
-        # Dense pivot via 64 conditional aggregates (r14, guide §4.1):
-        # the previous map_from_entries + transform(sequence(0,63),
-        # element_at(m, d)) probed an array-backed map 64× per doc
-        # through INTERPRETED lambdas — higher-order functions are
-        # never codegen'd — which profiled as ~15 executor-seconds of
-        # the scorer stage at the 10× corpus (0.3 ms/doc). sum(when)
-        # pivots compile through whole-stage codegen with map-side
-        # partial aggregation. Values identical: `bow` is unique per
-        # (doc_id, dim), so the conditional SUM is that dim's integer
-        # weight or NULL, coalesced to 0 and cast DOUBLE exactly as
-        # before — same array, same order, oracle-pinned.
-        sums = [
-            F.sum(F.when(F.col("dim") == i, F.col("weight"))).alias(f"__w{i}")
-            for i in range(64)
-        ]
-        arr = F.array(
-            *[
-                F.coalesce(F.col(f"__w{i}"), F.lit(0)).cast("double")
-                for i in range(64)
-            ]
+        # Dense-pivot form A/B'd three ways in r14 (map+interpreted
+        # transform — this form; 64 sum(when) conditional aggregates;
+        # map + 64 codegen'd getItem projections). The wide-expression
+        # forms cut the pivot's EXECUTOR time 15.1 → 2.9 s at the 10×
+        # corpus but pay ~1.5-2.3 s of fixed per-execution
+        # plan/codegen cost for the 64-column plans — a 2× wall
+        # REGRESSION at sf0.1 (1.69 → 3.94 / 3.07 s best-of-3,
+        # identical results) and no wall win at 10× (the stage is
+        # driver-bound once parallelismFirst fans it out). The
+        # interpreted transform stays: smallest plan, best wall at
+        # both scales.
+        return (
+            bow.groupBy("doc_id")
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("dim", "weight"))).alias("m")
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    "transform(sequence(0, 63), d -> CAST(coalesce(element_at(m, d), 0) AS DOUBLE))"
+                ).alias("v"),
+            )
         )
-        return bow.groupBy("doc_id").agg(*sums).select("doc_id", arr.alias("v"))
 
     probes = vecs_of(docs.filter(F.col("doc_id") % 100 == 0))
     corpus = vecs_of(docs.filter(F.col("doc_id") % 100 != 0))
